@@ -1,0 +1,110 @@
+"""Delta-gap + varint posting-list codec, numpy-vectorized (no per-row
+Python loops in the hot path — BASELINE.json input_hint mandate).
+
+Layout mirrors what tantivy/Lucene do conceptually (doc-id delta gaps +
+LEB128 varints + per-block max metadata) but is an original implementation
+designed for Arrow batch transfer: encode/decode operate on whole numpy
+arrays with O(max_bytes_per_value)=10 vectorized passes, not per-element
+loops.
+
+Reference parity note: ck delegates posting compression to tantivy
+(SURVEY.md §1.1 "Inverted index"); this module is the rebuild's explicit
+equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=_U64)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte slot."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + count of thresholds <= value  (1..10)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for i in range(10):
+        mask = nbytes > i
+        if not mask.any():
+            break
+        chunk = (v[mask] >> _U64(7 * i)) & _U64(0x7F)
+        cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
+        out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Inverse of encode_varint. Vectorized via cumsum grouping."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # value index for every byte
+    idx = np.zeros(b.size, dtype=np.int64)
+    idx[starts[1:]] = 1
+    idx = np.cumsum(idx)
+    within = np.arange(b.size, dtype=np.int64) - starts[idx]
+    contrib = (b & 0x7F).astype(_U64) << (_U64(7) * within.astype(_U64))
+    values = np.zeros(ends.size, dtype=_U64)
+    np.add.at(values, idx, contrib)  # shifts are disjoint => add == bitwise-or
+    return values
+
+
+def encode_posting_ids(doc_ids: np.ndarray) -> bytes:
+    """Delta-gap + varint encode a strictly-increasing int64/uint64 doc-id
+    array (first value stored absolute)."""
+    ids = np.ascontiguousarray(doc_ids, dtype=_U64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return encode_varint(gaps)
+
+
+def decode_posting_ids(buf: bytes) -> np.ndarray:
+    gaps = decode_varint(buf)
+    return np.cumsum(gaps, dtype=_U64)
+
+
+def encode_u32s(values: np.ndarray) -> bytes:
+    """Varint-encode small non-negative ints (tf, doc_len)."""
+    return encode_varint(np.ascontiguousarray(values, dtype=_U64))
+
+
+def decode_u32s(buf: bytes) -> np.ndarray:
+    return decode_varint(buf).astype(np.int64)
+
+
+def block_max_partial(
+    tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, k1: float, b: float, block: int
+) -> np.ndarray:
+    """Per-block max of the idf-independent BM25 factor
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Stored at index-build time; the query-time scorer multiplies by idf to
+    get a per-block score upper bound for block-max WAND pruning.
+    """
+    tfs = tfs.astype(np.float64)
+    dls = doc_lens.astype(np.float64)
+    denom = tfs + k1 * (1.0 - b + b * dls / max(avgdl, 1e-12))
+    partial = tfs * (k1 + 1.0) / np.maximum(denom, 1e-12)
+    n = partial.size
+    nblocks = (n + block - 1) // block
+    pad = nblocks * block - n
+    if pad:
+        partial = np.concatenate([partial, np.zeros(pad)])
+    return partial.reshape(nblocks, block).max(axis=1).astype(np.float32)

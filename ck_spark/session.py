@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-minded defaults.
+
+Tests/bench run on local[N]; the same settings are what we would ship to a
+1000-executor cluster (AQE on, sane shuffle partitioning, Arrow for every
+pandas UDF). Nothing here is sandbox-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ck_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores=None -> local[*]. On a real cluster the master is supplied by
+    spark-submit and this builder only contributes conf.
+    """
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        n = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+        master = f"local[{n}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(str(cores or os.cpu_count() or 8)))
+        except ValueError:  # cores == "*"
+            shuffle_partitions = os.cpu_count() or 8
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere: the tokenizer/codec/scorer are pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Parquet scan sizing: at 100 TB this bounds task input size.
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,138 @@
+"""Code-aware tokenizer — the single source of truth for BM25 semantics.
+
+Two modes:
+
+- ``simple``: the reference's effective lexical analyzer. ck registers no
+  custom tokenizer, so its BM25 pipeline is tantivy 0.24's default TEXT
+  analyzer (/root/reference/ck-engine/src/lib.rs:750-753, 860-863):
+  split on non-alphanumeric, drop tokens longer than 40 chars, lowercase,
+  no stoplist, no stemming. ``simple`` reproduces exactly that, and — being
+  pure regex + lower + length — is also expressible in ANSI SQL, which is
+  what the DuckDB oracle queries in ``__spark_entry__.py`` use.
+
+- ``code``: the north-star extension — identifier-aware splitting
+  (camelCase / PascalCase / acronym boundaries; snake_case already splits
+  because '_' is non-alphanumeric), lowercase, 40-char cutoff, plus a small
+  English stoplist. NOTE: language keywords like 'def'/'return' are
+  deliberately NOT stopwords — they are the ubiquitous skewed terms the
+  index's salted segmentation must handle (BASELINE.json north_rule).
+
+The same functions run driver-side (query tokenization, the pure-Python
+BM25 oracle in tests) and executor-side (Arrow pandas UDF), so tf/df and
+hence ranks are identical by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, MapType, StringType
+
+from ck_spark.constants import MAX_TOKEN_LEN
+
+# tantivy default: a token is a maximal run of alphanumerics. tantivy's
+# SimpleTokenizer uses Rust char::is_alphanumeric (Unicode-aware); Python's
+# [^\W_] is the same class minus underscore (which is not alphanumeric).
+_TOKEN_RE = re.compile(r"[^\W_]+")
+
+# camelCase / PascalCase / ACRONYMWord boundaries (zero-width). Digits stay
+# attached to the preceding alpha run (x86, utf8 remain whole tokens).
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+# Small English stoplist for `code` mode. Keyword-free on purpose: see
+# module docstring. Matches ck's spirit (indexing code, not prose).
+CODE_STOPWORDS = frozenset(
+    "a an and are as at be by for from has in is it of on or that the to was with".split()
+)
+
+_SIMPLE_SQL_SPLIT = "[^a-z0-9]+"  # applied after lower() in SQL oracles
+
+
+def tokenize(text: str, mode: str = "code") -> List[str]:
+    """Tokenize one string. Deterministic, pure."""
+    if not text:
+        return []
+    if mode == "code":
+        text = _CAMEL_RE.sub(" ", text)
+    toks = _TOKEN_RE.findall(text.lower())
+    # tantivy's RemoveLongFilter measures BYTES (token.text.len() in Rust).
+    if mode == "code":
+        return [
+            t for t in toks
+            if len(t.encode("utf-8")) <= MAX_TOKEN_LEN and t not in CODE_STOPWORDS
+        ]
+    return [t for t in toks if len(t.encode("utf-8")) <= MAX_TOKEN_LEN]
+
+
+def tokenize_series(s: pd.Series, mode: str = "code") -> pd.Series:
+    """Vectorized (pandas string-kernel) equivalent of ``tokenize``.
+
+    Property-tested equal to ``[tokenize(x) for x in s]`` in
+    tests/test_tokenizer.py.
+    """
+    s = s.fillna("")
+    if mode == "code":
+        s = s.str.replace(_CAMEL_RE, " ", regex=True)
+    toks = s.str.lower().str.findall(_TOKEN_RE)
+    if mode == "code":
+        return toks.map(
+            lambda ts: [
+                t for t in ts
+                if len(t.encode("utf-8")) <= MAX_TOKEN_LEN and t not in CODE_STOPWORDS
+            ]
+        )
+    return toks.map(lambda ts: [t for t in ts if len(t.encode("utf-8")) <= MAX_TOKEN_LEN])
+
+
+def term_freqs(tokens: Iterable[str]) -> dict:
+    """term -> tf for one document."""
+    d: dict = {}
+    for t in tokens:
+        d[t] = d.get(t, 0) + 1
+    return d
+
+
+def tokens_udf(mode: str = "code"):
+    """Arrow pandas UDF: content -> array<string> tokens."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return tokenize_series(s, mode)
+
+    return _udf
+
+
+def term_freqs_udf(mode: str = "code"):
+    """Arrow pandas UDF: content -> map<term, tf>.
+
+    Aggregating tf inside the UDF (per document, executor-local) means the
+    index build shuffles one (term, tf) pair per distinct term per doc
+    instead of one row per token occurrence — a large shuffle-width win at
+    100 TB (docs average far more tokens than distinct terms).
+    """
+
+    @F.pandas_udf(MapType(StringType(), IntegerType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return tokenize_series(s, mode).map(term_freqs)
+
+    return _udf
+
+
+def doc_len_udf(mode: str = "code"):
+    """Arrow pandas UDF: content -> token count (BM25 |d|)."""
+
+    @F.pandas_udf(IntegerType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return tokenize_series(s, mode).map(len)
+
+    return _udf
+
+
+def simple_tokenize_sql(col: str) -> str:
+    """ANSI-SQL fragment producing the `simple`-mode token array for DuckDB
+    oracles: split lower(col) on non-alphanumeric runs. Empty fragments and
+    >40-char tokens must be filtered by the caller (list_filter / WHERE)."""
+    return f"regexp_split_to_array(lower({col}), '{_SIMPLE_SQL_SPLIT}')"

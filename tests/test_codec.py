@@ -1,0 +1,65 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ck_spark.codec import (
+    block_max_partial,
+    decode_posting_ids,
+    decode_u32s,
+    decode_varint,
+    encode_posting_ids,
+    encode_u32s,
+    encode_varint,
+)
+
+
+def test_varint_known_values():
+    v = np.array([0, 1, 127, 128, 300, 2**32, 2**63, 2**64 - 1], dtype=np.uint64)
+    buf = encode_varint(v)
+    assert decode_varint(buf).tolist() == v.tolist()
+    # single-byte values
+    assert encode_varint(np.array([5], dtype=np.uint64)) == b"\x05"
+    assert encode_varint(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert encode_varint(np.array([], dtype=np.uint64)) == b""
+    assert decode_varint(b"").size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_varint_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    assert decode_varint(encode_varint(v)).tolist() == v.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_posting_ids_roundtrip(ids):
+    v = np.array(sorted(ids), dtype=np.uint64)
+    out = decode_posting_ids(encode_posting_ids(v))
+    assert out.tolist() == v.tolist()
+
+
+def test_delta_compression_is_compact():
+    # dense increasing ids -> ~1 byte per id after delta
+    ids = np.arange(10_000, dtype=np.uint64) * 3 + 7
+    buf = encode_posting_ids(ids)
+    assert len(buf) < 10_500
+
+
+def test_u32_roundtrip():
+    tfs = np.array([1, 2, 3, 1000, 0], dtype=np.int64)
+    assert decode_u32s(encode_u32s(tfs)).tolist() == tfs.tolist()
+
+
+def test_block_max_partial_bounds_scores():
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 20, size=1000)
+    dls = rng.integers(5, 500, size=1000)
+    avgdl, k1, b = 100.0, 1.2, 0.75
+    bm = block_max_partial(tfs, dls, avgdl, k1, b, block=128)
+    partial = tfs * (k1 + 1) / (tfs + k1 * (1 - b + b * dls / avgdl))
+    assert bm.shape == (8,)
+    for blk in range(8):
+        seg = partial[blk * 128 : (blk + 1) * 128]
+        assert bm[blk] >= seg.max() - 1e-6
+        assert abs(bm[blk] - seg.max()) < 1e-5

@@ -1,0 +1,92 @@
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ck_spark.tokenizer import (
+    CODE_STOPWORDS,
+    term_freqs,
+    tokenize,
+    tokenize_series,
+)
+
+
+def test_simple_mode_is_tantivy_default():
+    # split on non-alphanumeric, lowercase, no stoplist, len<=40
+    assert tokenize("Hello, WORLD_foo-bar 42!", mode="simple") == [
+        "hello", "world", "foo", "bar", "42",
+    ]
+    # the (tantivy-default) simple mode does NOT split camelCase
+    assert tokenize("getUserName", mode="simple") == ["getusername"]
+    # tokens longer than 40 chars dropped (tantivy remove-long filter)
+    long = "a" * 41
+    assert tokenize(f"x {long} y", mode="simple") == ["x", "y"]
+    assert tokenize("a" * 40, mode="simple") == ["a" * 40]
+
+
+def test_unicode_alphanumeric_like_tantivy():
+    # tantivy SimpleTokenizer is Unicode char::is_alphanumeric
+    assert tokenize("héllo wörld", mode="simple") == ["héllo", "wörld"]
+    assert tokenize("日本語テスト ok", mode="simple") == ["日本語テスト", "ok"]
+    # 40-char cutoff is measured in BYTES (tantivy RemoveLongFilter)
+    assert tokenize("é" * 21, mode="simple") == []  # 42 bytes
+    assert tokenize("é" * 20, mode="simple") == ["é" * 20]  # 40 bytes
+    # underscore is NOT alphanumeric -> split point in both modes
+    assert tokenize("a_b", mode="simple") == ["a", "b"]
+
+
+def test_code_mode_identifier_splitting():
+    assert tokenize("getUserName", mode="code") == ["get", "user", "name"]
+    assert tokenize("snake_case_name", mode="code") == ["snake", "case", "name"]
+    assert tokenize("HTTPServer", mode="code") == ["http", "server"]
+    assert tokenize("parseJSONBody2", mode="code") == ["parse", "json", "body2"]
+    # keywords are NOT stopwords (they are the skew terms)
+    assert tokenize("def foo(): return 1", mode="code") == ["def", "foo", "return", "1"]
+    # english stopwords removed
+    assert tokenize("the quick fox", mode="code") == ["quick", "fox"]
+    assert "def" not in CODE_STOPWORDS and "return" not in CODE_STOPWORDS
+
+
+def test_empty_and_null():
+    assert tokenize("", mode="code") == []
+    assert tokenize("", mode="simple") == []
+    out = tokenize_series(pd.Series([None, ""]), mode="code")
+    assert list(out) == [[], []]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=60), max_size=20), st.sampled_from(["code", "simple"]))
+def test_series_matches_scalar(texts, mode):
+    s = pd.Series(texts, dtype="object")
+    vec = list(tokenize_series(s, mode))
+    ref = [tokenize(t, mode) for t in texts]
+    assert vec == ref
+
+
+def test_term_freqs():
+    assert term_freqs(["a", "b", "a"]) == {"a": 2, "b": 1}
+    assert term_freqs([]) == {}
+
+
+@pytest.mark.parametrize("mode", ["code", "simple"])
+def test_udfs_match_driver_side(spark, mode):
+    from pyspark.sql import functions as F
+
+    from ck_spark.tokenizer import doc_len_udf, term_freqs_udf, tokens_udf
+
+    texts = ["def getUserName(x): return x", "", "the a of", "Hello, WORLD!"]
+    df = spark.createDataFrame([(t,) for t in texts], ["content"])
+    rows = (
+        df.select(
+            "content",
+            tokens_udf(mode)("content").alias("toks"),
+            term_freqs_udf(mode)("content").alias("tf"),
+            doc_len_udf(mode)("content").alias("dl"),
+        )
+        .collect()
+    )
+    for r in rows:
+        exp = tokenize(r["content"], mode)
+        assert r["toks"] == exp
+        assert r["tf"] == term_freqs(exp)
+        assert r["dl"] == len(exp)
