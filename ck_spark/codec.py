@@ -89,6 +89,61 @@ def decode_u32s(buf: bytes) -> np.ndarray:
     return decode_varint(buf).astype(np.int64)
 
 
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block: int,
+) -> dict:
+    """Split a sorted posting list into fixed-width blocks, each
+    independently delta+varint encoded, with per-block max metadata.
+
+    Independent blocks are what make block-max WAND possible on top of a
+    compressed list: the scorer can skip decoding blocks whose score upper
+    bound is below the current top-k floor (the rebuild's explicit analogue
+    of tantivy's block skip data, SURVEY.md §1.1).
+
+    Returns dict with: ids_blocks, tfs_blocks, dls_blocks (list[bytes]),
+    block_max (list[float] — idf-independent BM25 factor upper bound),
+    block_last (list[int] — last doc_id per block, for navigation).
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=_U64)
+    n = ids.size
+    nblocks = (n + block - 1) // block
+    ids_blocks, tfs_blocks, dls_blocks, block_last = [], [], [], []
+    for j in range(nblocks):
+        lo, hi = j * block, min((j + 1) * block, n)
+        ids_blocks.append(encode_posting_ids(ids[lo:hi]))
+        tfs_blocks.append(encode_u32s(tfs[lo:hi]))
+        dls_blocks.append(encode_u32s(dls[lo:hi]))
+        block_last.append(int(ids[hi - 1]))
+    bmax = block_max_partial(np.asarray(tfs), np.asarray(dls), avgdl, k1, b, block)
+    return {
+        "ids_blocks": ids_blocks,
+        "tfs_blocks": tfs_blocks,
+        "dls_blocks": dls_blocks,
+        "block_max": [float(x) for x in bmax],
+        "block_last": block_last,
+    }
+
+
+def decode_all_blocks(blocks) -> np.ndarray:
+    """Concatenate-decode a list/array of independently encoded id blocks.
+    (len(), not truthiness: Arrow hands multi-element numpy object arrays.)"""
+    if len(blocks) == 0:
+        return np.empty(0, dtype=_U64)
+    return np.concatenate([decode_posting_ids(b) for b in blocks])
+
+
+def decode_all_u32_blocks(blocks) -> np.ndarray:
+    if len(blocks) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate([decode_u32s(b) for b in blocks])
+
+
 def block_max_partial(
     tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, k1: float, b: float, block: int
 ) -> np.ndarray:

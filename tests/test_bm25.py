@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.index import build_index
+from ck_spark.query import BM25Index
+from tests.oracle_bm25 import bm25_rank
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bm25idx"))
+    pdf = generate_corpus(300, seed=42)
+    corpus = spark.createDataFrame(pdf)
+    # block_size=16 so ubiquitous terms span multiple blocks per segment —
+    # exercises multi-block decode and WAND block skipping
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=8, build_groups=2, block_size=16)
+    idx = BM25Index.load(spark, root)
+    # oracle corpus: non-binary docs keyed by the engine's doc ids
+    dm = spark.read.parquet(idx.paths.doc_map).toPandas()
+    key2id = {(r.repo, r.path): r.doc_id for r in dm.itertuples()}
+    docs = {
+        key2id[(r.repo, r.path)]: r.content
+        for r in pdf.itertuples()
+        if "\x00" not in r.content
+    }
+    return idx, docs
+
+
+def _run(idx, query, k=10, mode="or", **kw):
+    rows = idx.search(query, k=k, mode=mode, **kw).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def _assert_matches_oracle(idx, docs, query, k=10, mode="or", strategy="auto"):
+    got = _run(idx, query, k=k, mode=mode, strategy=strategy)
+    exp = bm25_rank(docs, query, k=k, mode=mode, tokenizer_mode="code")
+    assert [d for d, _ in got] == [d for d, _ in exp], f"rank mismatch for {query!r}"
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9, atol=1e-12
+    )
+
+
+def _rare_term(docs):
+    from ck_spark.corpus import RARE_TERMS
+    from ck_spark.tokenizer import tokenize
+
+    present = [t for t in RARE_TERMS if any(t in tokenize(c, "code") for c in docs.values())]
+    assert present, "corpus should contain at least one rare marker term"
+    return present[0]
+
+
+QUERIES = [
+    "tokenizer",          # single term
+    "def",                # ubiquitous (skew/salting path)
+    "parse buffer",       # multi-term
+    "buffer parse error", # multi-term incl. possibly-absent term
+    "getUserName",        # camelCase -> [get, user, name]
+    "merge split cache",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_or_rank_identity(engine, query):
+    idx, docs = engine
+    _assert_matches_oracle(idx, docs, query, k=10, mode="or")
+
+
+@pytest.mark.parametrize("query", ["parse buffer", "def return", "merge split cache"])
+def test_and_rank_identity(engine, query):
+    idx, docs = engine
+    _assert_matches_oracle(idx, docs, query, k=10, mode="and")
+
+
+def test_rare_term_rank_identity(engine):
+    idx, docs = engine
+    _assert_matches_oracle(idx, docs, _rare_term(docs), k=10, mode="or")
+
+
+def test_wand_equals_exhaustive(engine):
+    idx, docs = engine
+    for q in ["def", "parse buffer", "merge split cache", _rare_term(docs)]:
+        a = _run(idx, q, k=5, strategy="wand")
+        b = _run(idx, q, k=5, strategy="exhaustive")
+        assert [d for d, _ in a] == [d for d, _ in b]
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b], rtol=1e-12)
+
+
+def test_topk_edges(engine):
+    idx, docs = engine
+    # k=1
+    _assert_matches_oracle(idx, docs, "parse buffer", k=1)
+    # k > n_matches: rare term appears in few docs
+    rare = _rare_term(docs)
+    got = _run(idx, rare, k=500)
+    exp = bm25_rank(docs, rare, k=500, tokenizer_mode="code")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert 0 < len(got) < 100
+    # default k mirrors ck's lexical default (100)
+    assert idx.search("def").count() == 100
+
+
+def test_unknown_and_empty_queries(engine):
+    idx, _ = engine
+    assert _run(idx, "xylophonequasar") == []
+    assert _run(idx, "") == []
+    assert _run(idx, "the a an") == []  # pure stopwords in code mode
+    # AND with one unknown term matches nothing
+    assert _run(idx, "parse xylophonequasar", mode="and") == []
+    # OR with one unknown term still matches the known one
+    assert len(_run(idx, "parse xylophonequasar", mode="or")) > 0
+
+
+def test_normalize_and_threshold(engine):
+    idx, docs = engine
+    rows = idx.search("parse buffer", k=10, normalize=True).collect()
+    scores = [r["score"] for r in rows]
+    assert abs(max(scores) - 1.0) < 1e-12
+    assert all(0 < s <= 1.0 + 1e-12 for s in scores)
+    # order preserved vs unnormalized
+    raw = _run(idx, "parse buffer", k=10)
+    assert [r["doc_id"] for r in rows] == [d for d, _ in raw]
+    # threshold filters
+    thr = idx.search("parse buffer", k=10, normalize=True, threshold=0.9).collect()
+    assert all(r["score"] >= 0.9 for r in thr)
+    assert len(thr) < len(rows)
+
+
+def test_duplicate_content_both_ranked(engine):
+    idx, docs = engine
+    got = _run(idx, "duplicated content", k=10, mode="and")
+    assert len(got) >= 2
+    # identical content -> identical scores for the two dup docs
+    top2 = got[:2]
+    assert abs(top2[0][1] - top2[1][1]) < 1e-12
+    assert top2[0][0] < top2[1][0]  # deterministic tie-break by doc_id
