@@ -1,0 +1,76 @@
+"""Adapters between the driver's test tables and the engine's corpus shape.
+
+The driver provides `documents(doc_id, text, lang, source, n_chars)`; the
+engine's native input is `(repo, path, commit, lang, content)`
+(BASELINE.json input_hint). The adapter encodes the original doc_id into
+`path` so results can be mapped back losslessly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ck_spark.index import build_index
+from ck_spark.query import BM25Index
+
+ENTRY_INDEX_ROOT = os.environ.get("CK_SPARK_INDEX_CACHE", "/tmp/ck_spark_entry_idx")
+
+
+def documents_as_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Build (once, resumable/cached on disk) a simple-mode BM25 index over
+    the documents table of the given sf dir and return a query handle.
+
+    `simple` mode == the reference's effective tantivy-default analyzer and
+    is exactly expressible in the DuckDB oracle SQL.
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(ENTRY_INDEX_ROOT, tag)
+    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    build_index(
+        spark, corpus, root, mode="simple",
+        n_segments=4, term_buckets=16, build_groups=2, resume=True,
+    )
+    return BM25Index.load(spark, root)
+
+
+def search_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int,
+    mode: str = "or",
+    normalize: bool = False,
+    threshold: float | None = None,
+    tie_buffer: int = 20,
+) -> DataFrame:
+    """BM25 top-k over documents, results keyed by the ORIGINAL doc_id.
+
+    Ties in BM25 score are broken by documents.doc_id (not the engine's
+    internal hash id): fetch k+tie_buffer, re-rank, cut to k — keeps the
+    engine's deterministic contract aligned with the SQL oracle's
+    ORDER BY score DESC, doc_id."""
+    idx = documents_index(spark, sf_dir)
+    res = idx.search(query, k=k + tie_buffer, mode=mode,
+                     normalize=normalize, threshold=threshold, with_paths=True)
+    return (
+        res.select(F.col("path").cast("long").alias("doc_id"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,124 @@
+"""Grep-compatible regex search over the corpus table.
+
+The rebuild of ck's regex mode (/root/reference/ck-engine/src/lib.rs:387-450
+regex_search; 586-727 line scan): line-granular matches with deterministic
+(path, line) ordering and top-k truncation (lib.rs:435-449), pattern
+preprocessing for fixed-string/whole-word/ignore-case (lib.rs:387-399),
+files-with/without-matches set ops (ck-cli/src/main.rs:2010-2019,
+1609-1631), and -A/-B/-C context extraction (ck-engine/src/lib.rs:1218-1229).
+
+Spark-first: posexplode(split(content)) + rlike keeps the whole scan in
+whole-stage codegen — no Python in the hot path. Line splitting honors
+\\n, \\r\\n and bare \\r like the reference's read_lines_with_endings.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LINE_SPLIT = "\r\n|\r|\n"
+
+
+def preprocess_pattern(
+    pattern: str,
+    fixed_string: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+) -> str:
+    """Mirror ck's pattern preprocessing (ck-engine/src/lib.rs:387-399):
+    -F escapes, -w wraps in \\b, -i sets the case-insensitive flag."""
+    p = re.escape(pattern) if fixed_string else pattern
+    if whole_word:
+        p = rf"\b{p}\b"
+    if ignore_case:
+        p = f"(?i){p}"
+    return p
+
+
+def _lines(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "repo",
+        "path",
+        F.posexplode(F.split("content", _LINE_SPLIT)).alias("pos", "line"),
+    ).withColumn("line_no", F.col("pos") + 1).drop("pos")
+
+
+def grep(
+    corpus: DataFrame,
+    pattern: str,
+    fixed_string: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+    topk: int | None = None,
+    count_matches: bool = False,
+) -> DataFrame:
+    """Line-granular regex matches, ordered by (path, line_no) —
+    deterministic grep-parity ordering (T1). Empty pattern matches every
+    line once (grep compat, ck-engine/src/lib.rs:586-727)."""
+    p = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
+    lines = _lines(corpus)
+    if pattern == "":
+        out = lines
+    else:
+        out = lines.where(F.col("line").rlike(p))
+    if count_matches and pattern != "":
+        out = out.withColumn(
+            "n_matches", F.size(F.regexp_extract_all("line", F.lit(p), F.lit(0)))
+        )
+    out = out.orderBy("path", "line_no")
+    if topk is not None:
+        out = out.limit(topk)
+    return out
+
+
+def grep_with_context(
+    corpus: DataFrame,
+    pattern: str,
+    before: int = 0,
+    after: int = 0,
+    **kw,
+) -> DataFrame:
+    """-A/-B/-C context: slice of the split lines array around each match
+    (ck-engine/src/lib.rs:1218-1229 analogue)."""
+    p = preprocess_pattern(pattern, **kw)
+    withlines = corpus.withColumn("lines", F.split("content", _LINE_SPLIT))
+    hits = withlines.select(
+        "repo", "path", "lines",
+        F.posexplode("lines").alias("pos", "line"),
+    ).where(F.col("line").rlike(p))
+    start = F.greatest(F.lit(1), F.col("pos") + 1 - before)
+    length = F.least(
+        F.size("lines") - start + 1, F.lit(before + after + 1) + F.col("pos") + 1 - start
+    )
+    return (
+        hits.withColumn("line_no", F.col("pos") + 1)
+        .withColumn("context", F.slice("lines", start, length))
+        .select("repo", "path", "line_no", "line", "context")
+        .orderBy("path", "line_no")
+    )
+
+
+def files_with_matches(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
+    """-l: distinct paths containing >=1 match (U1)."""
+    p = preprocess_pattern(pattern, **kw)
+    return (
+        corpus.where(F.col("content").rlike(p))
+        .select("repo", "path")
+        .distinct()
+        .orderBy("repo", "path")
+    )
+
+
+def files_without_matches(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
+    """-L: all paths MINUS matched paths (U2) — left-anti join, no shuffle
+    of content."""
+    p = preprocess_pattern(pattern, **kw)
+    matched = corpus.where(F.col("content").rlike(p)).select("repo", "path")
+    return (
+        corpus.select("repo", "path")
+        .join(matched, ["repo", "path"], "left_anti")
+        .orderBy("repo", "path")
+    )

@@ -1,0 +1,109 @@
+import re
+
+import pytest
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.query.grep import (
+    files_with_matches,
+    files_without_matches,
+    grep,
+    grep_with_context,
+    preprocess_pattern,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = generate_corpus(120, seed=42)
+    return spark.createDataFrame(pdf), pdf
+
+
+def _oracle_grep(pdf, pattern):
+    """Line-granular python-re oracle honoring \\n, \\r\\n, bare \\r."""
+    out = []
+    rx = re.compile(pattern)
+    for r in pdf.itertuples():
+        for i, line in enumerate(re.split("\r\n|\r|\n", r.content), start=1):
+            if rx.search(line):
+                out.append((r.path, i, line))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out
+
+
+@pytest.mark.parametrize("pattern", [r"def \w+_\w+", r"return", r"marker \w+"])
+def test_grep_matches_python_re(spark, corpus, pattern):
+    df, pdf = corpus
+    got = [(r["path"], r["line_no"], r["line"]) for r in grep(df, pattern).collect()]
+    assert got == _oracle_grep(pdf, pattern)
+
+
+def test_crlf_and_bare_cr_line_numbers(spark, corpus):
+    df, pdf = corpus
+    got = grep(df, "crlf_func").collect()
+    assert len(got) == 1
+    assert got[0]["line_no"] == 1
+    # the CRLF doc's `return` is on line 2, not line 1
+    ret = [r for r in grep(df, "return a$").collect() if r["path"] == "edge/crlf.py"]
+    assert ret and ret[0]["line_no"] == 2
+
+
+def test_pattern_preprocessing():
+    assert preprocess_pattern("log.Error()", fixed_string=True) == re.escape("log.Error()")
+    assert preprocess_pattern("rust", whole_word=True) == r"\brust\b"
+    assert preprocess_pattern("RuSt", ignore_case=True) == "(?i)RuSt"
+    # fixed-string actually disables metacharacters
+    from ck_spark.corpus import generate_corpus  # noqa: F401
+
+
+def test_fixed_string_vs_regex(spark, corpus):
+    df, pdf = corpus
+    # '.' as regex matches everything; as fixed string only literal dots
+    n_regex = grep(df, "a.c").count()
+    n_fixed = grep(df, "a.c", fixed_string=True).count()
+    assert n_fixed <= n_regex
+
+
+def test_whole_word(spark, corpus):
+    df, pdf = corpus
+    whole = {(r["path"], r["line_no"]) for r in grep(df, "def", whole_word=True).collect()}
+    got_oracle = {(p, i) for p, i, _ in _oracle_grep(pdf, r"\bdef\b")}
+    assert whole == got_oracle
+
+
+def test_topk_deterministic_order(spark, corpus):
+    df, _ = corpus
+    top = grep(df, "return", topk=7).collect()
+    assert len(top) == 7
+    keys = [(r["path"], r["line_no"]) for r in top]
+    assert keys == sorted(keys)
+
+
+def test_empty_pattern_matches_all_lines(spark, corpus):
+    df, pdf = corpus
+    n_lines = sum(len(re.split("\r\n|\r|\n", r.content)) for r in pdf.itertuples())
+    assert grep(df, "").count() == n_lines
+
+
+def test_files_with_without_partition(spark, corpus):
+    df, pdf = corpus
+    w = {r["path"] for r in files_with_matches(df, "return").collect()}
+    wo = {r["path"] for r in files_without_matches(df, "return").collect()}
+    assert w | wo == set(pdf["path"])
+    assert not (w & wo)
+    assert "edge/empty.py" in wo
+
+
+def test_context_lines(spark, corpus):
+    df, pdf = corpus
+    rows = grep_with_context(df, r"marker \w+", before=2, after=1).collect()
+    assert rows
+    for r in rows:
+        assert r["line"] in r["context"]
+        assert len(r["context"]) <= 4
+
+
+def test_count_matches(spark, corpus):
+    df, _ = corpus
+    rows = grep(df, "a", count_matches=True).limit(20).collect()
+    for r in rows:
+        assert r["n_matches"] == len(re.findall("a", r["line"]))
