@@ -1,0 +1,116 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The index is built fresh into a temp dir each
+run (build time is part of the benchmark — "indexed files/sec" is a
+north-rule metric), then the query suite runs against it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus
+    from ck_spark.index import build_index
+    from ck_spark.query import BM25Index
+    from ck_spark.query.grep import files_without_matches, grep
+    from ck_spark.query.hybrid import add_rank, rrf_fuse
+    from ck_spark.session import get_spark
+
+    spark = get_spark("ck_spark-bench", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    # single-file parquet -> 1 scan partition; spread UDF work across a
+    # size-scaled partition count (tiny inputs drown in per-task overhead)
+    corpus = documents_as_corpus(docs).repartition(min(cpus, max(2, n_docs // 512)))
+
+    # warm up executors / python UDF workers / codegen before timing
+    # (matches the reference's warm-index measurement protocol,
+    # /root/reference/README.md:483-488: warmup iterations before measure)
+    from ck_spark.tokenizer import tokens_udf
+
+    corpus.limit(64).select(tokens_udf("simple")("content")).count()
+    spark.range(10000).groupBy((F.col("id") % 7).alias("k")).count().count()
+
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="ck_bench_idx_")
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    try:
+        timed(
+            "index_build",
+            lambda: build_index(
+                spark, corpus, root, mode="simple",
+                n_segments=max(4, cpus // 4), term_buckets=8,
+                build_groups=2, resume=False,
+            ),
+        )
+        idx = BM25Index.load(spark, root)
+
+        timed("bm25_single", lambda: idx.search("spark", k=100).collect())
+        timed("bm25_or", lambda: idx.search("spark join window", k=100).collect())
+        timed("bm25_and", lambda: idx.search("table join", k=100, mode="and").collect())
+        timed("bm25_ubiquitous", lambda: idx.search("table", k=100).collect())
+        timed("bm25_wand", lambda: idx.search("table value row", k=10, strategy="wand").collect())
+        timed("grep_regex", lambda: grep(corpus, "row|window", count_matches=True).collect())
+        timed("grep_files_without", lambda: files_without_matches(corpus, "row|window").collect())
+
+        def hybrid():
+            bm = add_rank(idx.search("spark join", k=100),
+                          [F.desc("score"), F.asc("doc_id")])
+            gr = add_rank(
+                grep(corpus, "window", count_matches=True)
+                .select(F.col("path").alias("doc_id"), "n_matches"),
+                [F.desc("n_matches"), F.asc("doc_id")],
+            )
+            return rrf_fuse([bm, gr], ["doc_id"], k=100).collect()
+
+        timed("hybrid_rrf", lambda: hybrid())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    build_s = timings.get("index_build", float("nan"))
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_index_build_plus_query_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                "indexed_docs_per_sec": round(n_docs / build_s, 1) if build_s else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

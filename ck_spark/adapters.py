@@ -42,7 +42,12 @@ def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     """
     tag = sf_dir.strip("/").replace("/", "_")
     root = os.path.join(ENTRY_INDEX_ROOT, tag)
-    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    # test tables are single parquet files -> 1 scan partition; spread the
+    # tokenize UDF across a size-scaled number of partitions (a real corpus
+    # arrives already partitioned; tiny inputs drown in per-task overhead)
+    docs = load_documents(spark, sf_dir)
+    par = min(spark.sparkContext.defaultParallelism, max(2, docs.count() // 512))
+    corpus = documents_as_corpus(docs).repartition(par)
     build_index(
         spark, corpus, root, mode="simple",
         n_segments=4, term_buckets=16, build_groups=2, resume=True,

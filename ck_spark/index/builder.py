@@ -37,7 +37,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ck_spark.codec import encode_posting_blocks
@@ -113,18 +113,20 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
     )
 
 
-def _fingerprint(spark: SparkSession, doc_map_path: str) -> str:
-    """Order-independent corpus fingerprint from the doc_map: the analogue
-    of ck's manifest hash gate, O(1) state per executor."""
+def _doc_map_summary(spark: SparkSession, doc_map_path: str) -> tuple[int, int, str]:
+    """One aggregation job: row count, distinct doc ids (collision check)
+    and an order-independent corpus fingerprint (the analogue of ck's
+    manifest hash gate, O(1) state per executor)."""
     row = (
         spark.read.parquet(doc_map_path)
         .agg(
             F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
             F.bit_xor(F.xxhash64("repo", "path", "commit", "content_sha256")).alias("h"),
         )
         .collect()[0]
     )
-    return f"n{row['n']}-h{row['h']}"
+    return int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}"
 
 
 def build_index(
@@ -158,7 +160,8 @@ def build_index(
     # doc_map stage exists we trust and reuse it, then verify the
     # fingerprint drives the later stages.
     t0 = time.time()
-    if not (resume and man.is_complete("doc_map", 0, "input")):
+    fresh_doc_map = not (resume and man.is_complete("doc_map", 0, "input"))
+    if fresh_doc_map:
         docs = _with_doc_columns(corpus, mode, n_segments)
         (
             docs.select(
@@ -168,17 +171,15 @@ def build_index(
             .write.mode("overwrite")
             .parquet(paths.doc_map)
         )
-        dm = spark.read.parquet(paths.doc_map)
-        n, nd = dm.agg(F.count("*"), F.countDistinct("doc_id")).collect()[0]
-        if n != nd:
-            raise RuntimeError(
-                f"doc_id collision: {n} rows but {nd} distinct ids — "
-                "rehash with a salt or widen the id space"
-            )
+    n, nd, snapshot = _doc_map_summary(spark, paths.doc_map)
+    if n != nd:
+        raise RuntimeError(
+            f"doc_id collision: {n} rows but {nd} distinct ids — "
+            "rehash with a salt or widen the id space"
+        )
+    if fresh_doc_map:
         man.complete("doc_map", 0, "input", n, 0, int((time.time() - t0) * 1000),
                      lineage="corpus->doc_map")
-
-    snapshot = _fingerprint(spark, paths.doc_map)
 
     # ---- stage: corpus_stats ----------------------------------------------
     t0 = time.time()
@@ -207,9 +208,13 @@ def build_index(
             )
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
         )
-        pairs.write.mode("overwrite").partitionBy("bucket").parquet(paths.pairs)
-        n_pairs = spark.read.parquet(paths.pairs).count()
-        man.complete("pairs", 0, snapshot, n_pairs, 0,
+        # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
+        # the UpdateStats analogue) instead of a read-back count job.
+        obs = Observation("pairs")
+        pairs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(paths.pairs)
+        man.complete("pairs", 0, snapshot, int(obs.get["rows"]), 0,
                      int((time.time() - t0) * 1000), lineage="corpus->pairs")
 
     # ---- stage: postings, per bucket-group (resumable unit) ---------------
@@ -253,11 +258,14 @@ def build_index(
             shutil.rmtree(group_dir)
         pairs = spark.read.parquet(paths.pairs).where(F.col("bucket").isin(buckets))
         enc = pairs.groupBy("bucket", "term", "seg").applyInPandas(encoder, enc_schema)
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(group_dir)
-        built = spark.read.parquet(group_dir)
-        nrows, nterms = built.agg(F.count("*"), F.countDistinct("term")).collect()[0]
+        obs = Observation(f"postings-{g}")
+        enc.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("term").alias("terms"),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(group_dir)
         man.complete(
-            "postings", g, snapshot, nrows, nterms,
+            "postings", g, snapshot, int(obs.get["rows"]), int(obs.get["terms"]),
             int((time.time() - t0) * 1000),
             lineage=f"pairs[buckets={buckets}]->postings/group={g}",
         )
@@ -271,8 +279,11 @@ def build_index(
         ts = post.groupBy("bucket", "term").agg(
             F.sum("n_docs").alias("df"), F.count("*").alias("n_segments")
         )
-        ts.write.mode("overwrite").parquet(paths.term_stats)
-        nterms = spark.read.parquet(paths.term_stats).count()
+        obs = Observation("term_stats")
+        ts.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(paths.term_stats)
+        nterms = int(obs.get["rows"])
         man.complete("term_stats", 0, snapshot, nterms, nterms,
                      int((time.time() - t0) * 1000), lineage="postings->term_stats")
 
