@@ -204,6 +204,323 @@ def _q_bm25_norm_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-pipeline operators (dedup / similarity / text stats)
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from ck_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from ck_spark.ops.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from ck_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir))).orderBy(
+        "id_a", "id_b"
+    )
+
+
+JACCARD_THRESHOLD = 0.2
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from ck_spark.ops.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ANN_K = 10
+ANN_PLANES = 8
+
+
+def _ann_query_vec(dim: int = 64) -> list[float]:
+    import math
+
+    return [math.sin(j + 1) for j in range(dim)]
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.similarity import cosine_topk
+
+    out = cosine_topk(_emb(spark, sf_dir), _ann_query_vec(), k=ANN_K)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.similarity import lsh_cosine_topk
+
+    out = lsh_cosine_topk(_emb(spark, sf_dir), _ann_query_vec(), k=ANN_K, n_planes=ANN_PLANES)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from ck_spark.ops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_quality(spark, sf_dir):
+    from ck_spark.ops.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_lang_id(spark, sf_dir):
+    from ck_spark.ops.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_fingerprints(spark, sf_dir):
+    from ck_spark.ops.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---- oracle SQL for the ops --------------------------------------------------
+
+_SQL_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) <= 40) AS toks
+  FROM documents
+)
+"""
+
+_SQL_SHINGLES = _SQL_TOKS + """,
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+  WHERE len(toks) >= 3
+)
+"""
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ", ".join(
+        f"min(md5(sh || '#{i}')) AS h{i}" for i in range(8)
+    )
+    return f"WITH {_SQL_SHINGLES} SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+def _lsh_pairs_sql() -> str:
+    bands = []
+    for b in range(4):
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS key FROM sig"
+        )
+    melted = " UNION ALL ".join(bands)
+    return f"""WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {', '.join(f"min(md5(sh || '#{i}')) AS h{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id),
+melted AS ({melted})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM melted a JOIN melted b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _jaccard_sql() -> str:
+    return f"""WITH {_SQL_SHINGLES},
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""WITH {_SQL_TOKS},
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+hashed AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT AS BIGINT) AS h
+           FROM terms),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums ORDER BY doc_id"""
+
+
+def _ann_vec_sql(dim: int = 64) -> str:
+    return "[" + ", ".join(f"sin({j + 1}.0)" for j in range(dim)) + "]"
+
+
+def _ann_cosine_sql() -> str:
+    q = _ann_vec_sql()
+    return f"""WITH z AS (
+  SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings
+),
+agg AS (
+  SELECT vec_id,
+         sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1,
+         sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+scored AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored
+ORDER BY scored.cosine DESC, vec_id LIMIT {ANN_K}"""
+
+
+def _ann_lsh_sql() -> str:
+    q = _ann_vec_sql()
+    planes = []
+    for i in range(ANN_PLANES):
+        p = "[" + ", ".join(f"sin({i * 101 + j + 1}.0)" for j in range(64)) + "]"
+        planes.append(p)
+    dots = []
+    for i, p in enumerate(planes):
+        dots.append(
+            f"(SELECT sum(CAST(z.e AS DOUBLE) * z.p) FROM "
+            f"(SELECT unnest(embeddings.embedding) AS e, unnest({p}) AS p) z) AS d{i}"
+        )
+    qbits = []
+    for i, p in enumerate(planes):
+        qbits.append(
+            f"(SELECT CASE WHEN sum(z.q * z.p) > 0 THEN {1 << i} ELSE 0 END FROM "
+            f"(SELECT unnest({q}) AS q, unnest({p}) AS p) z)"
+        )
+    bucket_expr = " + ".join(
+        f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(ANN_PLANES)
+    )
+    return f"""WITH dots AS (
+  SELECT vec_id, embedding, {', '.join(dots)} FROM embeddings
+),
+bucketed AS (SELECT vec_id, embedding, {bucket_expr} AS bkt FROM dots),
+qb AS (SELECT {' + '.join(qbits)} AS qbkt),
+cand AS (SELECT vec_id, embedding FROM bucketed, qb WHERE bkt = qbkt),
+z AS (SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM cand),
+agg AS (
+  SELECT vec_id, sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1, sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+scored AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored
+ORDER BY scored.cosine DESC, vec_id LIMIT {ANN_K}"""
+
+
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKEN_COUNTS_SQL = f"""WITH {_SQL_TOKS}
+SELECT d.doc_id,
+       CAST(CASE WHEN trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(d.text, '{_BPE_RE_SQL}')) AS BIGINT) AS bpe_tokens,
+       CAST(len(t.toks) AS BIGINT) AS analyzer_tokens,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id"""
+
+_EN_STOP_SQL = "['the','a','an','and','of','to','in','is','it','that']"
+
+_QUALITY_SQL = f"""WITH {_SQL_TOKS},
+m AS (
+  SELECT d.doc_id,
+         CAST(length(d.text) AS DOUBLE) AS n_chars,
+         CAST(len(t.toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(t.toks)) AS DOUBLE) AS n_distinct,
+         CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(t.toks, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE) AS n_stop,
+         CAST(coalesce(list_sum(list_transform(t.toks, x -> length(x))), 0) AS DOUBLE) AS tok_chars
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN n_tok > 0 THEN tok_chars / n_tok ELSE 0.0 END AS mean_tok_len,
+         least(1.0, n_tok / 50.0) AS length_score
+  FROM m
+)
+SELECT doc_id,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(0.4 * length_score + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - least(1.0, punct_ratio * 4))
+             + 0.1 * (1.0 - least(1.0, stop_ratio * 2)), 6) AS quality
+FROM r ORDER BY doc_id"""
+
+
+def _lang_id_sql() -> str:
+    from ck_spark.ops.textstats import LANG_MARKERS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS c_{la}"
+        for la, pat in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN c_{la} = best THEN '{la}'" for la in langs)
+    return f"""WITH c AS (SELECT doc_id, {counts} FROM documents),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT doc_id, {', '.join('c_' + la for la in langs)},
+       CASE {case} END AS pred_lang
+FROM b ORDER BY doc_id"""
+
+
+_FINGERPRINT_SQL = f"""WITH {_SQL_SHINGLES},
+hs AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh)
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list(h)), 1, 4), ',') AS fingerprint
+FROM hs GROUP BY doc_id ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -227,6 +544,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_count": _q_grep_count,
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_signatures": _q_minhash_signatures,
+        "dedup_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "text_token_counts": _q_token_counts,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprints": _q_fingerprints,
     }
 
 
@@ -286,4 +614,21 @@ fused AS (
   ORDER BY rrf DESC, doc_id LIMIT 20
 )
 SELECT doc_id, round(rrf, 9) AS rrf_score FROM fused""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, sha256(text) AS content_sha256 FROM documents)
+SELECT doc_id, content_sha256,
+       CAST(count(*) OVER (PARTITION BY content_sha256) AS BIGINT) AS group_size,
+       min(doc_id) OVER (PARTITION BY content_sha256) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY content_sha256) AS is_duplicate
+FROM h ORDER BY doc_id""",
+        "dedup_minhash_signatures": _minhash_sig_sql(),
+        "dedup_minhash_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_ngram_jaccard": _jaccard_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": _ann_cosine_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "text_token_counts": _TOKEN_COUNTS_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprints": _FINGERPRINT_SQL,
     }

@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame expressions (whole-stage codegen, no
+Python UDFs) and every hash primitive is md5/sha2 hex — deterministic and
+reproducible in any ANSI SQL engine, which is what the DuckDB oracles in
+__spark_entry__.py exploit.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on sha256(text) — the canonical hash-groupBy.
+- MinHash+LSH: signatures via a single explode→groupBy (8 min-aggregates);
+  candidate generation via band-bucket self-join — only docs sharing a
+  band key ever meet, so the join is bucket-local and skew-bounded (a
+  pathological bucket means near-identical docs, which is the signal).
+- SimHash: 60-bit signatures from md5-derived bits; candidate pairs via
+  banded join on 15-bit sub-keys (4 bands → Hamming distance <= 3 is
+  guaranteed to share >= 1 band by pigeonhole), then exact bit_count.
+- n-gram Jaccard: exact verification on candidate pairs (or all pairs at
+  test scale) via shared-shingle counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ck_spark.tokenizer import shingles_col, sql_tokens_col
+
+MINHASH_H = 8           # minhash functions
+MINHASH_BANDS = 4       # bands of 2 rows each
+SIMHASH_BITS = 60       # fits a 15-hex-char md5 prefix in a signed long
+SIMHASH_BANDS = 4       # 15-bit bands -> catches Hamming distance <= 3
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: every row annotated with its content
+    group (sha256), group size, and the canonical (min-id) member."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha256")
+    w = Window.partitionBy("content_sha256")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = MINHASH_H, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{H-1}): h_i = min over shingles of md5(shingle || '#i').
+
+    Lexicographic min over md5 hex strings is a valid min-wise hash family
+    and — unlike integer-seeded hashing — is bit-identical across engines.
+    Docs with fewer than `shingle_n` tokens produce no signature.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = MINHASH_H, bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Band the signature (rows_per_band = H/bands), bucket-join: pairs
+    sharing >= 1 band key, with the count of shared bands."""
+    rows = num_hashes // bands
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    melted = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct token-shingle sets. With `candidates`
+    (id_a, id_b) the join is restricted to those pairs — the 100 TB path
+    is LSH candidates -> exact verify; all-pairs is test-scale only."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
+        .dropDuplicates([id_col, "sh"])
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _term_hash60():
+    """md5 -> 60-bit non-negative long (15 hex chars)."""
+    return F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """tf-weighted SimHash: bit b of the signature is the sign of
+    Σ_tokens tf · (2·bit_b(md5(token)) − 1)."""
+    toks = df.select(F.col(id_col), F.explode(sql_tokens_col(F.col(text_col))).alias("term"))
+    h = toks.withColumn("h", _term_hash60())
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = h.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id",
+    max_hamming: int = 3, bits: int = SIMHASH_BITS, bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Candidate pairs via banded sub-key join (pigeonhole: Hamming <= bands-1
+    guarantees a shared band), verified with exact bit_count."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for i in range(bands)
+    ])
+    melted = sig.select(F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind an import-try (NotImplementedError when a real decode is requested
+and no codec lib exists) with a deterministic fake decoder that derives
+"pixel" statistics from the payload bytes — the Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) is real and
+tested; swapping in PIL/soundfile is a one-function change.
+
+Scale design: payloads never pass through Python row-at-a-time — Arrow
+moves each partition's binaries as buffers; heavy decode parallelism is
+controlled by repartition(n) before mapInPandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, format string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "mean_val double, std_val double, feature array<float>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_no int, n_bytes long, frame_sha256 string"
+
+try:  # real decoders, absent in this container
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    HAVE_IMAGE_CODEC = True
+except ImportError:
+    HAVE_IMAGE_CODEC = False
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload bytes derived from sha256
+    stream of (seed, id)); parallelism-independent like the text corpus."""
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"].tolist():
+                kind = ["image", "audio", "video"][i % 3]
+                fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
+                size = 512 + (i * 37) % 2048
+                stream = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                payload = (stream * (size // 32 + 1))[:size]
+                rows.append(
+                    (i, kind, fmt, payload, 64 + i % 128, 64 + i % 64, 1000 + i % 5000)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format", "payload",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, real_decode: bool = False, feat_dim: int = 8
+) -> DataFrame:
+    """Per-media features via mapInPandas. real_decode=True requires a
+    codec library; the default derives deterministic statistics from the
+    raw payload (exercises the full Arrow path)."""
+    if real_decode and not HAVE_IMAGE_CODEC:
+        raise NotImplementedError(
+            "real decode requested but no codec library (PIL) is installed; "
+            "install pillow or use real_decode=False (deterministic fake)"
+        )
+
+    def proc(iterator):
+        for pdf in iterator:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                vals = buf.astype(np.float64)
+                feat = vals[: feat_dim * (len(vals) // feat_dim)].reshape(
+                    -1, feat_dim
+                ).mean(axis=0) if len(vals) >= feat_dim else np.zeros(feat_dim)
+                out.append(
+                    (
+                        int(mid), str(kind), int(buf.size),
+                        hashlib.sha256(bytes(payload)).hexdigest(),
+                        float(vals.mean()) if vals.size else 0.0,
+                        float(vals.std()) if vals.size else 0.0,
+                        feat.astype(np.float32).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "n_bytes", "sha256",
+                    "mean_val", "std_val", "feature",
+                ],
+            )
+
+    return media.mapInPandas(proc, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video' frame sampling: split the payload into n_frames equal spans
+    (stand-in for real keyframe extraction; plumbing and batch shape are
+    what a codec-backed implementation would use)."""
+
+    def proc(iterator):
+        for pdf in iterator:
+            out = []
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                raw = bytes(payload)
+                step = max(1, len(raw) // n_frames)
+                for f in range(n_frames):
+                    chunk = raw[f * step : (f + 1) * step]
+                    if not chunk:
+                        break
+                    out.append(
+                        (int(mid), f, len(chunk), hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "n_bytes", "frame_sha256"]
+            )
+
+    return media.mapInPandas(proc, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize metadata transform (decode-free): the real implementation
+    would decode->resize->re-encode inside the same mapInPandas shape."""
+    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))

@@ -1,0 +1,122 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All JVM-side expressions (codegen), all
+mirrored 1:1 by DuckDB oracle SQL in __spark_entry__.py.
+
+The reference's analogues: token estimation heuristics
+(/root/reference/ck-embed/src/tokenizer.rs:13-98, chars-per-token by code
+density) and the display tokenizer (ck-core/src/heatmap.rs:64-93); the
+quality/langid/fingerprint operators are the training-pipeline extensions
+the 100 TB deployment needs (round brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ck_spark.tokenizer import sql_tokens_col
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbol
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+EN_STOP = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
+
+# marker -> language heuristics (word-boundary regexes); scored by match
+# count, argmax wins, ties broken by lexicographically smallest lang code.
+LANG_MARKERS = {
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "en": r"\b(the|and|of|to|is|in|that|it)\b",
+    "es": r"\b(el|la|los|las|que|de|es|un)\b",
+    "fr": r"\b(le|la|les|des|est|une|que|et)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, BPE-ish regex tokens, analyzer tokens, chars."""
+    t = F.col(text_col)
+    ws = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), F.lit(0))).cast("long").alias("bpe_tokens"),
+        F.size(sql_tokens_col(t)).cast("long").alias("analyzer_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition signals plus a single
+    composite quality score in [0, 1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    toks = sql_tokens_col(t)
+    n_tok = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOP])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 4))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), stop_ratio * 2))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-count language heuristic. The prediction CASE expression is
+    shared verbatim with the SQL oracle (lexicographic tie-break)."""
+    out = df.select(F.col(id_col), F.col(text_col))
+    for lang, pat in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"c_{lang}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long"),
+        )
+    out = out.withColumn("best", F.greatest(*[F.col(f"c_{la}") for la in LANG_MARKERS]))
+    case = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"c_{lang}") == F.col("best")
+        case = F.when(cond, F.lit(lang)) if case is None else case.when(cond, F.lit(lang))
+    return out.select(
+        id_col, *[f"c_{la}" for la in sorted(LANG_MARKERS)], case.alias("pred_lang")
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, bottom_k: int = 4,
+) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k lexicographically smallest
+    md5(shingle) values, joined into one string. Equal fingerprints =>
+    near-identical shingle sets (a winnowing-style content signature)."""
+    from ck_spark.tokenizer import shingles_col
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.md5("sh").alias("h")).dropDuplicates([id_col, "h"])
+    return sh.groupBy(id_col).agg(
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("h")), 1, bottom_k)
+        ).alias("fingerprint")
+    )

@@ -131,6 +131,28 @@ def doc_len_udf(mode: str = "code"):
     return _udf
 
 
+def sql_tokens_col(col):
+    """JVM-side (whole-stage-codegen) token array equivalent to `simple`
+    mode on ASCII text: lower → split on non-[a-z0-9] runs → drop empties
+    and >40-char tokens. Used by the dedup/text-stats operators so their
+    hot path has no Python at all; exactly mirrors the DuckDB oracle SQL.
+    (For full Unicode parity with tantivy use tokens_udf instead.)"""
+    toks = F.split(F.lower(col), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: (t != F.lit("")) & (F.length(t) <= MAX_TOKEN_LEN))
+
+
+def shingles_col(col, n: int = 3):
+    """Token n-gram (shingle) array, JVM-side. Empty when < n tokens."""
+    toks = sql_tokens_col(col)
+    def gram(i):
+        parts = [F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def simple_tokenize_sql(col: str) -> str:
     """ANSI-SQL fragment producing the `simple`-mode token array for DuckDB
     oracles: split lower(col) on non-alphanumeric runs. Empty fragments and

@@ -1,0 +1,207 @@
+import hashlib
+import itertools
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ck_spark.ops.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from ck_spark.ops.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    hyperplane,
+    lsh_bucket_of,
+    lsh_cosine_topk,
+)
+from ck_spark.ops.textstats import fingerprints, lang_id, quality_scores, token_counts
+
+
+def _toks(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t and len(t) <= 40]
+
+
+def _shingles(s, n=3):
+    t = _toks(s)
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "short"),
+        (5, ""),
+        (6, "a b a b a b a b a b a b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]), rows
+
+
+def test_exact_dedup(spark, docs):
+    df, rows = docs
+    out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert out[0]["group_size"] == 2 and out[2]["group_size"] == 2
+    assert out[2]["canonical_id"] == 0 and out[2]["is_duplicate"]
+    assert not out[0]["is_duplicate"]
+    assert out[0]["content_sha256"] == hashlib.sha256(rows[0][1].encode()).hexdigest()
+    assert out[3]["group_size"] == 1
+
+
+def test_minhash_matches_python(spark, docs):
+    df, rows = docs
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in minhash_signatures(df).collect()}
+    for d, text in rows:
+        sh = _shingles(text)
+        if not sh:
+            assert d not in sigs
+            continue
+        exp = [min(hashlib.md5(f"{s}#{i}".encode()).hexdigest() for s in sh) for i in range(8)]
+        assert sigs[d] == exp, f"doc {d}"
+
+
+def test_lsh_finds_near_dups(spark, docs):
+    df, _ = docs
+    sig = minhash_signatures(df)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in lsh_candidate_pairs(sig).collect()}
+    assert pairs.get((0, 2)) == 4  # identical docs share all bands
+    assert (0, 1) in pairs  # near-dup shares >=1 band (8/9 shingles equal)
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    df, rows = docs
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df).collect()}
+    for (a, ta), (b, tb) in itertools.combinations(rows, 2):
+        sa, sb = _shingles(ta), _shingles(tb)
+        if not sa or not sb or not (sa & sb):
+            assert (a, b) not in got
+            continue
+        exp = len(sa & sb) / len(sa | sb)
+        assert abs(got[(a, b)] - exp) < 1e-12
+
+
+def test_simhash_properties(spark, docs):
+    df, rows = docs
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[0] == sigs[2]  # identical text -> identical signature
+    # near-dup differs in few bits; unrelated differs in many
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham01 < ham03
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(simhash_signatures(df), max_hamming=3).collect()}
+    assert pairs.get((0, 2)) == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = rng.normal(size=16).astype(np.float32).tolist()
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=5).collect()]
+    qv = np.array(q, dtype=np.float64)
+    sims = (vecs.astype(np.float64) @ qv) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(qv)
+    )
+    order = sorted(range(50), key=lambda i: (-sims[i], i))[:5]
+    assert [d for d, _ in got] == order
+    np.testing.assert_allclose([s for _, s in got], sims[order], rtol=1e-9)
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = vecs[7].tolist()
+    got = [r["vec_id"] for r in lsh_cosine_topk(df, q, k=5, n_planes=4).collect()]
+    # the query vector itself is in its own bucket and is its own nearest
+    assert got[0] == 7
+    qb = lsh_bucket_of(q, 4)
+    # every result must be in the query bucket (python-side recompute)
+    for d in got:
+        assert lsh_bucket_of(vecs[d].tolist(), 4) == qb
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=32).astype(np.float32)
+    noisy = (base + rng.normal(scale=0.01, size=32).astype(np.float32))
+    other = rng.normal(size=32).astype(np.float32)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, noisy.tolist()), (2, other.tolist())],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_near_dup(df, 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+
+
+def test_hyperplane_determinism():
+    assert hyperplane(3, 4) == [math.sin(3 * 101 + j + 1) for j in range(4)]
+
+
+def test_token_counts(spark, docs):
+    df, rows = docs
+    out = {r["doc_id"]: r for r in token_counts(df).collect()}
+    for d, text in rows:
+        assert out[d]["ws_tokens"] == (len(text.split()) if text.strip() else 0)
+        assert out[d]["analyzer_tokens"] == len(_toks(text))
+        assert out[d]["n_chars"] == len(text)
+        exp_bpe = len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text))
+        assert out[d]["bpe_tokens"] == exp_bpe
+
+
+def test_quality_scores(spark, docs):
+    df, rows = docs
+    out = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert out[5]["quality"] is not None  # empty doc doesn't crash
+    # repetitive doc has low distinct ratio
+    assert out[6]["distinct_ratio"] < 0.2
+    assert 0 <= out[0]["quality"] <= 1
+    # doc 0 has two 'the' among 9 tokens
+    assert abs(out[0]["stop_ratio"] - 2 / 9) < 1e-6
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog of the house"),
+        (1, "der Hund und die Katze ist nicht da"),
+        (2, "le chat et la maison est une belle chose les arbres"),
+        (3, "el perro y la casa que es un lugar los gatos"),
+        (4, "这是一个中文句子"),
+        (5, "xyz qqq zzz"),  # no markers -> all zero -> lex smallest 'de'
+    ]
+    df = spark.range(0).sparkSession.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[4] == "zh"
+    assert out[2] == "fr" and out[3] in ("es", "fr")  # es/fr share articles
+    assert out[5] == "de"
+
+
+def test_fingerprints(spark, docs):
+    df, rows = docs
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert out[0] == out[2]  # identical docs -> identical fingerprint
+    for d, text in rows:
+        sh = _shingles(text)
+        if not sh:
+            assert d not in out
+            continue
+        hs = sorted(hashlib.md5(s.encode()).hexdigest() for s in sh)[:4]
+        assert out[d] == ",".join(hs)
