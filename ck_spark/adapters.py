@@ -42,6 +42,17 @@ def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     """
     tag = sf_dir.strip("/").replace("/", "_")
     root = os.path.join(ENTRY_INDEX_ROOT, tag)
+    # invalidate caches written by an older on-disk layout
+    import shutil
+
+    from ck_spark.index.builder import INDEX_VERSION
+    from ck_spark.index.manifest import Manifest
+
+    try:
+        if Manifest(root).load_meta().get("version") != INDEX_VERSION:
+            shutil.rmtree(root, ignore_errors=True)
+    except FileNotFoundError:
+        pass
     # test tables are single parquet files -> 1 scan partition; spread the
     # tokenize UDF across a size-scaled number of partitions (a real corpus
     # arrives already partitioned; tiny inputs drown in per-task overhead)

@@ -1,4 +1,4 @@
-"""Distributed inverted-index build.
+"""Distributed inverted-index build + incremental update.
 
 Pipeline (each stage checkpointed in the manifest; resume skips complete
 stages for the same input snapshot):
@@ -7,25 +7,36 @@ stages for the same input snapshot):
     │  one tokenize pass (Arrow pandas UDF emits map<term,tf> per doc —
     │  tf aggregation is executor-local, so the big shuffle carries one
     │  row per distinct (term, doc) instead of per token occurrence)
-    ├─ doc_map       doc_id, seg, sha256(content), doc_len, is_binary …
+    ├─ doc_map       doc_id, sha256, doc_len …      partitioned by seg
     ├─ corpus_stats  N, avgdl (over indexed = non-binary docs)
-    ├─ pairs         (bucket, term, seg, doc_id, tf, dl)   ← NO shuffle:
-    │                 written partitioned by term-hash bucket
-    └─ postings      per bucket-group: shuffle by (term, seg) →
-                     applyInPandas block-encode → parquet group=g/bucket=b
+    ├─ pairs         (term, doc_id, tf, dl, bucket)  partitioned by seg —
+    │                 NO shuffle: written straight from the tokenize pass
+    └─ postings      per segment-group: shuffle by (term, seg) →
+                     applyInPandas block-encode → seg=N/bucket=B dirs
        term_stats    df per term (sum over segments)
 
 Skew design (BASELINE.json north_rule): doc-hash segmentation IS the
 salted repartition — seg = pmod(xxhash64(doc_id), S) splits every posting
 list into ≤S bounded segments, so a groupBy key (term, seg) for an
 ubiquitous term ('def', 'return') is capped at ~N/S docs. Rare terms
-produce only as many segment rows as they have docs, so there is no
-small-term overhead. Query-time intersection stays aligned because every
-term uses the same modulus.
+produce only as many segment rows as they have docs — no small-term
+overhead. Query-time intersection stays aligned because every term uses
+the same modulus.
 
-Reference parity: this stage replaces ck's tantivy index build
-(/root/reference/ck-engine/src/lib.rs:847-890, one doc per file) and its
-manifest-gated incremental update (ck-index/src/lib.rs:841-906).
+Incremental update (update_index): the segment is the unit of change.
+Docs hash to fixed segments, so an added/modified/removed doc affects
+exactly one segment; only affected segments are re-tokenized and their
+seg=N partitions atomically replaced (dynamic partition overwrite — the
+parquet stand-in for Iceberg's overwritePartitions). Global stats (N,
+avgdl, df) are recomputed exactly (cheap: doc_map agg + posting-row
+metadata agg), so incremental and from-scratch builds are rank- and
+score-identical — asserted in tests. This is the scale analogue of ck's
+manifest-gated incremental re-index (ck-index/src/lib.rs:841-906).
+
+Because different segments may be (re)encoded under different avgdl
+values, every posting row records avgdl_enc; the WAND scorer scales
+stored block-max bounds by max(1, avgdl_now/avgdl_enc), keeping pruning
+sound after updates.
 """
 
 from __future__ import annotations
@@ -51,12 +62,13 @@ from ck_spark.constants import (
 from ck_spark.index.manifest import Manifest
 from ck_spark.tokenizer import term_freqs_udf
 
+INDEX_VERSION = 2
 DOC_ID_MASK = (1 << 62) - 1  # keep xxhash64-derived doc ids non-negative
 
 POSTINGS_SCHEMA = (
-    "term string, seg int, n_docs int, "
+    "term string, n_docs int, "
     "ids_blocks array<binary>, tfs_blocks array<binary>, dls_blocks array<binary>, "
-    "block_max array<float>, block_last array<long>"
+    "block_max array<float>, block_last array<long>, avgdl_enc double"
 )
 
 
@@ -96,11 +108,15 @@ def doc_id_expr():
     return F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit(DOC_ID_MASK))
 
 
+def seg_expr(n_segments: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int")
+
+
 def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFrame:
     tf_udf = term_freqs_udf(mode)
     return (
         corpus.withColumn("doc_id", doc_id_expr())
-        .withColumn("seg", F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int"))
+        .withColumn("seg", seg_expr(n_segments))
         .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         .withColumn("content_sha256", F.sha2("content", 256))
         .withColumn("tfm", tf_udf("content"))
@@ -129,6 +145,92 @@ def _doc_map_summary(spark: SparkSession, doc_map_path: str) -> tuple[int, int, 
     return int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}"
 
 
+def _write_corpus_stats(spark: SparkSession, paths: IndexPaths) -> None:
+    dm = spark.read.parquet(paths.doc_map)
+    stats = dm.where(~F.col("is_binary")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+
+
+def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
+    return (
+        docs.where(~F.col("is_binary"))
+        .select(
+            "doc_id", "seg", F.col("doc_len").alias("dl"),
+            F.explode("tfm").alias("term", "tf"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+    )
+
+
+def _make_encoder(k1: float, b: float, block: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        avgdl = float(pdf["avgdl_enc"].iloc[0])
+        blocks = encode_posting_blocks(ids, tfs, dls, avgdl, k1, b, block)
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "n_docs": [int(ids.size)],
+                "ids_blocks": [blocks["ids_blocks"]],
+                "tfs_blocks": [blocks["tfs_blocks"]],
+                "dls_blocks": [blocks["dls_blocks"]],
+                "block_max": [blocks["block_max"]],
+                "block_last": [blocks["block_last"]],
+                "avgdl_enc": [avgdl],
+                "seg": [int(pdf["seg"].iloc[0])],
+                "bucket": [int(pdf["bucket"].iloc[0])],
+            }
+        )
+
+    return encode_group
+
+
+def _encode_and_write_postings(
+    spark: SparkSession, pairs: DataFrame, out_dir: str,
+    avgdl: float, k1: float, b: float, block_size: int,
+) -> tuple[int, int]:
+    """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
+    with dynamic partition overwrite. Returns (rows, ~terms)."""
+    enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
+    enc = (
+        pairs.withColumn("avgdl_enc", F.lit(float(avgdl)))
+        .groupBy("seg", "bucket", "term")
+        .applyInPandas(_make_encoder(k1, b, block_size), enc_schema)
+    )
+    obs = Observation()
+    (
+        enc.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("term").alias("terms"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "bucket")
+        .parquet(out_dir)
+    )
+    return int(obs.get["rows"]), int(obs.get["terms"])
+
+
+def _write_term_stats(spark: SparkSession, paths: IndexPaths) -> int:
+    post = spark.read.parquet(paths.postings)
+    ts = post.groupBy("bucket", "term").agg(
+        F.sum("n_docs").alias("df"), F.count("*").alias("n_segments")
+    )
+    obs = Observation()
+    ts.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(paths.term_stats)
+    return int(obs.get["rows"])
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -148,27 +250,22 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest(out_dir)
 
-    # ---- stage: doc_map ----------------------------------------------------
-    # n_segments must be fixed before doc_map exists; derive from a cheap
-    # count if not given.
     if n_segments is None:
         n_docs_est = corpus.count()
         n_segments = max(1, int(np.ceil(n_docs_est / DEFAULT_DOCS_PER_SEGMENT)))
 
-    # Resume gate for doc_map: no fingerprint exists yet, so gate on an
-    # argument snapshot token recorded at first build. If a complete
-    # doc_map stage exists we trust and reuse it, then verify the
-    # fingerprint drives the later stages.
+    # ---- stage: doc_map ----------------------------------------------------
     t0 = time.time()
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, "input"))
     if fresh_doc_map:
         docs = _with_doc_columns(corpus, mode, n_segments)
         (
             docs.select(
-                "doc_id", "seg", "repo", "path", "commit", "lang",
-                "content_sha256", "doc_len", "is_binary",
+                "doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "doc_len", "is_binary", "seg",
             )
             .write.mode("overwrite")
+            .partitionBy("seg")
             .parquet(paths.doc_map)
         )
     n, nd, snapshot = _doc_map_summary(spark, paths.doc_map)
@@ -184,112 +281,58 @@ def build_index(
     # ---- stage: corpus_stats ----------------------------------------------
     t0 = time.time()
     if not (resume and man.is_complete("corpus_stats", 0, snapshot)):
-        dm = spark.read.parquet(paths.doc_map)
-        stats = dm.where(~F.col("is_binary")).agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+        _write_corpus_stats(spark, paths)
         man.complete("corpus_stats", 0, snapshot, 1, 0,
                      int((time.time() - t0) * 1000), lineage="doc_map->corpus_stats")
 
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
 
-    # ---- stage: pairs (shuffle-free exploded index, bucket-partitioned) ----
+    # ---- stage: pairs (shuffle-free exploded index, seg-partitioned) -------
     t0 = time.time()
     if not (resume and man.is_complete("pairs", 0, snapshot)):
-        docs = _with_doc_columns(corpus, mode, n_segments).where(~F.col("is_binary"))
-        pairs = (
-            docs.select(
-                "doc_id", "seg", F.col("doc_len").alias("dl"),
-                F.explode("tfm").alias("term", "tf"),
-            )
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
-        )
+        docs = _with_doc_columns(corpus, mode, n_segments)
+        pairs = _pairs_df(docs, term_buckets)
         # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
         # the UpdateStats analogue) instead of a read-back count job.
-        obs = Observation("pairs")
+        obs = Observation()
         pairs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).partitionBy("bucket").parquet(paths.pairs)
+        ).partitionBy("seg").parquet(paths.pairs)
         man.complete("pairs", 0, snapshot, int(obs.get["rows"]), 0,
                      int((time.time() - t0) * 1000), lineage="corpus->pairs")
 
-    # ---- stage: postings, per bucket-group (resumable unit) ---------------
+    # ---- stage: postings, per segment-group (resumable unit) ---------------
     groups = [
-        [bkt for bkt in range(term_buckets) if bkt % build_groups == g]
-        for g in range(build_groups)
+        [s for s in range(n_segments) if s % build_groups == g]
+        for g in range(min(build_groups, n_segments))
     ]
-    enc_schema = POSTINGS_SCHEMA + ", bucket int"
-
-    def make_encoder(avgdl_: float, k1_: float, b_: float, block_: int):
-        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-            ids = pdf["doc_id"].to_numpy()[order]
-            tfs = pdf["tf"].to_numpy()[order]
-            dls = pdf["dl"].to_numpy()[order]
-            blocks = encode_posting_blocks(ids, tfs, dls, avgdl_, k1_, b_, block_)
-            return pd.DataFrame(
-                {
-                    "term": [pdf["term"].iloc[0]],
-                    "seg": [int(pdf["seg"].iloc[0])],
-                    "n_docs": [int(ids.size)],
-                    "ids_blocks": [blocks["ids_blocks"]],
-                    "tfs_blocks": [blocks["tfs_blocks"]],
-                    "dls_blocks": [blocks["dls_blocks"]],
-                    "block_max": [blocks["block_max"]],
-                    "block_last": [blocks["block_last"]],
-                    "bucket": [int(pdf["bucket"].iloc[0])],
-                }
-            )
-
-        return encode_group
-
-    encoder = make_encoder(avgdl, k1, b, block_size)
-    for g, buckets in enumerate(groups):
+    for g, segs in enumerate(groups):
+        if not segs:
+            continue
         if resume and man.is_complete("postings", g, snapshot):
             continue
         t0 = time.time()
-        group_dir = os.path.join(paths.postings, f"group={g}")
-        # a killed run may have left partial files: rebuild the whole group
-        if os.path.exists(group_dir):
-            shutil.rmtree(group_dir)
-        pairs = spark.read.parquet(paths.pairs).where(F.col("bucket").isin(buckets))
-        enc = pairs.groupBy("bucket", "term", "seg").applyInPandas(encoder, enc_schema)
-        obs = Observation(f"postings-{g}")
-        enc.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.approx_count_distinct("term").alias("terms"),
-        ).write.mode("overwrite").partitionBy("bucket").parquet(group_dir)
+        pairs = spark.read.parquet(paths.pairs).where(F.col("seg").isin(segs))
+        nrows, nterms = _encode_and_write_postings(
+            spark, pairs, paths.postings, avgdl, k1, b, block_size
+        )
         man.complete(
-            "postings", g, snapshot, int(obs.get["rows"]), int(obs.get["terms"]),
+            "postings", g, snapshot, nrows, nterms,
             int((time.time() - t0) * 1000),
-            lineage=f"pairs[buckets={buckets}]->postings/group={g}",
+            lineage=f"pairs[segs={segs}]->postings",
         )
 
     # ---- stage: term_stats --------------------------------------------------
     t0 = time.time()
     if not (resume and man.is_complete("term_stats", 0, snapshot)):
-        post = spark.read.option("basePath", paths.postings).parquet(
-            os.path.join(paths.postings, "group=*")
-        )
-        ts = post.groupBy("bucket", "term").agg(
-            F.sum("n_docs").alias("df"), F.count("*").alias("n_segments")
-        )
-        obs = Observation("term_stats")
-        ts.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(paths.term_stats)
-        nterms = int(obs.get["rows"])
+        nterms = _write_term_stats(spark, paths)
         man.complete("term_stats", 0, snapshot, nterms, nterms,
                      int((time.time() - t0) * 1000), lineage="postings->term_stats")
 
     man.save_meta(
         {
-            "version": 1,
+            "version": INDEX_VERSION,
             "tokenizer_mode": mode,
             "n_segments": n_segments,
             "term_buckets": term_buckets,
@@ -305,3 +348,120 @@ def build_index(
     if not keep_pairs and os.path.exists(paths.pairs):
         shutil.rmtree(paths.pairs)
     return paths
+
+
+def update_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Incrementally update an existing index to match `corpus`.
+
+    Change detection is hash-gated like ck's manifest diff
+    (ck-index/src/lib.rs:841-906): sha256 mismatch / new doc_id = changed,
+    missing doc_id = removed. Only the affected doc-hash segments are
+    re-tokenized and their partitions replaced; global stats are then
+    recomputed exactly so the result is bit-identical to a fresh build.
+
+    Returns UpdateStats-style counters (SURVEY §2.4 A6):
+    {added, removed, modified, unchanged, affected_segments, build_ms}.
+    """
+    paths = IndexPaths(out_dir)
+    man = Manifest(out_dir)
+    meta = man.load_meta()
+    n_segments = int(meta["n_segments"])
+    mode = meta["tokenizer_mode"]
+    term_buckets = int(meta["term_buckets"])
+    t_start = time.time()
+
+    new_min = corpus.select(
+        doc_id_expr().alias("doc_id"),
+        F.sha2("content", 256).alias("content_sha256"),
+    ).withColumn("seg", seg_expr(n_segments))
+    old_min = spark.read.parquet(paths.doc_map).select(
+        "doc_id", F.col("content_sha256").alias("old_sha"), "seg"
+    )
+    diff = new_min.alias("n").join(old_min.alias("o"), "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("n.content_sha256").alias("new_sha"),
+        F.col("o.old_sha").alias("old_sha"),
+        F.coalesce(F.col("n.seg"), F.col("o.seg")).alias("seg"),
+    )
+    counts = diff.agg(
+        F.sum(F.when(F.col("old_sha").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("new_sha").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(
+            F.when(
+                F.col("old_sha").isNotNull()
+                & F.col("new_sha").isNotNull()
+                & (F.col("old_sha") != F.col("new_sha")),
+                1,
+            ).otherwise(0)
+        ).alias("modified"),
+        F.sum(
+            F.when(
+                F.col("old_sha").isNotNull() & (F.col("new_sha") == F.col("old_sha")), 1
+            ).otherwise(0)
+        ).alias("unchanged"),
+    ).collect()[0]
+    stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
+
+    affected = [
+        r["seg"]
+        for r in diff.where(
+            F.col("old_sha").isNull()
+            | F.col("new_sha").isNull()
+            | (F.col("old_sha") != F.col("new_sha"))
+        )
+        .select("seg")
+        .distinct()
+        .collect()
+    ]
+    stats["affected_segments"] = sorted(affected)
+    if not affected:
+        stats["build_ms"] = int((time.time() - t_start) * 1000)
+        return stats
+
+    # Re-derive full doc columns ONLY for docs in affected segments.
+    docs = _with_doc_columns(corpus, mode, n_segments).where(F.col("seg").isin(affected))
+
+    # Replace affected partitions. Local parquet: remove seg dirs then
+    # dynamic-overwrite (Iceberg: one overwritePartitions commit).
+    for base in (paths.doc_map, paths.pairs, paths.postings):
+        for s in affected:
+            shutil.rmtree(os.path.join(base, f"seg={s}"), ignore_errors=True)
+
+    (
+        docs.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            "content_sha256", "doc_len", "is_binary", "seg",
+        )
+        .write.mode("append")
+        .partitionBy("seg")
+        .parquet(paths.doc_map)
+    )
+    _write_corpus_stats(spark, paths)
+    srow = spark.read.parquet(paths.corpus_stats).collect()[0]
+    avgdl = float(srow["avgdl"] or 0.0)
+
+    pairs = _pairs_df(docs, term_buckets)
+    pairs.write.mode("append").partitionBy("seg").parquet(paths.pairs)
+
+    pairs_aff = spark.read.parquet(paths.pairs).where(F.col("seg").isin(affected))
+    _encode_and_write_postings(
+        spark, pairs_aff, paths.postings, avgdl,
+        float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+    )
+    _write_term_stats(spark, paths)
+
+    _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
+    meta.update({"avgdl": avgdl, "n_docs": int(srow["n_docs"]), "input_snapshot": snapshot})
+    man.save_meta(meta)
+    stats["build_ms"] = int((time.time() - t_start) * 1000)
+    man.complete(
+        "update", int(time.time()), snapshot,
+        stats["added"] + stats["modified"], 0, stats["build_ms"],
+        lineage=f"incremental segs={sorted(affected)} "
+                f"+{stats['added']} ~{stats['modified']} -{stats['removed']}",
+    )
+    return stats

@@ -21,7 +21,6 @@ segment width chosen at build time.
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass
 
 import pandas as pd
@@ -98,10 +97,8 @@ class BM25Index:
         found_terms = list(ts["term"])
         buckets = sorted(set(int(b) for b in ts["bucket"]))
 
-        post = (
-            spark.read.option("basePath", self.paths.postings)
-            .parquet(os.path.join(self.paths.postings, "group=*"))
-            .where(F.col("bucket").isin(buckets) & F.col("term").isin(found_terms))
+        post = spark.read.parquet(self.paths.postings).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(found_terms)
         )
 
         avgdl = float(self.meta["avgdl"])

@@ -136,6 +136,12 @@ def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
     for row in term_rows:
         w = idfs[row["term"]]
         ubs = w * np.asarray(row["block_max"], dtype=np.float64)
+        # Incremental updates re-encode segments under the then-current
+        # avgdl; stored bounds stay sound under a grown avgdl when scaled
+        # by the ratio (partial(avgdl·r) <= r·partial(avgdl) for r >= 1).
+        enc = float(row.get("avgdl_enc") or avgdl) if isinstance(row, dict) else avgdl
+        if enc > 0 and avgdl > enc:
+            ubs = ubs * (avgdl / enc)
         per_term.append((row, w, ubs))
     max_ub = [float(ubs.max()) if ubs.size else 0.0 for _, _, ubs in per_term]
 

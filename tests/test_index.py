@@ -25,9 +25,7 @@ def built(spark, tmp_path_factory):
 
 
 def _postings(spark, paths):
-    return spark.read.option("basePath", paths.postings).parquet(
-        os.path.join(paths.postings, "group=*")
-    )
+    return spark.read.parquet(paths.postings)
 
 
 def test_sha256_ingest_invariant(spark, built):
@@ -129,11 +127,13 @@ def test_resume_skips_completed_and_rebuilds_killed_group(spark, built, tmp_path
         return out
 
     before = snapshot_postings(type(paths)(root2))
-    # simulate a crash mid-way through group 1: partial dir, no manifest rec
+    # simulate a crash mid-way through segment-group 1 (segs 1 and 3):
+    # partial seg dir, no manifest record
     p2 = type(paths)(root2)
     os.remove(os.path.join(root2, "manifest", "stage-postings-1.json"))
-    shutil.rmtree(os.path.join(p2.postings, "group=1"))
-    os.makedirs(os.path.join(p2.postings, "group=1"))  # partial leftover
+    shutil.rmtree(os.path.join(p2.postings, "seg=3"))
+    shutil.rmtree(os.path.join(p2.postings, "seg=1"))
+    os.makedirs(os.path.join(p2.postings, "seg=1"))  # partial leftover
     # resume: must rebuild ONLY group 1 (doc_map mtime unchanged)
     dm_mtime = os.path.getmtime(p2.doc_map)
     build_index(spark, corpus, root2, mode="code", n_segments=4,

@@ -1,0 +1,107 @@
+import os
+
+import numpy as np
+import pytest
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.index import build_index
+from ck_spark.index.builder import update_index
+from ck_spark.query import BM25Index
+
+
+def _results(idx, queries, k=10):
+    out = {}
+    for q in queries:
+        rows = idx.search(q, k=k).collect()
+        out[q] = [(r["doc_id"], r["score"]) for r in rows]
+    return out
+
+
+QUERIES = ["parse buffer", "def", "merge split cache", "duplicated content"]
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    base = generate_corpus(250, seed=42)
+    changed = base.copy()
+    # modify 3 docs, delete 2, add 2 (deterministic edits)
+    changed.loc[changed.index[5], "content"] = "def totally_new_function(x):\n    return x\n"
+    changed.loc[changed.index[17], "content"] += "# marker catalyst appears here\n"
+    changed.loc[changed.index[42], "content"] = ""
+    changed = changed.drop(changed.index[[7, 99]])
+    extra = generate_corpus(8, seed=777).iloc[:2].copy()
+    extra["path"] = ["new/added_one.py", "new/added_two.py"]
+    import pandas as pd
+
+    changed = pd.concat([changed, extra], ignore_index=True)
+    return base, changed
+
+
+def test_incremental_equals_fresh_build(spark, corpora, tmp_path):
+    base, changed = corpora
+    inc_root = str(tmp_path / "inc")
+    fresh_root = str(tmp_path / "fresh")
+
+    build_index(spark, spark.createDataFrame(base), inc_root, mode="code",
+                n_segments=6, term_buckets=8, build_groups=2)
+
+    # record mtimes of all seg partitions before update
+    p = BM25Index.load(spark, inc_root).paths
+    pre_mtime = {
+        d: os.path.getmtime(os.path.join(p.postings, d))
+        for d in os.listdir(p.postings) if d.startswith("seg=")
+    }
+
+    stats = update_index(spark, spark.createDataFrame(changed), inc_root)
+    assert stats["added"] == 2
+    assert stats["removed"] == 2
+    assert stats["modified"] == 3
+    assert 0 < len(stats["affected_segments"]) <= 6
+
+    # unaffected segment partitions were not rewritten
+    affected = {f"seg={s}" for s in stats["affected_segments"]}
+    for d, mt in pre_mtime.items():
+        if d not in affected:
+            assert os.path.getmtime(os.path.join(p.postings, d)) == mt, d
+
+    build_index(spark, spark.createDataFrame(changed), fresh_root, mode="code",
+                n_segments=6, term_buckets=8, build_groups=2)
+
+    inc = BM25Index.load(spark, inc_root)
+    fresh = BM25Index.load(spark, fresh_root)
+    assert inc.meta["n_docs"] == fresh.meta["n_docs"]
+    assert abs(inc.meta["avgdl"] - fresh.meta["avgdl"]) < 1e-12
+
+    ri, rf = _results(inc, QUERIES), _results(fresh, QUERIES)
+    for q in QUERIES:
+        assert [d for d, _ in ri[q]] == [d for d, _ in rf[q]], q
+        np.testing.assert_allclose(
+            [s for _, s in ri[q]], [s for _, s in rf[q]], rtol=1e-12
+        )
+    # WAND stays sound across the avgdl drift (scaled bounds)
+    for q in ["def", "parse buffer"]:
+        w = [(r["doc_id"], r["score"]) for r in inc.search(q, k=5, strategy="wand").collect()]
+        e = [(r["doc_id"], r["score"]) for r in inc.search(q, k=5, strategy="exhaustive").collect()]
+        assert [d for d, _ in w] == [d for d, _ in e]
+
+
+def test_noop_update(spark, corpora, tmp_path):
+    base, _ = corpora
+    root = str(tmp_path / "noop")
+    build_index(spark, spark.createDataFrame(base), root, mode="code",
+                n_segments=4, term_buckets=8, build_groups=2)
+    stats = update_index(spark, spark.createDataFrame(base), root)
+    assert stats["affected_segments"] == []
+    assert stats["added"] == stats["removed"] == stats["modified"] == 0
+    assert stats["unchanged"] == len(base)
+
+
+def test_update_finds_new_content(spark, corpora, tmp_path):
+    base, changed = corpora
+    root = str(tmp_path / "find")
+    build_index(spark, spark.createDataFrame(base), root, mode="code",
+                n_segments=6, term_buckets=8, build_groups=2)
+    update_index(spark, spark.createDataFrame(changed), root)
+    idx = BM25Index.load(spark, root)
+    hits = idx.search("totally new function", mode="and", k=5, with_paths=True).collect()
+    assert len(hits) == 1
