@@ -354,14 +354,24 @@ def update_index(
     spark: SparkSession,
     corpus: DataFrame,
     out_dir: str,
+    full_snapshot: bool = True,
 ) -> dict:
-    """Incrementally update an existing index to match `corpus`.
+    """Incrementally update an existing index.
 
     Change detection is hash-gated like ck's manifest diff
     (ck-index/src/lib.rs:841-906): sha256 mismatch / new doc_id = changed,
-    missing doc_id = removed. Only the affected doc-hash segments are
-    re-tokenized and their partitions replaced; global stats are then
-    recomputed exactly so the result is bit-identical to a fresh build.
+    missing doc_id = removed (removal applies only when full_snapshot=True;
+    with full_snapshot=False `corpus` is an upsert batch — the streaming
+    ingestion mode — and absent docs are left alone).
+
+    ONLY added/modified docs are re-tokenized; unchanged docs in affected
+    segments are carried over from the stored `pairs` and `doc_map`
+    partitions (the chunk-cache reuse analogue, ck-index/src/lib.rs:
+    1113-1135 — here at doc granularity with postings instead of
+    embeddings). Affected seg partitions are rebuilt and swapped in
+    (tmp-write + directory swap locally; one overwritePartitions commit on
+    Iceberg); global stats are recomputed exactly, so the updated index is
+    result-identical to a from-scratch build (asserted in tests).
 
     Returns UpdateStats-style counters (SURVEY §2.4 A6):
     {added, removed, modified, unchanged, affected_segments, build_ms}.
@@ -372,6 +382,11 @@ def update_index(
     n_segments = int(meta["n_segments"])
     mode = meta["tokenizer_mode"]
     term_buckets = int(meta["term_buckets"])
+    if not os.path.exists(paths.pairs):
+        raise RuntimeError(
+            "incremental update needs the stored pairs table "
+            "(build with keep_pairs=True)"
+        )
     t_start = time.time()
 
     new_min = corpus.select(
@@ -381,7 +396,8 @@ def update_index(
     old_min = spark.read.parquet(paths.doc_map).select(
         "doc_id", F.col("content_sha256").alias("old_sha"), "seg"
     )
-    diff = new_min.alias("n").join(old_min.alias("o"), "doc_id", "full_outer").select(
+    join_type = "full_outer" if full_snapshot else "left_outer"
+    diff = new_min.alias("n").join(old_min.alias("o"), "doc_id", join_type).select(
         "doc_id",
         F.col("n.content_sha256").alias("new_sha"),
         F.col("o.old_sha").alias("old_sha"),
@@ -406,47 +422,78 @@ def update_index(
     ).collect()[0]
     stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
 
-    affected = [
-        r["seg"]
-        for r in diff.where(
-            F.col("old_sha").isNull()
-            | F.col("new_sha").isNull()
-            | (F.col("old_sha") != F.col("new_sha"))
-        )
-        .select("seg")
-        .distinct()
-        .collect()
-    ]
-    stats["affected_segments"] = sorted(affected)
+    changed = diff.where(
+        F.col("old_sha").isNull()
+        | F.col("new_sha").isNull()
+        | (F.col("old_sha") != F.col("new_sha"))
+    )
+    affected = sorted(r["seg"] for r in changed.select("seg").distinct().collect())
+    stats["affected_segments"] = affected
     if not affected:
         stats["build_ms"] = int((time.time() - t_start) * 1000)
         return stats
 
-    # Re-derive full doc columns ONLY for docs in affected segments.
-    docs = _with_doc_columns(corpus, mode, n_segments).where(F.col("seg").isin(affected))
+    # ids whose OLD state must be dropped (modified + removed); broadcast-
+    # sized in the common case, and Spark handles the general anti-join.
+    dead = changed.where(F.col("old_sha").isNotNull()).select("doc_id")
+    fresh_ids = changed.where(F.col("new_sha").isNotNull()).select("doc_id")
 
-    # Replace affected partitions. Local parquet: remove seg dirs then
-    # dynamic-overwrite (Iceberg: one overwritePartitions commit).
-    for base in (paths.doc_map, paths.pairs, paths.postings):
-        for s in affected:
-            shutil.rmtree(os.path.join(base, f"seg={s}"), ignore_errors=True)
-
-    (
-        docs.select(
-            "doc_id", "repo", "path", "commit", "lang",
-            "content_sha256", "doc_len", "is_binary", "seg",
-        )
-        .write.mode("append")
-        .partitionBy("seg")
-        .parquet(paths.doc_map)
+    # Tokenize ONLY added/modified docs.
+    fresh_corpus = (
+        corpus.withColumn("doc_id", doc_id_expr())
+        .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+        .drop("doc_id")
     )
+    docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
+
+    # Merge carried-over rows with fresh rows; write to tmp dirs FIRST
+    # (the merged plan lazily reads the partitions being replaced), then
+    # swap directories (Iceberg: a single overwritePartitions commit).
+    tmp_dm = os.path.join(paths.root, "_tmp_doc_map")
+    tmp_pairs = os.path.join(paths.root, "_tmp_pairs")
+    shutil.rmtree(tmp_dm, ignore_errors=True)
+    shutil.rmtree(tmp_pairs, ignore_errors=True)
+
+    dm_cols = [
+        "doc_id", "repo", "path", "commit", "lang",
+        "content_sha256", "doc_len", "is_binary", "seg",
+    ]
+    old_dm_kept = (
+        spark.read.parquet(paths.doc_map)
+        .where(F.col("seg").isin(affected))
+        .join(F.broadcast(dead), "doc_id", "left_anti")
+        .select(*dm_cols)
+    )
+    old_dm_kept.unionByName(docs_new.select(*dm_cols)).write.mode(
+        "overwrite"
+    ).partitionBy("seg").parquet(tmp_dm)
+
+    pair_cols = ["doc_id", "seg", "dl", "term", "tf", "bucket"]
+    old_pairs_kept = (
+        spark.read.parquet(paths.pairs)
+        .where(F.col("seg").isin(affected))
+        .join(F.broadcast(dead), "doc_id", "left_anti")
+        .select(*pair_cols)
+    )
+    old_pairs_kept.unionByName(
+        _pairs_df(docs_new, term_buckets).select(*pair_cols)
+    ).write.mode("overwrite").partitionBy("seg").parquet(tmp_pairs)
+
+    for base, tmp in ((paths.doc_map, tmp_dm), (paths.pairs, tmp_pairs)):
+        for s in affected:
+            real = os.path.join(base, f"seg={s}")
+            cand = os.path.join(tmp, f"seg={s}")
+            shutil.rmtree(real, ignore_errors=True)
+            if os.path.exists(cand):
+                os.rename(cand, real)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     _write_corpus_stats(spark, paths)
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
 
-    pairs = _pairs_df(docs, term_buckets)
-    pairs.write.mode("append").partitionBy("seg").parquet(paths.pairs)
-
+    for s in affected:
+        shutil.rmtree(os.path.join(paths.postings, f"seg={s}"), ignore_errors=True)
     pairs_aff = spark.read.parquet(paths.pairs).where(F.col("seg").isin(affected))
     _encode_and_write_postings(
         spark, pairs_aff, paths.postings, avgdl,

@@ -1,0 +1,74 @@
+"""Structured-Streaming ingestion: a corpus stream continuously upserted
+into the inverted index.
+
+The reference has no streaming surface — its "incremental" story is the
+hash-gated batch re-index (ck-index/src/lib.rs:841-906, SURVEY §1.3). At
+100 TB the natural generalization is a streaming source (new/changed
+files landing in object storage or a CDC feed) micro-batched into the
+same segment-granular upsert path:
+
+  readStream(corpus schema) → foreachBatch(update_index(full_snapshot=False))
+
+Each micro-batch re-tokenizes only its own docs; unchanged docs are
+carried over from the stored pairs partitions. Exactly-once across
+restarts comes from the checkpointLocation + the idempotence of the
+upsert (same sha256 ⇒ no-op), mirroring how the batch build is resumable
+from its manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ck_spark.index.builder import update_index
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def stream_corpus_dir(spark: SparkSession, input_dir: str, fmt: str = "parquet") -> DataFrame:
+    """File-source corpus stream: every new file dropped into input_dir
+    becomes part of the next micro-batch."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .load(input_dir)
+    )
+
+
+def index_upsert_sink(index_root: str, stats_log: list | None = None):
+    """foreachBatch sink: upsert the micro-batch into the index."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = update_index(
+            batch_df.sparkSession, batch_df, index_root, full_snapshot=False
+        )
+        stats["batch_id"] = batch_id
+        if stats_log is not None:
+            stats_log.append(stats)
+
+    return handle
+
+
+def start_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    stats_log: list | None = None,
+):
+    """Wire the stream. available_now=True drains what is currently in
+    input_dir and stops (test/batch-catchup mode); False runs continuously.
+    """
+    stream = stream_corpus_dir(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(index_upsert_sink(index_root, stats_log))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

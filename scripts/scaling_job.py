@@ -1,0 +1,94 @@
+"""One scaling-run: build the index over a deterministic synthetic code
+corpus and run the query suite, at a given core count. Invoked via
+spark-submit --py-files dist.zip (north-rule execution mode); prints one
+JSON line with timings, throughput, and a result hash (the N-vs-4N runs
+must be result-identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--n-docs", type=int, default=60000)
+    ap.add_argument("--gen-partitions", type=int, default=64)
+    ap.add_argument("--n-segments", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ck_spark.corpus import generate_corpus_spark
+    from ck_spark.index import build_index
+    from ck_spark.query import BM25Index
+
+    spark = (
+        SparkSession.builder.appName(f"ck-scaling-{args.cores}")
+        .master(f"local[{args.cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(args.cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: python workers + codegen
+    from ck_spark.tokenizer import tokens_udf
+
+    wc = generate_corpus_spark(spark, 256, seed=1, partitions=args.cores)
+    wc.select(tokens_udf("code")("content")).count()
+
+    # fixed generation partitioning -> byte-identical corpus at any core count
+    corpus = generate_corpus_spark(
+        spark, args.n_docs, seed=42, partitions=args.gen_partitions
+    )
+
+    root = tempfile.mkdtemp(prefix=f"ck_scale_{args.cores}_")
+    t0 = time.time()
+    build_index(
+        spark, corpus, root, mode="code",
+        n_segments=args.n_segments, term_buckets=16, build_groups=1,
+        resume=False, keep_pairs=True,
+    )
+    build_s = time.time() - t0
+
+    idx = BM25Index.load(spark, root)
+    queries = [
+        ("parse buffer", "or"), ("def", "or"), ("merge split cache", "and"),
+        ("getUserName", "or"), ("token index query", "or"),
+    ]
+    h = hashlib.sha256()
+    t0 = time.time()
+    for q, m in queries:
+        rows = idx.search(q, k=50, mode=m).collect()
+        for r in rows:
+            h.update(f"{q}|{r['doc_id']}|{r['score']:.9f}\n".encode())
+    query_s = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+
+    out = {
+        "cores": args.cores,
+        "n_docs": args.n_docs,
+        "build_s": round(build_s, 2),
+        "query_s": round(query_s, 2),
+        "total_s": round(build_s + query_s, 2),
+        "build_docs_per_sec": round(args.n_docs / build_s, 1),
+        "queries_per_sec": round(len(queries) / query_s, 2),
+        "results_sha256": h.hexdigest(),
+    }
+    print("SCALING_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
