@@ -49,9 +49,9 @@ def _make_ident(rng: np.random.Generator) -> str:
     return a + b + c  # fused
 
 
-def _make_doc(rng: np.random.Generator, doc_idx: int) -> str:
+def _make_doc(rng: np.random.Generator, doc_idx: int, body_scale: int = 1) -> str:
     lines = []
-    n_funcs = int(rng.integers(1, 5))
+    n_funcs = int(rng.integers(1, 5)) * body_scale
     for _ in range(n_funcs):
         name = _make_ident(rng)
         arg1, arg2 = _make_ident(rng), _make_ident(rng)
@@ -104,9 +104,13 @@ def generate_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
-def generate_corpus_spark(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def generate_corpus_spark(
+    spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+    body_scale: int = 1,
+):
     """Distributed generation: spark.range -> mapInPandas, each partition
-    seeded as (seed, doc range) so output is independent of parallelism."""
+    seeded as (seed, doc range) so output is independent of parallelism.
+    body_scale multiplies per-file size (benchmarking heavier files)."""
     import pyspark.sql.functions as F  # noqa: N812
 
     schema = "repo string, path string, commit string, lang string, content string"
@@ -119,7 +123,7 @@ def generate_corpus_spark(spark, n_docs: int, seed: int = 42, partitions: int | 
                 repo = f"org{i % 13:04d}/repo{i % 37:03d}"
                 ext, lang = EXTS[int(rng.integers(len(EXTS)))]
                 path = f"src/m{i // 100:03d}/{_make_ident(rng)}{ext}"
-                content = _make_doc(rng, i)
+                content = _make_doc(rng, i, body_scale)
                 commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()
                 out.append((repo, path, commit, lang, content))
             yield pd.DataFrame(out, columns=["repo", "path", "commit", "lang", "content"])

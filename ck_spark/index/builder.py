@@ -166,30 +166,41 @@ def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
     )
 
 
-def _make_encoder(k1: float, b: float, block: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
-        avgdl = float(pdf["avgdl_enc"].iloc[0])
-        blocks = encode_posting_blocks(ids, tfs, dls, avgdl, k1, b, block)
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "n_docs": [int(ids.size)],
-                "ids_blocks": [blocks["ids_blocks"]],
-                "tfs_blocks": [blocks["tfs_blocks"]],
-                "dls_blocks": [blocks["dls_blocks"]],
-                "block_max": [blocks["block_max"]],
-                "block_last": [blocks["block_last"]],
-                "avgdl_enc": [avgdl],
-                "seg": [int(pdf["seg"].iloc[0])],
-                "bucket": [int(pdf["bucket"].iloc[0])],
-            }
-        )
+def _make_batch_encoder(avgdl: float, k1: float, b: float, block: int):
+    """mapInPandas encoder: each input row is one (seg, bucket, term) group
+    with pre-sorted, JVM-deconstructed id/tf/dl arrays (Arrow hands them to
+    pandas as numpy arrays). One pandas frame per Arrow batch instead of
+    one per group — the per-group Python overhead drops ~30x vs
+    applyInPandas."""
 
-    return encode_group
+    def encode_batches(iterator):
+        for pdf in iterator:
+            out = {
+                "term": [], "n_docs": [], "ids_blocks": [], "tfs_blocks": [],
+                "dls_blocks": [], "block_max": [], "block_last": [],
+                "avgdl_enc": [], "seg": [], "bucket": [],
+            }
+            for term, seg, bucket, ids, tfs, dls in zip(
+                pdf["term"], pdf["seg"], pdf["bucket"],
+                pdf["ids"], pdf["tfs"], pdf["dls"],
+            ):
+                ids = np.asarray(ids, dtype=np.int64)
+                blocks = encode_posting_blocks(
+                    ids, np.asarray(tfs), np.asarray(dls), avgdl, k1, b, block
+                )
+                out["term"].append(term)
+                out["n_docs"].append(int(ids.size))
+                out["ids_blocks"].append(blocks["ids_blocks"])
+                out["tfs_blocks"].append(blocks["tfs_blocks"])
+                out["dls_blocks"].append(blocks["dls_blocks"])
+                out["block_max"].append(blocks["block_max"])
+                out["block_last"].append(blocks["block_last"])
+                out["avgdl_enc"].append(avgdl)
+                out["seg"].append(int(seg))
+                out["bucket"].append(int(bucket))
+            yield pd.DataFrame(out)
+
+    return encode_batches
 
 
 def _encode_and_write_postings(
@@ -199,10 +210,26 @@ def _encode_and_write_postings(
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
     with dynamic partition overwrite. Returns (rows, ~terms)."""
     enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
-    enc = (
-        pairs.withColumn("avgdl_enc", F.lit(float(avgdl)))
+    # explicit shuffle width on the exact grouping keys: Catalyst reuses
+    # the partitioning for the groupBy (no second exchange) and AQE never
+    # coalesces an explicit repartition — the encode stage is CPU-bound on
+    # small bytes, so byte-based coalescing would serialize it.
+    enc_width = max(spark.sparkContext.defaultParallelism * 2, 16)
+    grouped = (
+        pairs.repartition(enc_width, "seg", "bucket", "term")
         .groupBy("seg", "bucket", "term")
-        .applyInPandas(_make_encoder(k1, b, block_size), enc_schema)
+        # sort + deconstruct in the JVM (codegen): the Python side receives
+        # three aligned numpy arrays per group, no per-group pandas frame
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("pl"))
+        .select(
+            "seg", "bucket", "term",
+            F.col("pl.doc_id").alias("ids"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.dl").alias("dls"),
+        )
+    )
+    enc = grouped.mapInPandas(
+        _make_batch_encoder(float(avgdl), k1, b, block_size), enc_schema
     )
     obs = Observation()
     (
@@ -211,6 +238,9 @@ def _encode_and_write_postings(
             F.count(F.lit(1)).alias("rows"),
             F.approx_count_distinct("term").alias("terms"),
         )
+        # ~1 writer task per (seg, bucket) dir; encoded rows are compact so
+        # this extra exchange is tiny relative to the encode UDF stage
+        .repartition("seg", "bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("seg", "bucket")
@@ -254,16 +284,49 @@ def build_index(
         n_docs_est = corpus.count()
         n_segments = max(1, int(np.ceil(n_docs_est / DEFAULT_DOCS_PER_SEGMENT)))
 
-    # ---- stage: doc_map ----------------------------------------------------
+    # ---- stage: pairs (the ONLY tokenize pass over content) ----------------
+    t0 = time.time()
+    if not (resume and man.is_complete("pairs", 0, "input")):
+        docs = _with_doc_columns(corpus, mode, n_segments)
+        pairs = _pairs_df(docs, term_buckets)
+        # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
+        # the UpdateStats analogue) instead of a read-back count job.
+        obs = Observation()
+        (
+            pairs.observe(obs, F.count(F.lit(1)).alias("rows"))
+            # bound output files: ~1 writer task per segment dir instead of
+            # (input tasks × segments) small files
+            .repartition(n_segments, "seg")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(paths.pairs)
+        )
+        man.complete("pairs", 0, "input", int(obs.get["rows"]), 0,
+                     int((time.time() - t0) * 1000), lineage="corpus->pairs")
+
+    # ---- stage: doc_map (no tokenize: doc_len joined from pairs) -----------
     t0 = time.time()
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, "input"))
     if fresh_doc_map:
-        docs = _with_doc_columns(corpus, mode, n_segments)
-        (
-            docs.select(
+        base = (
+            corpus.withColumn("doc_id", doc_id_expr())
+            .withColumn("seg", seg_expr(n_segments))
+            .withColumn("is_binary", F.contains("content", F.lit("\x00")))
+            .withColumn("content_sha256", F.sha2("content", 256))
+            .select(
                 "doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "doc_len", "is_binary", "seg",
+                "content_sha256", "is_binary", "seg",
             )
+        )
+        lens = (
+            spark.read.parquet(paths.pairs)
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("doc_len"))
+        )
+        (
+            base.join(lens, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+            .repartition(n_segments, "seg")
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(paths.doc_map)
@@ -276,7 +339,7 @@ def build_index(
         )
     if fresh_doc_map:
         man.complete("doc_map", 0, "input", n, 0, int((time.time() - t0) * 1000),
-                     lineage="corpus->doc_map")
+                     lineage="corpus+pairs->doc_map")
 
     # ---- stage: corpus_stats ----------------------------------------------
     t0 = time.time()
@@ -287,20 +350,6 @@ def build_index(
 
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
-
-    # ---- stage: pairs (shuffle-free exploded index, seg-partitioned) -------
-    t0 = time.time()
-    if not (resume and man.is_complete("pairs", 0, snapshot)):
-        docs = _with_doc_columns(corpus, mode, n_segments)
-        pairs = _pairs_df(docs, term_buckets)
-        # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
-        # the UpdateStats analogue) instead of a read-back count job.
-        obs = Observation()
-        pairs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).partitionBy("seg").parquet(paths.pairs)
-        man.complete("pairs", 0, snapshot, int(obs.get["rows"]), 0,
-                     int((time.time() - t0) * 1000), lineage="corpus->pairs")
 
     # ---- stage: postings, per segment-group (resumable unit) ---------------
     groups = [
@@ -464,9 +513,9 @@ def update_index(
         .join(F.broadcast(dead), "doc_id", "left_anti")
         .select(*dm_cols)
     )
-    old_dm_kept.unionByName(docs_new.select(*dm_cols)).write.mode(
-        "overwrite"
-    ).partitionBy("seg").parquet(tmp_dm)
+    old_dm_kept.unionByName(docs_new.select(*dm_cols)).repartition(
+        max(len(affected), 1), "seg"
+    ).write.mode("overwrite").partitionBy("seg").parquet(tmp_dm)
 
     pair_cols = ["doc_id", "seg", "dl", "term", "tf", "bucket"]
     old_pairs_kept = (
@@ -477,7 +526,9 @@ def update_index(
     )
     old_pairs_kept.unionByName(
         _pairs_df(docs_new, term_buckets).select(*pair_cols)
-    ).write.mode("overwrite").partitionBy("seg").parquet(tmp_pairs)
+    ).repartition(max(len(affected), 1), "seg").write.mode(
+        "overwrite"
+    ).partitionBy("seg").parquet(tmp_pairs)
 
     for base, tmp in ((paths.doc_map, tmp_dm), (paths.pairs, tmp_pairs)):
         for s in affected:

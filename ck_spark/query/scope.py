@@ -1,0 +1,58 @@
+"""Path-scope filters: include prefixes, exclude globs, default excludes.
+
+The rebuild of ck's include-pattern filter (canonicalized prefix match,
+ck-engine/src/lib.rs:142-183), exclude globs (globset over full path and
+components, ck-engine/src/lib.rs:1062-1086) and the built-in default
+exclusion list (ck-core/src/lib.rs:415-453 — VCS dirs, build artifacts,
+dependency dirs). Globs compile to Java-regex predicates so the filter
+stays a Catalyst expression (pushed into the scan for grep mode; applied
+inside the segment scorer for index queries).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The spirit of ck's DEFAULT_EXCLUDES (a representative subset; the full
+# reference list covers the same directory families).
+DEFAULT_EXCLUDE_GLOBS = [
+    ".git/*", "node_modules/*", "target/*", "build/*", "dist/*",
+    "__pycache__/*", "*.min.js", "*.lock", ".venv/*", "vendor/*",
+]
+
+
+def glob_to_regex(glob: str) -> str:
+    """Translate a ck-style glob to an anchored Java-compatible regex.
+    `*` spans path separators too when used as a trailing component
+    (matching globset's path semantics closely enough for corpus paths)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^(?:.*/)?" + "".join(out) + "$"
+
+
+def path_scope_pred(
+    path_col: Column,
+    include_prefixes: list[str] | None = None,
+    exclude_globs: list[str] | None = None,
+) -> Column:
+    """Boolean Column: path is inside the include scope and matches no
+    exclude glob."""
+    pred = F.lit(True)
+    if include_prefixes:
+        inc = None
+        for p in include_prefixes:
+            c = path_col.startswith(p)
+            inc = c if inc is None else (inc | c)
+        pred = pred & inc
+    for g in exclude_globs or []:
+        pred = pred & ~path_col.rlike(glob_to_regex(g))
+    return pred

@@ -63,16 +63,29 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[sel].astype(np.int64), scores[sel]
 
 
+def _scope_filter(ids: np.ndarray, extras: list[np.ndarray], allowed: np.ndarray | None):
+    """Keep only ids present in the sorted `allowed` array (path-scope
+    restriction, SURVEY §2.2 F3/F7). None = unscoped."""
+    if allowed is None or ids.size == 0:
+        return ids, extras
+    pos = np.searchsorted(allowed, ids)
+    pos_c = np.minimum(pos, max(allowed.size - 1, 0))
+    keep = (allowed.size > 0) & (allowed[pos_c] == ids)
+    return ids[keep], [e[keep] for e in extras]
+
+
 def score_exhaustive_or(term_rows: list[dict], idfs: dict, avgdl: float,
-                        k1: float, b: float, k: int):
+                        k1: float, b: float, k: int,
+                        allowed: np.ndarray | None = None):
     """term_rows: [{term, ids_blocks, tfs_blocks, dls_blocks}, ...]"""
     all_ids, all_contrib = [], []
     for row in term_rows:
-        ids = decode_all_blocks(row["ids_blocks"])
+        ids = decode_all_blocks(row["ids_blocks"]).astype(np.int64)
         tfs = decode_all_u32_blocks(row["tfs_blocks"])
         dls = decode_all_u32_blocks(row["dls_blocks"])
+        ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
         w = idfs[row["term"]]
-        all_ids.append(ids.astype(np.int64))
+        all_ids.append(ids)
         all_contrib.append(w * _partial(tfs, dls, avgdl, k1, b))
     if not all_ids:
         return np.empty(0, dtype=np.int64), np.empty(0)
@@ -85,7 +98,8 @@ def score_exhaustive_or(term_rows: list[dict], idfs: dict, avgdl: float,
 
 
 def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
-              k1: float, b: float, k: int):
+              k1: float, b: float, k: int,
+              allowed: np.ndarray | None = None):
     """Conjunctive: galloping intersection (smallest list drives; larger
     lists probed via np.searchsorted), block-skip implicit because only
     blocks containing candidates need decoding — with list-level decode
@@ -100,6 +114,8 @@ def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
         decoded.append((row["term"], ids, tfs, dls))
     decoded.sort(key=lambda t: t[1].size)
     cand = decoded[0][1]
+    if allowed is not None:
+        cand, _ = _scope_filter(cand, [], allowed)
     for _, ids, _, _ in decoded[1:]:
         if cand.size == 0:
             break
@@ -116,7 +132,8 @@ def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
 
 
 def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
-                  k1: float, b: float, k: int):
+                  k1: float, b: float, k: int,
+                  allowed: np.ndarray | None = None):
     """Block-max WAND over independently-decodable blocks.
 
     Visit blocks in descending optimistic bound, where a block's bound is
@@ -170,6 +187,7 @@ def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
         ids = decode_posting_ids(row["ids_blocks"][j]).astype(np.int64)
         tfs = decode_u32s(row["tfs_blocks"][j])
         dls = decode_u32s(row["dls_blocks"][j])
+        ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
         contrib = w * _partial(tfs, dls, avgdl, k1, b)
         for d, c in zip(ids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + c

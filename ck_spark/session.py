@@ -39,6 +39,10 @@ def get_spark(
         # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # UDF-heavy stages (tokenize/encode) are CPU-bound on small bytes;
+        # the 64m default would coalesce them to 1-2 tasks and serialize.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere: the tokenizer/codec/scorer are pandas UDFs.

@@ -22,6 +22,7 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=60000)
     ap.add_argument("--gen-partitions", type=int, default=64)
     ap.add_argument("--n-segments", type=int, default=16)
+    ap.add_argument("--body-scale", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,6 +36,9 @@ def main() -> None:
         .master(f"local[{args.cores}]")
         .config("spark.sql.shuffle.partitions", str(max(args.cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # keep UDF-heavy post-shuffle stages wide (small bytes, big CPU)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
@@ -50,7 +54,8 @@ def main() -> None:
 
     # fixed generation partitioning -> byte-identical corpus at any core count
     corpus = generate_corpus_spark(
-        spark, args.n_docs, seed=42, partitions=args.gen_partitions
+        spark, args.n_docs, seed=42, partitions=args.gen_partitions,
+        body_scale=args.body_scale,
     )
 
     root = tempfile.mkdtemp(prefix=f"ck_scale_{args.cores}_")

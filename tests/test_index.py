@@ -163,4 +163,9 @@ def test_doc_len_matches_tokenizer(spark, built):
     paths, pdf = built
     dm = spark.read.parquet(paths.doc_map).toPandas().set_index(["repo", "path"])
     for r in pdf.itertuples():
-        assert dm.loc[(r.repo, r.path), "doc_len"] == len(tokenize(r.content, "code"))
+        row = dm.loc[(r.repo, r.path)]
+        if row["is_binary"]:
+            # binary docs are excluded from the index; doc_len is 0
+            assert row["doc_len"] == 0
+        else:
+            assert row["doc_len"] == len(tokenize(r.content, "code"))

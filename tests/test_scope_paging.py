@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.index import build_index
+from ck_spark.query import BM25Index
+from ck_spark.query.paging import paginate
+from ck_spark.query.scope import glob_to_regex, path_scope_pred
+from tests.oracle_bm25 import bm25_rank
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scopeidx"))
+    pdf = generate_corpus(220, seed=42)
+    build_index(spark, spark.createDataFrame(pdf), root, mode="code",
+                n_segments=4, term_buckets=8, build_groups=2)
+    idx = BM25Index.load(spark, root)
+    dm = spark.read.parquet(idx.paths.doc_map).toPandas()
+    return idx, pdf, dm
+
+
+def test_glob_to_regex():
+    import re
+
+    rx = re.compile(glob_to_regex("*.min.js"))
+    assert rx.match("a/b/x.min.js")
+    assert not rx.match("a/b/x.js")
+    rx2 = re.compile(glob_to_regex("node_modules/*"))
+    assert rx2.match("node_modules/pkg/index.js")
+    assert rx2.match("proj/node_modules/x")
+    assert not rx2.match("src/main.rs")
+
+
+def test_scoped_search_is_exact(spark, engine):
+    idx, pdf, dm = engine
+    prefix = "src/m001/"
+    got = idx.search("parse buffer", k=10, include_prefixes=[prefix],
+                     with_paths=True).collect()
+    assert got, "scope should keep some results"
+    assert all(r["path"].startswith(prefix) for r in got)
+    # exact and reference-faithful: GLOBAL stats (idf/avgdl over the whole
+    # corpus), candidates restricted to the scope — i.e. the full ranking
+    # filtered to scoped docs (ck's post-filter semantics, but computed
+    # exactly rather than truncated-then-filtered)
+    key2id = {(r.repo, r.path): r.doc_id for r in dm.itertuples()}
+    all_docs = {
+        key2id[(r.repo, r.path)]: r.content
+        for r in pdf.itertuples()
+        if "\x00" not in r.content
+    }
+    scoped_ids = {
+        key2id[(r.repo, r.path)] for r in pdf.itertuples() if r.path.startswith(prefix)
+    }
+    full_rank = bm25_rank(all_docs, "parse buffer", k=len(all_docs), tokenizer_mode="code")
+    exp = [(d, s) for d, s in full_rank if d in scoped_ids][:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [r["score"] for r in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_exclude_globs(spark, engine):
+    idx, pdf, dm = engine
+    all_rows = idx.search("def", k=200, with_paths=True).collect()
+    exts = {r["path"].rsplit(".", 1)[-1] for r in all_rows}
+    assert "md" in exts
+    scoped = idx.search("def", k=200, exclude_globs=["*.md"], with_paths=True).collect()
+    assert scoped
+    assert all(not r["path"].endswith(".md") for r in scoped)
+
+
+def test_scope_pred_column(spark):
+    df = spark.createDataFrame(
+        [("src/a.py",), ("node_modules/x.js",), ("lib/b.md",)], ["path"]
+    )
+    kept = df.where(
+        path_scope_pred(F.col("path"), None, ["node_modules/*", "*.md"])
+    ).collect()
+    assert [r["path"] for r in kept] == ["src/a.py"]
+
+
+def test_near_miss(spark, engine):
+    idx, _, _ = engine
+    res, near = idx.search_with_near_miss("parse buffer", k=10, threshold=0.9)
+    r, n = res.collect(), near.collect()
+    assert all(x["score"] >= 0.9 for x in r)
+    assert len(n) == 1 and n[0]["score"] < 0.9
+    # near miss is the best sub-threshold candidate
+    full = idx.search("parse buffer", k=10, normalize=True).collect()
+    below = [x for x in full if x["score"] < 0.9]
+    assert n[0]["doc_id"] == below[0]["doc_id"]
+
+
+def test_paginate(spark):
+    df = spark.range(0, 23).withColumnRenamed("id", "doc_id")
+    pages = [
+        [r["doc_id"] for r in paginate(df, [F.asc("doc_id")], page=p, page_size=5).collect()]
+        for p in range(6)
+    ]
+    flat = [d for pg in pages for d in pg]
+    assert flat == list(range(23))
+    assert pages[4] == [20, 21, 22] and pages[5] == []
+    # page size is capped at 200
+    big = paginate(spark.range(0, 500).withColumnRenamed("id", "d"),
+                   [F.asc("d")], page=0, page_size=1000)
+    assert big.count() == 200
