@@ -521,6 +521,102 @@ FROM hs GROUP BY doc_id ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# relational operator demos (join / agg / window over the TPC-H-ish tables)
+# — not part of the ck surface, but demonstrate the engine plays well as a
+# general Spark analytics layer; all-decimal arithmetic keeps sums exact so
+# the hash comparison is float-drift-free.
+# --------------------------------------------------------------------------
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # dimension side broadcast: no shuffle of the fact aggregate
+    return (
+        totals.join(F.broadcast(c), totals.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name", "c_mktsegment", "total_spent",
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # timezone-free bucketing: epoch-hour arithmetic matches any session tz
+    return (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("epoch_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("epoch_hour", "event_type")
+    )
+
+
+TPCH_SQL = {
+    "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "tpch_top_customers": """
+WITH t AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, c.c_mktsegment,
+       t.total_spent, CAST(t.n_orders AS BIGINT) AS n_orders
+FROM t JOIN customer c ON t.o_custkey = c.c_custkey
+ORDER BY t.total_spent DESC, c.c_custkey LIMIT 10""",
+    "events_hourly": """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+}
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -555,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "tpch_top_customers": _q_top_customers,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -631,4 +730,5 @@ FROM h ORDER BY doc_id""",
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
+        **TPCH_SQL,
     }

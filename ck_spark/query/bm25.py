@@ -155,6 +155,99 @@ class BM25Index:
             )
         return self._finish(seg_top, k, normalize, threshold, with_paths)
 
+    def search_many(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = LEXICAL_DEFAULT_TOPK,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Answer a batch of (query, mode) pairs in ONE Spark job.
+
+        All queries' posting rows are scanned together (single pruned read
+        over the union of buckets/terms), scored per segment per query, and
+        cut to per-query top-k with one window — amortizing job dispatch
+        across the whole query set. Returns (query_id, doc_id, score)
+        ordered by (query_id, score desc, doc_id)."""
+        import numpy as np
+
+        from pyspark.sql.window import Window
+
+        spark = self.spark
+        empty = spark.createDataFrame([], "query_id int, doc_id long, score double")
+        qinfo = []
+        all_terms: set[str] = set()
+        for qid, (q, mode) in enumerate(queries):
+            terms = list(dict.fromkeys(tokenize(q, self.meta["tokenizer_mode"])))
+            qinfo.append({"qid": qid, "terms": terms, "mode": mode})
+            all_terms.update(terms)
+        if not all_terms:
+            return empty
+
+        ts = self.term_stats(sorted(all_terms))
+        if ts.empty:
+            return empty
+        idfs = self.idfs(sorted(all_terms))
+        known = set(ts["term"])
+        buckets = sorted(set(int(b) for b in ts["bucket"]))
+        post = spark.read.parquet(self.paths.postings).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(known))
+        )
+
+        avgdl = float(self.meta["avgdl"])
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        q_k, q_strategy = int(k), strategy
+        plans = []
+        for info in qinfo:
+            found = [t for t in info["terms"] if t in known]
+            if not found or (info["mode"] == "and" and len(found) < len(info["terms"])):
+                continue
+            plans.append({"qid": info["qid"], "terms": found, "mode": info["mode"]})
+        if not plans:
+            return empty
+
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, dict] = {}
+            for rec in pdf.to_dict("records"):
+                by_term[rec["term"]] = rec
+            out_q, out_d, out_s = [], [], []
+            for plan in plans:
+                rows = [by_term[t] for t in plan["terms"] if t in by_term]
+                if not rows:
+                    continue
+                if plan["mode"] == "and":
+                    if len(rows) < len(plan["terms"]):
+                        continue
+                    ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k)
+                else:
+                    total = sum(int(r["n_docs"]) for r in rows)
+                    use_wand = q_strategy == "wand" or (
+                        q_strategy == "auto" and total > 50_000 and q_k * 20 < total
+                    )
+                    fn = (
+                        _scorer.score_wand_or if use_wand
+                        else _scorer.score_exhaustive_or
+                    )
+                    ids, scores = fn(rows, idfs, avgdl, k1, b, q_k)
+                out_q.extend([plan["qid"]] * len(ids))
+                out_d.extend(ids.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame(
+                {"query_id": np.array(out_q, dtype=np.int32),
+                 "doc_id": np.array(out_d, dtype=np.int64),
+                 "score": np.array(out_s, dtype=np.float64)}
+            )
+
+        seg_top = post.groupBy("seg").applyInPandas(
+            score_segment, "query_id int, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            seg_top.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= q_k)
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
     def search_with_near_miss(
         self, query: str, k: int = SEMANTIC_DEFAULT_TOPK,
         threshold: float = SEMANTIC_DEFAULT_THRESHOLD,

@@ -71,13 +71,16 @@ def main() -> None:
     queries = [
         ("parse buffer", "or"), ("def", "or"), ("merge split cache", "and"),
         ("getUserName", "or"), ("token index query", "or"),
+        ("read write cache", "or"), ("span file line", "and"),
+        ("search match rank", "or"), ("doc count batch", "or"),
+        ("stream hash chunk", "or"),
     ]
     h = hashlib.sha256()
     t0 = time.time()
-    for q, m in queries:
-        rows = idx.search(q, k=50, mode=m).collect()
-        for r in rows:
-            h.update(f"{q}|{r['doc_id']}|{r['score']:.9f}\n".encode())
+    # one Spark job for the whole query set (batch API)
+    rows = idx.search_many(queries, k=50).collect()
+    for r in rows:
+        h.update(f"{r['query_id']}|{r['doc_id']}|{r['score']:.9f}\n".encode())
     query_s = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
 

@@ -127,6 +127,23 @@ def test_normalize_and_threshold(engine):
     assert len(thr) < len(rows)
 
 
+def test_search_many_matches_individual(engine):
+    idx, docs = engine
+    batch = [("parse buffer", "or"), ("def return", "and"),
+             ("getUserName", "or"), ("nonexistentterm", "or")]
+    rows = idx.search_many(batch, k=8).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, (q, m) in enumerate(batch):
+        single = _run(idx, q, k=8, mode=m)
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in single], (qid, q)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in single], rtol=1e-12
+        )
+
+
 def test_duplicate_content_both_ranked(engine):
     idx, docs = engine
     got = _run(idx, "duplicated content", k=10, mode="and")
