@@ -521,6 +521,112 @@ FROM hs GROUP BY doc_id ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# semantic mode + ck-style hybrid + chunker
+# --------------------------------------------------------------------------
+
+
+def _q_semantic_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.query.semantic import semantic_search
+
+    emb = _emb(spark, sf_dir)
+    res = semantic_search(emb, _ann_query_vec(), k=ANN_K, threshold=None)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id"), "lang")
+    return (
+        res.join(docs, res.vec_id == docs.doc_id)
+        .select("vec_id", "lang", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+def _q_hybrid_lex_sem(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import search_documents
+    from ck_spark.query.semantic import hybrid_lexical_semantic, semantic_search
+
+    lex = search_documents(spark, sf_dir, "spark join", k=30)
+    sem = semantic_search(_emb(spark, sf_dir), _ann_query_vec(), k=30, threshold=None)
+    fused = hybrid_lexical_semantic(lex, sem, k=20)
+    return fused.select("doc_id", F.round("rrf_score", 9).alias("rrf_score"))
+
+
+def _q_chunk_spans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus
+    from ck_spark.functions.chunker import chunk_corpus
+
+    corpus = documents_as_corpus(_docs(spark, sf_dir))
+    ch = chunk_corpus(corpus)
+    return ch.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "byte_start", "byte_end",
+        F.col("line_start").cast("long").alias("line_start"),
+        F.col("line_end").cast("long").alias("line_end"),
+        F.col("estimated_tokens").cast("long").alias("estimated_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _semantic_topk_sql() -> str:
+    q = _ann_vec_sql()
+    return f"""WITH z AS (
+  SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings
+),
+agg AS (
+  SELECT vec_id, sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1, sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+scored AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg),
+top AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K})
+SELECT t.vec_id, d.lang, round(t.cosine, 6) AS cosine
+FROM top t JOIN documents d ON t.vec_id = d.doc_id
+ORDER BY t.cosine DESC, t.vec_id"""
+
+
+def _hybrid_lex_sem_sql() -> str:
+    q = _ann_vec_sql()
+    return f"""{_bm25_scored_cte(["spark", "join"])},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY scored.score DESC, doc_id) AS rank
+  FROM scored ORDER BY scored.score DESC, doc_id LIMIT 30
+),
+z AS (SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings),
+agg AS (
+  SELECT vec_id, sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1, sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+sems AS (SELECT vec_id AS doc_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM sems ORDER BY cosine DESC, doc_id LIMIT 30
+),
+unioned AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf FROM unioned GROUP BY doc_id
+  ORDER BY rrf DESC, doc_id LIMIT 20
+)
+SELECT doc_id, round(rrf, 9) AS rrf_score FROM fused"""
+
+
+# documents are single-line prose (no code indicators) -> the generic
+# line-window chunker degenerates to exactly one chunk per doc with a
+# 4.8-chars-per-token estimate, which IS expressible in SQL.
+_CHUNK_SPANS_SQL = """
+SELECT doc_id, CAST(0 AS BIGINT) AS chunk_id,
+       CAST(0 AS BIGINT) AS byte_start,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_end,
+       CAST(1 AS BIGINT) AS line_start, CAST(1 AS BIGINT) AS line_end,
+       greatest(1, CAST(floor(length(text) / 4.8) AS BIGINT)) AS estimated_tokens
+FROM documents WHERE text <> ''
+ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
 # relational operator demos (join / agg / window over the TPC-H-ish tables)
 # — not part of the ck surface, but demonstrate the engine plays well as a
 # general Spark analytics layer; all-decimal arithmetic keeps sums exact so
@@ -654,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
+        "semantic_topk": _q_semantic_topk,
+        "hybrid_lexical_semantic": _q_hybrid_lex_sem,
+        "chunk_spans": _q_chunk_spans,
     }
 
 
@@ -731,4 +840,7 @@ FROM h ORDER BY doc_id""",
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         **TPCH_SQL,
+        "semantic_topk": _semantic_topk_sql(),
+        "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
+        "chunk_spans": _CHUNK_SPANS_SQL,
     }
