@@ -90,6 +90,46 @@ def main() -> None:
             return rrf_fuse([bm, gr], ["doc_id"], k=100).collect()
 
         timed("hybrid_rrf", lambda: hybrid())
+
+        # batch API: whole query set in one job
+        batch = [("spark", "or"), ("spark join window", "or"),
+                 ("table join", "and"), ("table", "or"), ("table value row", "or")]
+        timed("bm25_batch5", lambda: idx.search_many(batch, k=100).collect())
+
+        # training-pipeline ops over the same table
+        import math
+
+        from ck_spark.ops.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            simhash_signatures,
+        )
+        from ck_spark.ops.similarity import cosine_topk
+        from ck_spark.ops.textstats import quality_scores, token_counts
+
+        timed("dedup_minhash_lsh", lambda: lsh_candidate_pairs(
+            minhash_signatures(docs)).count())
+        timed("dedup_simhash", lambda: simhash_signatures(docs).count())
+        timed("text_stats", lambda: token_counts(docs).unionByName(
+            quality_scores(docs), allowMissingColumns=True).count())
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            emb = spark.read.parquet(emb_path)
+            qv = [math.sin(j + 1) for j in range(64)]
+            timed("ann_cosine_topk", lambda: cosine_topk(emb, qv, k=10).collect())
+
+        # incremental update: upsert 2% modified docs into the fresh index
+        from pyspark.sql import functions as SF
+
+        from ck_spark.index.builder import update_index
+
+        delta = (
+            docs.where(SF.col("doc_id") % 50 == 0)
+            .withColumn("text", SF.concat(SF.col("text"), SF.lit(" updatedtoken")))
+        )
+        delta_corpus = documents_as_corpus(delta)
+        timed("incremental_update_2pct",
+              lambda: update_index(spark, delta_corpus, root, full_snapshot=False))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

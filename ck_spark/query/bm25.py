@@ -54,13 +54,31 @@ class BM25Index:
 
     # -- lookups --------------------------------------------------------------
 
+    _TERM_CACHE_MAX = 2_000_000  # cache the whole term dict when small
+
     def term_stats(self, terms: list[str]) -> pd.DataFrame:
-        df = (
+        """df/bucket lookup for query terms. For small indexes the whole
+        term dictionary is cached driver-side after the first query (the
+        analogue of tantivy keeping the term dict mmap'd); above the cap it
+        stays a pruned parquet read per query — at 10^12 docs the dict is
+        executor-resident data, not driver state."""
+        cache = self.__dict__.get("_term_cache")
+        if cache is None:
+            ts = self.spark.read.parquet(self.paths.term_stats)
+            n_terms = self.meta.get("n_terms")
+            if n_terms is None or n_terms <= self._TERM_CACHE_MAX:
+                pdf = ts.toPandas()
+                if len(pdf) <= self._TERM_CACHE_MAX:
+                    cache = pdf.set_index("term", drop=False)
+                    self.__dict__["_term_cache"] = cache
+        if cache is not None:
+            found = [t for t in terms if t in cache.index]
+            return cache.loc[found].reset_index(drop=True)
+        return (
             self.spark.read.parquet(self.paths.term_stats)
             .where(F.col("term").isin(terms))
             .toPandas()
         )
-        return df
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
         n = self.meta["n_docs"]
