@@ -39,9 +39,11 @@ def main() -> None:
     spark = get_spark("ck_spark-bench", cores=cpus, shuffle_partitions=cpus)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    # single-file parquet -> 1 scan partition; spread UDF work across a
+    # single-file parquet -> 1 scan partition; spread work across a
     # size-scaled partition count (tiny inputs drown in per-task overhead)
-    corpus = documents_as_corpus(docs).repartition(min(cpus, max(2, n_docs // 512)))
+    par = min(cpus, max(2, n_docs // 512))
+    docs = docs.repartition(par)
+    corpus = documents_as_corpus(docs)
 
     # warm up executors / python UDF workers / codegen before timing
     # (matches the reference's warm-index measurement protocol,
