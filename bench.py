@@ -132,11 +132,31 @@ def main() -> None:
         delta_corpus = documents_as_corpus(delta)
         timed("incremental_update_2pct",
               lambda: update_index(spark, delta_corpus, root, full_snapshot=False))
+
+        # reference metric: index size <= 2x source (README.md:393)
+        def du(path):
+            t = 0
+            for base, _, files in os.walk(path):
+                t += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+            return t
+
+        src_bytes = docs.agg(
+            F.sum(F.octet_length("text")).cast("long")
+        ).collect()[0][0] or 0
+        core_idx = sum(du(os.path.join(root, d))
+                       for d in ("postings", "term_stats", "doc_map", "corpus_stats"))
+        size_report = {
+            "source_bytes": int(src_bytes),
+            "index_bytes": core_idx,
+            "pairs_bytes": du(os.path.join(root, "pairs")),
+            "index_to_source_ratio": round(core_idx / max(src_bytes, 1), 3),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     build_s = timings.get("index_build", float("nan"))
+    sizes = size_report
     print(
         json.dumps(
             {
@@ -148,6 +168,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": cpus,
                 "indexed_docs_per_sec": round(n_docs / build_s, 1) if build_s else None,
+                **sizes,
             }
         )
     )

@@ -138,8 +138,11 @@ class BM25Index:
                 ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k, allowed)
             else:
                 total = int(pdf["n_docs"].sum()) if len(pdf) else 0
+                # measured crossover (120k-doc profile): block-max skipping
+                # wins for small k on long lists; exhaustive vectorized DAAT
+                # wins for large k (the heap floor rises too slowly to skip)
                 use_wand = q_strategy == "wand" or (
-                    q_strategy == "auto" and total > 50_000 and q_k * 20 < total
+                    q_strategy == "auto" and total > 50_000 and q_k <= 20
                 )
                 fn = _scorer.score_wand_or if use_wand else _scorer.score_exhaustive_or
                 ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed)
@@ -239,7 +242,7 @@ class BM25Index:
                 else:
                     total = sum(int(r["n_docs"]) for r in rows)
                     use_wand = q_strategy == "wand" or (
-                        q_strategy == "auto" and total > 50_000 and q_k * 20 < total
+                        q_strategy == "auto" and total > 50_000 and q_k <= 20
                     )
                     fn = (
                         _scorer.score_wand_or if use_wand
