@@ -521,6 +521,86 @@ FROM hs GROUP BY doc_id ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# additional ck query-surface checks: whole-word grep, k=1 edge,
+# pagination, near-miss
+# --------------------------------------------------------------------------
+
+WW_PATTERN = "row"
+
+
+def _q_grep_whole_word(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus, load_documents
+    from ck_spark.query.grep import files_with_matches
+
+    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    out = files_with_matches(corpus, WW_PATTERN, whole_word=True)
+    return out.select(F.col("path").cast("long").alias("doc_id")).orderBy("doc_id")
+
+
+def _q_bm25_paged(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import search_documents
+    from ck_spark.query.paging import paginate
+
+    full = search_documents(spark, sf_dir, "table value", k=40)
+    page = paginate(full, [F.desc("score"), F.asc("doc_id")], page=1, page_size=10)
+    return page.select("doc_id", F.round("score", 6).alias("score"))
+
+
+NEAR_MISS_THRESHOLD = 0.55
+
+
+def _q_bm25_near_miss(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import search_documents
+
+    full = search_documents(spark, sf_dir, "spark join window", k=20, normalize=True)
+    res = full.where(F.col("score") >= NEAR_MISS_THRESHOLD).withColumn(
+        "is_near_miss", F.lit(False)
+    )
+    near = (
+        full.where(F.col("score") < NEAR_MISS_THRESHOLD)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(1)
+        .withColumn("is_near_miss", F.lit(True))
+    )
+    return res.unionByName(near).select(
+        "doc_id", F.round("score", 6).alias("score"), "is_near_miss"
+    )
+
+
+_GREP_WW_SQL = f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '\\b{WW_PATTERN}\\b')
+ORDER BY doc_id"""
+
+_BM25_PAGED_SQL = f"""{_bm25_scored_cte(["table", "value"])},
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 40)
+SELECT doc_id, round(score, 6) AS score FROM top
+ORDER BY score DESC, doc_id OFFSET 10 LIMIT 10"""
+
+_BM25_NEAR_MISS_SQL = f"""{_bm25_scored_cte(["spark", "join", "window"])},
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+norm AS (SELECT doc_id, score / max(score) OVER () AS score FROM top),
+res AS (
+  SELECT doc_id, score, FALSE AS is_near_miss FROM norm
+  WHERE score >= {NEAR_MISS_THRESHOLD}
+),
+near AS (
+  SELECT doc_id, score, TRUE AS is_near_miss FROM norm
+  WHERE score < {NEAR_MISS_THRESHOLD}
+  ORDER BY score DESC, doc_id LIMIT 1
+)
+SELECT doc_id, round(score, 6) AS score, is_near_miss FROM res
+UNION ALL
+SELECT doc_id, round(score, 6) AS score, is_near_miss FROM near"""
+
+
+# --------------------------------------------------------------------------
 # semantic mode + ck-style hybrid + chunker
 # --------------------------------------------------------------------------
 
@@ -763,6 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_topk": _q_semantic_topk,
         "hybrid_lexical_semantic": _q_hybrid_lex_sem,
         "chunk_spans": _q_chunk_spans,
+        "grep_whole_word": _q_grep_whole_word,
+        "bm25_paged": _q_bm25_paged,
+        "bm25_near_miss": _q_bm25_near_miss,
     }
 
 
@@ -843,4 +926,7 @@ FROM h ORDER BY doc_id""",
         "semantic_topk": _semantic_topk_sql(),
         "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
         "chunk_spans": _CHUNK_SPANS_SQL,
+        "grep_whole_word": _GREP_WW_SQL,
+        "bm25_paged": _BM25_PAGED_SQL,
+        "bm25_near_miss": _BM25_NEAR_MISS_SQL,
     }

@@ -1,0 +1,82 @@
+"""Canonical schemas (SURVEY §7 target schemas). Fixed and code-defined —
+the reference has no schema inference anywhere (SURVEY §1.3) and neither
+does this engine."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _f(name, t, nullable=True):
+    return StructField(name, t, nullable)
+
+
+CORPUS = StructType([
+    _f("repo", StringType()),
+    _f("path", StringType()),
+    _f("commit", StringType()),
+    _f("lang", StringType()),
+    _f("content", StringType()),
+])
+
+DOC_MAP = StructType([
+    _f("doc_id", LongType()),
+    _f("repo", StringType()),
+    _f("path", StringType()),
+    _f("commit", StringType()),
+    _f("lang", StringType()),
+    _f("content_sha256", StringType()),
+    _f("doc_len", IntegerType()),
+    _f("is_binary", BooleanType()),
+    _f("seg", IntegerType()),
+])
+
+POSTINGS = StructType([
+    _f("term", StringType()),
+    _f("n_docs", IntegerType()),
+    _f("ids_blocks", ArrayType(BinaryType())),
+    _f("tfs_blocks", ArrayType(BinaryType())),
+    _f("dls_blocks", ArrayType(BinaryType())),
+    _f("block_max", ArrayType(FloatType())),
+    _f("block_last", ArrayType(LongType())),
+    _f("avgdl_enc", DoubleType()),
+    _f("seg", IntegerType()),
+    _f("bucket", IntegerType()),
+])
+
+TERM_STATS = StructType([
+    _f("bucket", IntegerType()),
+    _f("term", StringType()),
+    _f("df", LongType()),
+    _f("n_segments", LongType()),
+])
+
+CORPUS_STATS = StructType([
+    _f("n_docs", LongType()),
+    _f("avgdl", DoubleType()),
+    _f("total_tokens", LongType()),
+])
+
+SEARCH_RESULT = StructType([
+    _f("doc_id", LongType()),
+    _f("score", DoubleType()),
+])
+
+# SURVEY §1.1 Span — every grep/chunk result carries one
+SPAN = StructType([
+    _f("byte_start", LongType()),
+    _f("byte_end", LongType()),
+    _f("line_start", IntegerType()),
+    _f("line_end", IntegerType()),
+])
