@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,6 +73,58 @@ def grep(
     if topk is not None:
         out = out.limit(topk)
     return out
+
+
+def grep_spans(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
+    """Byte-accurate match spans, one row per regex match — the full F1
+    semantics (ck-engine/src/lib.rs:586-727: per line, per match, byte
+    offsets into the file; the reference regression-tests exact byte_start
+    values at lib.rs:1499-1536, mirrored in tests/test_grep.py).
+
+    This path needs per-match byte arithmetic over mixed line endings, so
+    it runs as an Arrow-batched pandas UDF (the one grep feature built-ins
+    can't express); the plain `grep` stays fully JVM-side."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from ck_spark.functions.chunker import split_lines_with_offsets
+
+    p = preprocess_pattern(pattern, **kw)
+    rx = _re.compile(p)
+    span_t = ArrayType(StructType([
+        StructField("line_no", IntegerType()),
+        StructField("byte_start", LongType()),
+        StructField("byte_end", LongType()),
+        StructField("match", StringType()),
+    ]))
+
+    @F.pandas_udf(span_t)
+    def find_spans(s: pd.Series) -> pd.Series:
+        def one(text):
+            out = []
+            if not text:
+                return out
+            for ln, (b0, _b1, line) in enumerate(split_lines_with_offsets(text), 1):
+                for m in rx.finditer(line):
+                    # byte offset of the match inside the line (utf-8)
+                    pre = len(line[: m.start()].encode("utf-8"))
+                    mb = len(m.group(0).encode("utf-8"))
+                    out.append(
+                        {"line_no": ln, "byte_start": b0 + pre,
+                         "byte_end": b0 + pre + mb, "match": m.group(0)}
+                    )
+            return out
+
+        return s.map(one)
+
+    return (
+        corpus.select("repo", "path", F.explode(find_spans("content")).alias("m"))
+        .select("repo", "path", "m.*")
+        .orderBy("path", "line_no", "byte_start")
+    )
 
 
 def grep_with_context(

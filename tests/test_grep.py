@@ -102,6 +102,41 @@ def test_context_lines(spark, corpus):
         assert len(r["context"]) <= 4
 
 
+def test_grep_spans_byte_exact(spark):
+    from ck_spark.query.grep import grep_spans
+
+    # mirrors the reference's exact-byte-offset regression
+    # (ck-engine/src/lib.rs:1499-1536: asserts byte_start 0/5/10/24)
+    rows = [
+        ("r", "a.txt", "c", "text", "test\ntest2\nanother test here\n"),
+        ("r", "b.txt", "c", "text", "héllo test\r\ntest\r\n"),  # utf-8 + CRLF
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+    got = [(r["path"], r["line_no"], r["byte_start"], r["byte_end"])
+           for r in grep_spans(df, "test").collect()]
+    assert got == [
+        ("a.txt", 1, 0, 4),
+        ("a.txt", 2, 5, 9),
+        ("a.txt", 3, 19, 23),
+        ("b.txt", 1, 7, 11),   # 'héllo ' = 7 bytes (é is 2)
+        ("b.txt", 2, 13, 17),  # after 'héllo test\r\n' = 13 bytes
+    ]
+    # the spans decode back to the matched text from raw bytes
+    raw = {p: c.encode("utf-8") for _, p, _, _, c in rows}
+    for r in grep_spans(df, "test").collect():
+        assert raw[r["path"]][r["byte_start"]:r["byte_end"]].decode() == r["match"]
+
+
+def test_grep_spans_multiple_per_line(spark):
+    from ck_spark.query.grep import grep_spans
+
+    df = spark.createDataFrame(
+        [("r", "x", "c", "t", "aXbXc\n")], ["repo", "path", "commit", "lang", "content"]
+    )
+    got = grep_spans(df, "X").collect()
+    assert [(r["byte_start"], r["byte_end"]) for r in got] == [(1, 2), (3, 4)]
+
+
 def test_count_matches(spark, corpus):
     df, _ = corpus
     rows = grep(df, "a", count_matches=True).limit(20).collect()
