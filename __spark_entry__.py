@@ -16,11 +16,54 @@ exercised against the pure-Python oracle in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# make ck_spark importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship ck_spark to executors (addPyFile zip) so UDFs unpickle even if
+    the driver session was created outside this repo (pickled-by-reference
+    module lookups happen on the worker)."""
+    done = getattr(_ensure_shipped, "_sessions", set())
+    key = id(spark)
+    if key in done:
+        return
+    import tempfile
+    import zipfile
+
+    zp = os.path.join(tempfile.gettempdir(), "ck_spark_pyfiles.zip")
+    if not os.path.exists(zp):
+        with zipfile.ZipFile(zp, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(_REPO, "ck_spark")
+            for base, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(base, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zp)
+    except Exception:  # noqa: BLE001 — already added / not supported: fine
+        pass
+    done.add(key)
+    _ensure_shipped._sessions = done
+
+
+def _shipped(fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
 
 K1, B = 1.2, 0.75
 
@@ -810,10 +853,15 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed BM25 top-k via the full inverted-index engine
     on the sf0.001 documents table."""
+    _ensure_shipped(spark)
     return _bm25("spark join window", k=20)(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _shipped(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_single_term": _bm25("spark", k=20),
         "bm25_topk_or": _bm25("spark join window", k=20),
