@@ -38,18 +38,27 @@ def _ensure_shipped(spark: SparkSession) -> None:
     key = id(spark)
     if key in done:
         return
+    import hashlib
     import tempfile
     import zipfile
 
-    zp = os.path.join(tempfile.gettempdir(), "ck_spark_pyfiles.zip")
+    pkg = os.path.join(_REPO, "ck_spark")
+    sources = []
+    for base, _, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(base, f))
+    h = hashlib.sha256()
+    for full in sorted(sources):
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    # content-addressed name: a code change ships a fresh zip, never stale
+    zp = os.path.join(tempfile.gettempdir(), f"ck_spark_pyfiles_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zp):
         with zipfile.ZipFile(zp, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(_REPO, "ck_spark")
-            for base, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(base, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zp)
     except Exception:  # noqa: BLE001 — already added / not supported: fine

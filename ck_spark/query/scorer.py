@@ -68,9 +68,12 @@ def _scope_filter(ids: np.ndarray, extras: list[np.ndarray], allowed: np.ndarray
     restriction, SURVEY §2.2 F3/F7). None = unscoped."""
     if allowed is None or ids.size == 0:
         return ids, extras
+    if allowed.size == 0:
+        empty = ids[:0]
+        return empty, [e[:0] for e in extras]
     pos = np.searchsorted(allowed, ids)
-    pos_c = np.minimum(pos, max(allowed.size - 1, 0))
-    keep = (allowed.size > 0) & (allowed[pos_c] == ids)
+    pos_c = np.minimum(pos, allowed.size - 1)
+    keep = allowed[pos_c] == ids
     return ids[keep], [e[keep] for e in extras]
 
 

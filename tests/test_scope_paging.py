@@ -81,6 +81,19 @@ def test_scope_pred_column(spark):
     assert [r["path"] for r in kept] == ["src/a.py"]
 
 
+def test_scope_excluding_entire_segments(spark, engine):
+    # a scope that matches very few docs leaves some doc-hash segments with
+    # postings but ZERO allowed docs — the scorer must not blow up there
+    idx, pdf, dm = engine
+    one_path = pdf[~pdf["path"].str.startswith("edge/")].iloc[0]["path"]
+    got = idx.search("def", k=10, include_prefixes=[one_path], with_paths=True).collect()
+    assert len(got) <= 1
+    if got:
+        assert got[0]["path"] == one_path
+    # scope matching nothing at all -> clean empty result
+    assert idx.search("def", k=10, include_prefixes=["no/such/prefix/"]).count() == 0
+
+
 def test_near_miss(spark, engine):
     idx, _, _ = engine
     res, near = idx.search_with_near_miss("parse buffer", k=10, threshold=0.9)
