@@ -59,9 +59,15 @@ def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     docs = load_documents(spark, sf_dir)
     par = min(spark.sparkContext.defaultParallelism, max(2, docs.count() // 512))
     corpus = documents_as_corpus(docs).repartition(par)
+    # mtime+size snapshot token (ck's manifest fast path,
+    # ck-index/src/lib.rs:851-906): a rewritten documents.parquet under the
+    # same path invalidates the cached index instead of being reused stale
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
     build_index(
         spark, corpus, root, mode="simple",
         n_segments=4, term_buckets=16, build_groups=2, resume=True,
+        snapshot_id=snap,
     )
     return BM25Index.load(spark, root)
 

@@ -107,6 +107,7 @@ def chunk_text(
     if not text:
         return []
     lines = split_lines_with_offsets(text)
+    data = text.encode("utf-8")  # encode once, slice per chunk
     window = max(1, max_tokens // TOKENS_PER_LINE)
     step = max(1, window - overlap_lines)
     chunks: list[Chunk] = []
@@ -117,7 +118,7 @@ def chunk_text(
         j = min(i + window, n)
         b0 = lines[i][0]
         b1 = lines[j - 1][1]
-        ctext = text.encode("utf-8")[b0:b1].decode("utf-8")
+        ctext = data[b0:b1].decode("utf-8")
         chunks.append(
             Chunk(
                 chunk_id=cid,

@@ -209,6 +209,11 @@ def _encode_and_write_postings(
 ) -> tuple[int, int]:
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
     with dynamic partition overwrite. Returns (rows, ~terms)."""
+    if pairs.isEmpty():
+        # nothing to encode (empty segment group / all docs removed from
+        # the affected segments) — Observation.get would hang/assert on a
+        # plan that never runs tasks
+        return 0, 0
     enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
     # explicit shuffle width on the exact grouping keys: Catalyst reuses
     # the partitioning for the groupBy (no second exchange) and AQE never
@@ -274,8 +279,16 @@ def build_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     block_size: int = BLOCK_SIZE,
+    snapshot_id: str = "input",
 ) -> IndexPaths:
-    """Build (or resume building) the inverted index under out_dir."""
+    """Build (or resume building) the inverted index under out_dir.
+
+    snapshot_id gates the resume of the tokenize-bearing stages (pairs,
+    doc_map): pass the input's Iceberg snapshot id / mtime+size token so a
+    rerun over DIFFERENT data into the same out_dir rebuilds instead of
+    reusing stale tokenization (ck's mtime/size fast path analogue,
+    ck-index/src/lib.rs:851-906). The default constant keeps same-corpus
+    resume (kill/rerun) working when no snapshot token is available."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest(out_dir)
@@ -286,7 +299,7 @@ def build_index(
 
     # ---- stage: pairs (the ONLY tokenize pass over content) ----------------
     t0 = time.time()
-    if not (resume and man.is_complete("pairs", 0, "input")):
+    if not (resume and man.is_complete("pairs", 0, snapshot_id)):
         docs = _with_doc_columns(corpus, mode, n_segments)
         pairs = _pairs_df(docs, term_buckets)
         # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
@@ -301,12 +314,12 @@ def build_index(
             .partitionBy("seg")
             .parquet(paths.pairs)
         )
-        man.complete("pairs", 0, "input", int(obs.get["rows"]), 0,
+        man.complete("pairs", 0, snapshot_id, int(obs.get["rows"]), 0,
                      int((time.time() - t0) * 1000), lineage="corpus->pairs")
 
     # ---- stage: doc_map (no tokenize: doc_len joined from pairs) -----------
     t0 = time.time()
-    fresh_doc_map = not (resume and man.is_complete("doc_map", 0, "input"))
+    fresh_doc_map = not (resume and man.is_complete("doc_map", 0, snapshot_id))
     if fresh_doc_map:
         base = (
             corpus.withColumn("doc_id", doc_id_expr())
@@ -338,7 +351,7 @@ def build_index(
             "rehash with a salt or widen the id space"
         )
     if fresh_doc_map:
-        man.complete("doc_map", 0, "input", n, 0, int((time.time() - t0) * 1000),
+        man.complete("doc_map", 0, snapshot_id, n, 0, int((time.time() - t0) * 1000),
                      lineage="corpus+pairs->doc_map")
 
     # ---- stage: corpus_stats ----------------------------------------------
@@ -378,6 +391,12 @@ def build_index(
         nterms = _write_term_stats(spark, paths)
         man.complete("term_stats", 0, snapshot, nterms, nterms,
                      int((time.time() - t0) * 1000), lineage="postings->term_stats")
+    else:
+        nterms = next(
+            (r["terms"] for r in man.records()
+             if r["stage"] == "term_stats" and r["input_snapshot"] == snapshot),
+            None,
+        )
 
     man.save_meta(
         {
@@ -391,6 +410,7 @@ def build_index(
             "block_size": block_size,
             "avgdl": avgdl,
             "n_docs": int(srow["n_docs"]),
+            "n_terms": int(nterms) if nterms is not None else None,
             "input_snapshot": snapshot,
         }
     )
@@ -550,7 +570,8 @@ def update_index(
         spark, pairs_aff, paths.postings, avgdl,
         float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
     )
-    _write_term_stats(spark, paths)
+    n_terms = _write_term_stats(spark, paths)
+    meta["n_terms"] = int(n_terms)
 
     _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
     meta.update({"avgdl": avgdl, "n_docs": int(srow["n_docs"]), "input_snapshot": snapshot})

@@ -132,9 +132,16 @@ class BM25Index:
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         q_mode, q_strategy, q_k = mode, strategy, int(k)
 
+        n_query_terms = len(found_terms)
+
         def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             if q_mode == "and":
+                # a conjunctive match needs EVERY query term present in
+                # this segment; a missing posting row means no doc here
+                # can match (same guard as search_many)
+                if len({r["term"] for r in rows}) < n_query_terms:
+                    return pd.DataFrame({"doc_id": [], "score": []})
                 ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k, allowed)
             else:
                 total = int(pdf["n_docs"].sum()) if len(pdf) else 0

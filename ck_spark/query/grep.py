@@ -143,8 +143,9 @@ def grep_with_context(
         F.posexplode("lines").alias("pos", "line"),
     ).where(F.col("line").rlike(p))
     start = F.greatest(F.lit(1), F.col("pos") + 1 - before)
+    # window spans [start, match_line + after]
     length = F.least(
-        F.size("lines") - start + 1, F.lit(before + after + 1) + F.col("pos") + 1 - start
+        F.size("lines") - start + 1, F.lit(after + 1) + F.col("pos") + 1 - start
     )
     return (
         hits.withColumn("line_no", F.col("pos") + 1)
