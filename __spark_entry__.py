@@ -340,6 +340,58 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+NEAR_DUP_COS = 0.4  # random 64-dim embeddings: >=0.4 is a rare near-pair
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.similarity import embedding_near_dup
+
+    out = embedding_near_dup(_emb(spark, sf_dir), threshold=NEAR_DUP_COS,
+                             n_planes=ANN_PLANES, dim=64)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_near_dup_sql() -> str:
+    planes = ["[" + ", ".join(f"sin({i * 101 + j + 1}.0)" for j in range(64)) + "]"
+              for i in range(ANN_PLANES)]
+    zip_cols = ", ".join(f"unnest({p}) AS q{i}" for i, p in enumerate(planes))
+    dot_cols = ", ".join(f"sum(CAST(e AS DOUBLE) * q{i}) AS d{i}" for i in range(ANN_PLANES))
+    bucket = " + ".join(f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END"
+                        for i in range(ANN_PLANES))
+    return f"""WITH zz AS (
+  SELECT vec_id, unnest(embedding) AS e, {zip_cols} FROM embeddings
+),
+agg AS (
+  SELECT vec_id, {dot_cols},
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n2
+  FROM zz GROUP BY vec_id
+),
+bucketed AS (SELECT vec_id, {bucket} AS bkt, sqrt(n2) AS nrm FROM agg),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS nrm_a, b.nrm AS nrm_b
+  FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+pz AS (
+  SELECT c.id_a, c.id_b, c.nrm_a, c.nrm_b,
+         unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+pd AS (
+  SELECT id_a, id_b, sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+         any_value(nrm_a) AS nrm_a, any_value(nrm_b) AS nrm_b
+  FROM pz GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(dot / (nrm_a * nrm_b), 6) AS cosine
+FROM pd WHERE dot / (nrm_a * nrm_b) >= {NEAR_DUP_COS}
+ORDER BY id_a, id_b"""
+
+
 def _q_token_counts(spark, sf_dir):
     from ck_spark.ops.textstats import token_counts
 
@@ -890,6 +942,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -975,6 +1028,7 @@ FROM h ORDER BY doc_id""",
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "dedup_embedding_cosine": _embedding_near_dup_sql(),
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
