@@ -231,14 +231,14 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ck_spark.query.hybrid import add_rank, rrf_fuse
 
     bm = search_documents(spark, sf_dir, " ".join(HYBRID_BM25_TERMS), k=30)
-    bm_r = add_rank(bm, [F.desc("score"), F.asc("doc_id")])
+    bm_r = add_rank(bm, [F.desc("score"), F.asc("doc_id")], 30)
 
     corpus = documents_as_corpus(load_documents(spark, sf_dir))
     gr = (
         grep(corpus, HYBRID_GREP, count_matches=True)
         .select(F.col("path").cast("long").alias("doc_id"), "n_matches")
     )
-    gr_r = add_rank(gr, [F.desc("n_matches"), F.asc("doc_id")]).where(F.col("rank") <= 30)
+    gr_r = add_rank(gr, [F.desc("n_matches"), F.asc("doc_id")], 30)
 
     fused = rrf_fuse([bm_r, gr_r], ["doc_id"], k=20)
     return fused.select("doc_id", F.round("rrf_score", 9).alias("rrf_score"))

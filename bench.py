@@ -83,11 +83,11 @@ def main() -> None:
 
         def hybrid():
             bm = add_rank(idx.search("spark join", k=100),
-                          [F.desc("score"), F.asc("doc_id")])
+                          [F.desc("score"), F.asc("doc_id")], 100)
             gr = add_rank(
                 grep(corpus, "window", count_matches=True)
                 .select(F.col("path").alias("doc_id"), "n_matches"),
-                [F.desc("n_matches"), F.asc("doc_id")],
+                [F.desc("n_matches"), F.asc("doc_id")], 100,
             )
             return rrf_fuse([bm, gr], ["doc_id"], k=100).collect()
 

@@ -162,4 +162,12 @@ def block_max_partial(
     pad = nblocks * block - n
     if pad:
         partial = np.concatenate([partial, np.zeros(pad)])
-    return partial.reshape(nblocks, block).max(axis=1).astype(np.float32)
+    true_max = partial.reshape(nblocks, block).max(axis=1)
+    f32 = true_max.astype(np.float32)
+    # float32 round-to-nearest can land BELOW the float64 maximum; a stored
+    # bound below the true max would make WAND/MaxScore pruning unsound for
+    # docs within ~1e-7 of the top-k floor. Round UP when narrowing.
+    low = f32.astype(np.float64) < true_max
+    if low.any():
+        f32[low] = np.nextafter(f32[low], np.float32(np.inf))
+    return f32

@@ -26,7 +26,6 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ck_spark.constants import (
     LEXICAL_DEFAULT_TOPK,
@@ -39,6 +38,26 @@ from ck_spark.query import scorer as _scorer
 from ck_spark.tokenizer import tokenize
 
 _RESULT_SCHEMA = "doc_id long, score double"
+
+_OR_SCORERS = {
+    "exhaustive": _scorer.score_exhaustive_or,
+    "wand": _scorer.score_wand_or,
+    "maxscore": _scorer.score_maxscore_or,
+}
+
+
+def _pick_or_scorer(strategy: str, total_postings: int, k: int):
+    """Strategy selection for disjunctive queries (all are rank-identical;
+    only the amount of decoding differs). Measured crossover (120k-doc
+    profile): below ~50k postings the vectorized exhaustive DAAT wins on
+    constant factors; above it, block-max WAND skips best for small k and
+    MaxScore's essential-list pruning covers broad queries at larger k
+    (WAND's floor rises too slowly there to skip blocks)."""
+    if strategy != "auto":
+        return _OR_SCORERS[strategy]
+    if total_postings <= 50_000:
+        return _scorer.score_exhaustive_or
+    return _scorer.score_wand_or if k <= 20 else _scorer.score_maxscore_or
 
 
 @dataclass
@@ -145,13 +164,7 @@ class BM25Index:
                 ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k, allowed)
             else:
                 total = int(pdf["n_docs"].sum()) if len(pdf) else 0
-                # measured crossover (120k-doc profile): block-max skipping
-                # wins for small k on long lists; exhaustive vectorized DAAT
-                # wins for large k (the heap floor rises too slowly to skip)
-                use_wand = q_strategy == "wand" or (
-                    q_strategy == "auto" and total > 50_000 and q_k <= 20
-                )
-                fn = _scorer.score_wand_or if use_wand else _scorer.score_exhaustive_or
+                fn = _pick_or_scorer(q_strategy, total, q_k)
                 ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -248,13 +261,7 @@ class BM25Index:
                     ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k)
                 else:
                     total = sum(int(r["n_docs"]) for r in rows)
-                    use_wand = q_strategy == "wand" or (
-                        q_strategy == "auto" and total > 50_000 and q_k <= 20
-                    )
-                    fn = (
-                        _scorer.score_wand_or if use_wand
-                        else _scorer.score_exhaustive_or
-                    )
+                    fn = _pick_or_scorer(q_strategy, total, q_k)
                     ids, scores = fn(rows, idfs, avgdl, k1, b, q_k)
                 out_q.extend([plan["qid"]] * len(ids))
                 out_d.extend(ids.tolist())
@@ -300,8 +307,13 @@ class BM25Index:
         if normalize:
             # max-normalize AFTER top-k, as the reference does (rank-
             # preserving, ck-engine/src/lib.rs:820-843): scores -> (0, 1].
-            out = out.withColumn(
-                "score", F.col("score") / F.max("score").over(Window.partitionBy())
+            # scalar agg + broadcast cross-join instead of an unpartitioned
+            # window: the ≤k rows never single-partition through WindowExec.
+            mx = out.agg(F.max("score").alias("_max_score"))
+            out = (
+                out.crossJoin(F.broadcast(mx))
+                .withColumn("score", F.col("score") / F.col("_max_score"))
+                .drop("_max_score")
             )
         if threshold is not None:
             out = out.where(F.col("score") >= F.lit(threshold))

@@ -12,16 +12,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ck_spark.constants import RRF_K
 
 
-def add_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
-    """1-based rank by the given ordering (deterministic: callers must
-    include a unique tiebreaker column)."""
-    w = Window.orderBy(*order_cols)
-    return df.withColumn(rank_col, F.row_number().over(w))
+def add_rank(
+    df: DataFrame, order_cols: list, limit: int, rank_col: str = "rank"
+) -> DataFrame:
+    """1-based rank by the given ordering over the TOP `limit` rows.
+
+    RRF consumes bounded rank lists by definition (a doc at rank > limit
+    contributes < 1/(rrf_k+limit) — the caller picks the cutoff), so rank
+    assignment is: distributed top-limit (TakeOrderedAndProject), collapse
+    the ≤limit survivors to one partition, re-sort locally, number rows.
+    No unpartitioned WindowExec — an unbounded input can never be moved
+    whole to a single partition (the 100×-scale footgun this replaces).
+
+    order_cols must include a unique tiebreaker column for determinism."""
+    bounded = (
+        df.orderBy(*order_cols)
+        .limit(int(limit))
+        .coalesce(1)
+        # re-sort within the single partition: guarantees row order no
+        # matter how the limit was executed
+        .sortWithinPartitions(*order_cols)
+    )
+    # single partition => monotonically_increasing_id is 0..n-1 in row order
+    return bounded.withColumn(
+        rank_col, (F.monotonically_increasing_id() + 1).cast("int")
+    )
 
 
 def rrf_fuse(

@@ -1,15 +1,15 @@
 """Cursorless pagination over a deterministic ordering.
 
 The rebuild of ck's MCP pagination (cursor + page_size, default 50, max
-200 — ck-cli/src/mcp_server.rs:123-237). row_number over the caller's
-total ordering, sliced to [offset+1, offset+page_size].
+200 — ck-cli/src/mcp_server.rs:123-237). Distributed top-(offset+page)
+via TakeOrderedAndProject, then a local slice of the bounded survivors —
+never an unpartitioned window over the full input.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 DEFAULT_PAGE_SIZE = 50
 MAX_PAGE_SIZE = 200
@@ -20,12 +20,23 @@ def paginate(
     page_size: int = DEFAULT_PAGE_SIZE,
 ) -> DataFrame:
     """Return page `page` (0-based). order_cols must totally order the
-    rows (include a unique tiebreaker) or pages can overlap."""
+    rows (include a unique tiebreaker) or pages can overlap.
+
+    Plan: orderBy().limit(offset+page_size) is a distributed partial
+    top-k (each task keeps ≤ offset+page_size rows); only that bounded
+    set collapses to one partition for row numbering. The previous
+    row_number-over-everything formulation single-partitioned the whole
+    input — this one is safe under a 100× caller."""
     page_size = min(page_size, MAX_PAGE_SIZE)
-    w = Window.orderBy(*order_cols)
     lo = page * page_size
+    bounded = (
+        df.orderBy(*order_cols)
+        .limit(lo + page_size)
+        .coalesce(1)
+        .sortWithinPartitions(*order_cols)
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > lo) & (F.col("_rn") <= lo + page_size))
+        bounded.withColumn("_rn", F.monotonically_increasing_id() + 1)
+        .where(F.col("_rn") > lo)
         .drop("_rn")
     )

@@ -1,18 +1,28 @@
 """Segment-local BM25 scoring kernels (numpy; run inside applyInPandas).
 
-Two rank-identical strategies, selected per segment:
+Three rank-identical strategies, selected per segment:
 
 - ``exhaustive``: vectorized document-at-a-time union scoring. Decodes all
   blocks, accumulates per-doc scores with np.add.at over the union index,
   top-k via argpartition. Optimal when the segment's posting mass is small
   or the query is broad (most blocks would be touched anyway).
 
-- ``wand``: block-max WAND. Maintains the running top-k floor θ; decodes a
-  block only when the sum of the participating terms' block-max upper
-  bounds (idf · stored idf-independent factor) can beat θ. Wins when lists
-  are long and k is small — the 10^12-doc regime.
+- ``wand``: block-max WAND. Blocks are visited in descending optimistic
+  bound; a block is decoded only while its bound can beat the running
+  top-k floor θ. Fully vectorized: blocks are decoded in batches and
+  merged into a sorted numpy accumulator (no per-posting Python loop).
+  Wins when lists are long and k is small — the 10^12-doc regime.
 
-Both implement the Lucene/tantivy BM25:
+- ``maxscore``: term-at-a-time MaxScore. Terms are processed in
+  descending max-contribution order; once the remaining terms' summed
+  upper bound falls below θ they become NON-ESSENTIAL — they can no
+  longer lift an unseen doc into the top-k, so their lists are consulted
+  only to complete the scores of surviving candidates, decoding only the
+  blocks that contain a candidate (block_last navigation). Covers the
+  broad-OR / larger-k regime where WAND's per-block floor rises too
+  slowly to skip anything.
+
+All three implement the Lucene/tantivy BM25:
   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
   s(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 matching the reference's scoring (tantivy 0.24 defaults; SURVEY.md §2.4 A1).
@@ -25,8 +35,6 @@ QueryParser; the north rule makes intersection an explicit operator
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 from ck_spark.codec import (
@@ -35,6 +43,15 @@ from ck_spark.codec import (
     decode_posting_ids,
     decode_u32s,
 )
+
+# Stored block_max values are float32 (round-to-nearest can land BELOW the
+# true float64 maximum); scale every upper bound up by a margin comfortably
+# above float32's 2^-24 relative error so pruning stays sound even for
+# indexes built before the codec's round-up fix. Costs at most a handful of
+# extra block decodes per query.
+_UB_SAFETY = 1.0 + 1e-6
+
+_WAND_BATCH = 64  # blocks decoded per accumulator merge
 
 
 def idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
@@ -77,16 +94,51 @@ def _scope_filter(ids: np.ndarray, extras: list[np.ndarray], allowed: np.ndarray
     return ids[keep], [e[keep] for e in extras]
 
 
+def _scaled_ubs(row: dict, w: float, avgdl: float) -> np.ndarray:
+    """idf-scaled per-block score upper bounds, corrected for avgdl drift.
+
+    Incremental updates re-encode segments under the then-current avgdl;
+    stored bounds stay sound under a grown avgdl when scaled by the ratio
+    (partial(avgdl·r) <= r·partial(avgdl) for r >= 1)."""
+    ubs = w * np.asarray(row["block_max"], dtype=np.float64)
+    enc = float(row.get("avgdl_enc") or avgdl)
+    if enc > 0 and avgdl > enc:
+        ubs = ubs * (avgdl / enc)
+    return ubs * _UB_SAFETY
+
+
+def _decode_term(row: dict, allowed: np.ndarray | None):
+    ids = decode_all_blocks(row["ids_blocks"]).astype(np.int64)
+    tfs = decode_all_u32_blocks(row["tfs_blocks"])
+    dls = decode_all_u32_blocks(row["dls_blocks"])
+    ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
+    return ids, tfs, dls
+
+
+def _merge_acc(acc_ids, acc_scores, new_ids, new_contrib):
+    """Merge (ids, contrib) postings into a unique-id accumulator —
+    vectorized replacement for the per-posting dict loop."""
+    ids = np.concatenate([acc_ids, new_ids])
+    sc = np.concatenate([acc_scores, new_contrib])
+    uids, inv = np.unique(ids, return_inverse=True)
+    out = np.zeros(uids.size)
+    np.add.at(out, inv, sc)
+    return uids, out
+
+
+def _theta(scores: np.ndarray, k: int) -> float:
+    if scores.size < k:
+        return -np.inf
+    return float(np.partition(scores, scores.size - k)[scores.size - k])
+
+
 def score_exhaustive_or(term_rows: list[dict], idfs: dict, avgdl: float,
                         k1: float, b: float, k: int,
                         allowed: np.ndarray | None = None):
     """term_rows: [{term, ids_blocks, tfs_blocks, dls_blocks}, ...]"""
     all_ids, all_contrib = [], []
     for row in term_rows:
-        ids = decode_all_blocks(row["ids_blocks"]).astype(np.int64)
-        tfs = decode_all_u32_blocks(row["tfs_blocks"])
-        dls = decode_all_u32_blocks(row["dls_blocks"])
-        ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
+        ids, tfs, dls = _decode_term(row, allowed)
         w = idfs[row["term"]]
         all_ids.append(ids)
         all_contrib.append(w * _partial(tfs, dls, avgdl, k1, b))
@@ -137,69 +189,153 @@ def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
 def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
                   k1: float, b: float, k: int,
                   allowed: np.ndarray | None = None):
-    """Block-max WAND over independently-decodable blocks.
+    """Block-max WAND over independently-decodable blocks, vectorized.
 
-    Visit blocks in descending optimistic bound, where a block's bound is
-    its own idf·block_max plus every other query term's global max
-    contribution. Maintain θ = k-th largest accumulated (partial) score.
-    Stop when no remaining block's bound can beat θ.
+    A block's optimistic bound is its own idf·block_max plus every other
+    query term's global max contribution — static, so the visit order is
+    one descending argsort (no priority queue). Blocks are decoded in
+    batches of _WAND_BATCH and merged into a sorted numpy accumulator;
+    θ = k-th largest accumulated (partial) score refreshes per batch.
+    Stop when the next unvisited block's bound < θ.
 
     Soundness of the early exit: partial scores are lower bounds, so θ
     only underestimates the true k-th score; a skipped block's bound < θ
     implies every doc in it has true score < θ. A doc whose partial score
     reaches θ provably has all of its blocks decoded (otherwise the skipped
     block's bound would exceed θ), so every returned score is exact and
-    rank-identical to the exhaustive strategy — asserted in tests."""
+    rank-identical to the exhaustive strategy — asserted in tests.
+    Batching only ever decodes a superset of the one-at-a-time schedule,
+    so it cannot break the invariant."""
     if not term_rows:
         return np.empty(0, dtype=np.int64), np.empty(0)
     per_term = []
     for row in term_rows:
         w = idfs[row["term"]]
-        ubs = w * np.asarray(row["block_max"], dtype=np.float64)
-        # Incremental updates re-encode segments under the then-current
-        # avgdl; stored bounds stay sound under a grown avgdl when scaled
-        # by the ratio (partial(avgdl·r) <= r·partial(avgdl) for r >= 1).
-        enc = float(row.get("avgdl_enc") or avgdl) if isinstance(row, dict) else avgdl
-        if enc > 0 and avgdl > enc:
-            ubs = ubs * (avgdl / enc)
-        per_term.append((row, w, ubs))
-    max_ub = [float(ubs.max()) if ubs.size else 0.0 for _, _, ubs in per_term]
+        per_term.append((row, w, _scaled_ubs(row, w, avgdl)))
+    max_ub = np.array(
+        [float(ubs.max()) if ubs.size else 0.0 for _, _, ubs in per_term]
+    )
+    total_ub = float(max_ub.sum())
 
-    # heap of candidate blocks across terms ordered by optimistic bound
-    heap = []
-    for ti, (row, w, ubs) in enumerate(per_term):
-        others = sum(max_ub) - max_ub[ti]
-        for j, ub in enumerate(ubs):
-            heapq.heappush(heap, (-(ub + others), ti, j))
+    # flat static block table: (bound desc) visit order
+    b_ti = np.concatenate(
+        [np.full(ubs.size, ti, dtype=np.int32) for ti, (_, _, ubs) in enumerate(per_term)]
+    ) if per_term else np.empty(0, dtype=np.int32)
+    b_j = np.concatenate(
+        [np.arange(ubs.size, dtype=np.int32) for _, _, ubs in per_term]
+    ) if per_term else np.empty(0, dtype=np.int32)
+    b_bound = np.concatenate(
+        [ubs + (total_ub - max_ub[ti]) for ti, (_, _, ubs) in enumerate(per_term)]
+    ) if per_term else np.empty(0)
+    order = np.argsort(-b_bound, kind="stable")
+    b_ti, b_j, b_bound = b_ti[order], b_j[order], b_bound[order]
 
-    acc: dict[int, float] = {}
-    topk: list[float] = []  # min-heap of current top-k scores
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_scores = np.empty(0)
+    pos, nblocks = 0, b_bound.size
+    while pos < nblocks:
+        th = _theta(acc_scores, k)
+        if b_bound[pos] < th:
+            break  # bounds are descending: nothing left can beat the floor
+        end = min(pos + _WAND_BATCH, nblocks)
+        # only blocks in this batch that still beat θ (batch tail may not)
+        batch = np.flatnonzero(b_bound[pos:end] >= th) + pos
+        new_ids, new_contrib = [], []
+        for bi in batch:
+            row, w, _ = per_term[b_ti[bi]]
+            j = int(b_j[bi])
+            ids = decode_posting_ids(row["ids_blocks"][j]).astype(np.int64)
+            tfs = decode_u32s(row["tfs_blocks"][j])
+            dls = decode_u32s(row["dls_blocks"][j])
+            ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
+            if ids.size:
+                new_ids.append(ids)
+                new_contrib.append(w * _partial(tfs, dls, avgdl, k1, b))
+        if new_ids:
+            acc_ids, acc_scores = _merge_acc(
+                acc_ids, acc_scores,
+                np.concatenate(new_ids), np.concatenate(new_contrib),
+            )
+        pos = end
+    return _topk(acc_ids, acc_scores, k)
 
-    def theta() -> float:
-        return topk[0] if len(topk) >= k else -np.inf
 
-    decoded_blocks = set()
-    while heap:
-        neg_bound, ti, j = heapq.heappop(heap)
-        if -neg_bound < theta():
-            break  # no remaining block can beat the floor
-        if (ti, j) in decoded_blocks:
-            continue
-        decoded_blocks.add((ti, j))
-        row, w, _ = per_term[ti]
-        ids = decode_posting_ids(row["ids_blocks"][j]).astype(np.int64)
-        tfs = decode_u32s(row["tfs_blocks"][j])
-        dls = decode_u32s(row["dls_blocks"][j])
-        ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
-        contrib = w * _partial(tfs, dls, avgdl, k1, b)
-        for d, c in zip(ids.tolist(), contrib.tolist()):
-            acc[d] = acc.get(d, 0.0) + c
-        # refresh floor from accumulated exact-so-far scores (lower bounds)
-        if len(acc) >= k:
-            topk = heapq.nlargest(k, acc.values())
-            heapq.heapify(topk)
-    if not acc:
+def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
+                      k1: float, b: float, k: int,
+                      allowed: np.ndarray | None = None):
+    """Term-at-a-time MaxScore (Turtle & Flood's essential-list pruning,
+    re-expressed over the block codec).
+
+    Phase 1 — seed: process terms in descending max-contribution order,
+    fully decoding each list into the accumulator, until the REMAINING
+    terms' summed upper bound (`tail`) drops below θ (k-th largest
+    accumulated partial score). At that point no doc outside the
+    accumulator can reach the top-k (its score ≤ tail < θ ≤ final k-th).
+
+    Phase 2 — complete: candidates are accumulated docs with
+    score + tail ≥ θ. Each non-essential term contributes only to
+    candidates, so only the blocks containing a candidate are decoded
+    (block_last navigation). tail shrinks and θ rises after each term,
+    re-pruning candidates.
+
+    Exactness: every pruned doc's total is strictly below the final k-th
+    score (see inequalities above), and every surviving candidate's score
+    is completed exactly — so results are rank- and score-identical to
+    exhaustive, asserted in tests."""
+    if not term_rows:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-    return _topk(ids, scores, k)
+    per_term = []
+    for row in term_rows:
+        w = idfs[row["term"]]
+        ubs = _scaled_ubs(row, w, avgdl)
+        per_term.append((row, w, float(ubs.max()) if ubs.size else 0.0))
+    per_term.sort(key=lambda t: -t[2])
+    maxes = np.array([m for _, _, m in per_term])
+    # suffix[i] = sum of max contributions of terms i.. (upper bound on
+    # what the not-yet-processed terms can add to any single doc)
+    suffix = np.concatenate([np.cumsum(maxes[::-1])[::-1], [0.0]])
+
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_scores = np.empty(0)
+    split = len(per_term)
+    for i, (row, w, _) in enumerate(per_term):
+        th = _theta(acc_scores, k)
+        if suffix[i] < th:
+            split = i
+            break
+        ids, tfs, dls = _decode_term(row, allowed)
+        if ids.size:
+            acc_ids, acc_scores = _merge_acc(
+                acc_ids, acc_scores, ids, w * _partial(tfs, dls, avgdl, k1, b)
+            )
+
+    if split == len(per_term):  # every term was essential
+        return _topk(acc_ids, acc_scores, k)
+
+    cand_ids, cand_scores = acc_ids, acc_scores
+    for i in range(split, len(per_term)):
+        th = _theta(cand_scores, k)
+        tail = suffix[i]
+        keep = cand_scores + tail >= th
+        cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+        if cand_ids.size == 0:
+            break
+        row, w, _ = per_term[i]
+        block_last = np.asarray(row["block_last"], dtype=np.int64)
+        # the only block that can contain doc d is the first with last >= d
+        bsel = np.searchsorted(block_last, cand_ids)
+        bsel = np.unique(bsel[bsel < block_last.size])
+        for j in bsel:
+            j = int(j)
+            ids = decode_posting_ids(row["ids_blocks"][j]).astype(np.int64)
+            tfs = decode_u32s(row["tfs_blocks"][j])
+            dls = decode_u32s(row["dls_blocks"][j])
+            pos = np.searchsorted(ids, cand_ids)
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = ids[pos_c] == cand_ids
+            if hit.any():
+                # cand_scores is a fresh copy (boolean `keep` indexing), so
+                # in-place accumulation across this term's blocks is safe
+                contrib = w * _partial(tfs[pos_c[hit]], dls[pos_c[hit]], avgdl, k1, b)
+                cand_scores[hit] += contrib
+    return _topk(cand_ids, cand_scores, k)

@@ -69,15 +69,18 @@ def hybrid_lexical_semantic(
     k: int = SEMANTIC_DEFAULT_TOPK,
     lexical_key: str = "doc_id",
     semantic_key: str = "vec_id",
+    list_limit: int = 1000,
 ) -> DataFrame:
     """ck's hybrid mode at doc granularity: rank both lists, RRF k=60.
-    lexical must carry (doc_id, score); semantic (vec_id, cosine)."""
+    lexical must carry (doc_id, score); semantic (vec_id, cosine).
+    list_limit bounds each rank list (inputs are top-k lists already;
+    the cap makes rank assignment shuffle-safe at any scale)."""
     lex_r = add_rank(
         lexical.select(F.col(lexical_key).alias("doc_id"), "score"),
-        [F.desc("score"), F.asc("doc_id")],
+        [F.desc("score"), F.asc("doc_id")], list_limit,
     )
     sem_r = add_rank(
         semantic.select(F.col(semantic_key).alias("doc_id"), "cosine"),
-        [F.desc("cosine"), F.asc("doc_id")],
+        [F.desc("cosine"), F.asc("doc_id")], list_limit,
     )
     return rrf_fuse([lex_r, sem_r], ["doc_id"], k=k)

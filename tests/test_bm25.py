@@ -78,13 +78,23 @@ def test_rare_term_rank_identity(engine):
     _assert_matches_oracle(idx, docs, _rare_term(docs), k=10, mode="or")
 
 
-def test_wand_equals_exhaustive(engine):
+@pytest.mark.parametrize("strategy", ["wand", "maxscore"])
+def test_pruned_strategies_equal_exhaustive(engine, strategy):
+    """All three OR strategies must be rank- AND score-identical; only the
+    amount of block decoding differs (block-skip soundness proof)."""
     idx, docs = engine
+    # scores within 1 ulp (different docs, float-associativity of the
+    # per-strategy accumulation order) are genuine ties: canonicalize by
+    # (score@9dp desc, doc_id) before comparing ranks
+    canon = lambda rows: sorted(rows, key=lambda t: (-round(t[1], 9), t[0]))  # noqa: E731
     for q in ["def", "parse buffer", "merge split cache", _rare_term(docs)]:
-        a = _run(idx, q, k=5, strategy="wand")
-        b = _run(idx, q, k=5, strategy="exhaustive")
-        assert [d for d, _ in a] == [d for d, _ in b]
-        np.testing.assert_allclose([s for _, s in a], [s for _, s in b], rtol=1e-12)
+        for k in (1, 5, 50):
+            a = canon(_run(idx, q, k=k, strategy=strategy))
+            b = canon(_run(idx, q, k=k, strategy="exhaustive"))
+            assert [d for d, _ in a] == [d for d, _ in b], (q, k, strategy)
+            np.testing.assert_allclose(
+                [s for _, s in a], [s for _, s in b], rtol=1e-9
+            )
 
 
 def test_topk_edges(engine):

@@ -12,8 +12,8 @@ def two_lists(spark):
     b = spark.createDataFrame(
         [(3, 10.0), (5, 9.0), (1, 8.0)], ["doc_id", "score"]
     )
-    ra = add_rank(a, [F.desc("score"), F.asc("doc_id")])
-    rb = add_rank(b, [F.desc("score"), F.asc("doc_id")])
+    ra = add_rank(a, [F.desc("score"), F.asc("doc_id")], 10)
+    rb = add_rank(b, [F.desc("score"), F.asc("doc_id")], 10)
     return ra, rb
 
 

@@ -109,14 +109,14 @@ def test_regex_fixed_word_grep(rig):
 
 def test_hybrid_rrf_k60(rig):
     idx, corpus, pdf, docs = rig
-    bm = add_rank(idx.search("parse buffer", k=20), [F.desc("score"), F.asc("doc_id")])
+    bm = add_rank(idx.search("parse buffer", k=20), [F.desc("score"), F.asc("doc_id")], 20)
     gr_docs = (
         grep(corpus, "marker", count_matches=True)
         .groupBy("path").agg(F.sum("n_matches").alias("n"))
     )
     dm = idx.spark.read.parquet(idx.paths.doc_map).select("doc_id", "path")
     gr = add_rank(gr_docs.join(dm, "path").select("doc_id", "n"),
-                  [F.desc("n"), F.asc("doc_id")])
+                  [F.desc("n"), F.asc("doc_id")], 1000)
     fused = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([bm, gr], ["doc_id"]).collect()}
     # python oracle for rrf
     bm_o = bm25_rank(docs, "parse buffer", k=20, tokenizer_mode="code")
