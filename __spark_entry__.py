@@ -87,7 +87,7 @@ raw AS (
   FROM documents
 ),
 tok AS (
-  SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 40
+  SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 39
 ),
 dl AS (
   SELECT d.doc_id, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS dl
@@ -422,7 +422,7 @@ _SQL_TOKS = """
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     t -> t <> '' AND length(t) <= 40) AS toks
+                     t -> t <> '' AND length(t) <= 39) AS toks
   FROM documents
 )
 """

@@ -148,7 +148,6 @@ def main() -> None:
         size_report = {
             "source_bytes": int(src_bytes),
             "index_bytes": core_idx,
-            "pairs_bytes": du(os.path.join(root, "pairs")),
             "index_to_source_ratio": round(core_idx / max(src_bytes, 1), 3),
         }
     finally:

@@ -8,7 +8,9 @@ Reference provenance (cited for parity checking, not copied):
   (ck-engine/src/lib.rs:771-775).
 - RRF fusion constant k=60 (ck-engine/src/lib.rs:1031).
 - Semantic defaults top_k=10, threshold=0.6 (ck-cli/src/main.rs:1687-1695).
-- Max token length 40 chars: tantivy default analyzer's remove-long filter.
+- Max token length 40: tantivy default analyzer's RemoveLongFilter with
+  limit 40 KEEPS only tokens whose byte length is < 40 (predicate is
+  len < limit), so 40-byte tokens are dropped.
 """
 
 BM25_K1 = 1.2

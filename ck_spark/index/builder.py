@@ -4,15 +4,17 @@ Pipeline (each stage checkpointed in the manifest; resume skips complete
 stages for the same input snapshot):
 
   corpus (repo, path, commit, lang, content)
-    │  one tokenize pass (Arrow pandas UDF emits map<term,tf> per doc —
+    │  ONE tokenize pass (Arrow pandas UDF emits map<term,tf> per doc —
     │  tf aggregation is executor-local, so the big shuffle carries one
     │  row per distinct (term, doc) instead of per token occurrence)
-    ├─ doc_map       doc_id, sha256, doc_len …      partitioned by seg
+    ├─ doc_map       doc_id, sha256, doc_len, …, tfm   partitioned by seg
+    │                 (the tokenized table IS the doc map: readers that
+    │                 only need paths/lengths prune the tfm column at the
+    │                 parquet scan — no second copy, no doc_len shuffle,
+    │                 no second corpus scan)
     ├─ corpus_stats  N, avgdl (over indexed = non-binary docs)
-    ├─ pairs         (term, doc_id, tf, dl, bucket)  partitioned by seg —
-    │                 NO shuffle: written straight from the tokenize pass
-    └─ postings      per segment-group: shuffle by (term, seg) →
-                     applyInPandas block-encode → seg=N/bucket=B dirs
+    └─ postings      per segment-group: explode tfm → shuffle by
+                     (term, seg) → block-encode → seg=N/bucket=B dirs
        term_stats    df per term (sum over segments)
 
 Skew design (BASELINE.json north_rule): doc-hash segmentation IS the
@@ -26,12 +28,15 @@ the same modulus.
 Incremental update (update_index): the segment is the unit of change.
 Docs hash to fixed segments, so an added/modified/removed doc affects
 exactly one segment; only affected segments are re-tokenized and their
-seg=N partitions atomically replaced (dynamic partition overwrite — the
-parquet stand-in for Iceberg's overwritePartitions). Global stats (N,
-avgdl, df) are recomputed exactly (cheap: doc_map agg + posting-row
-metadata agg), so incremental and from-scratch builds are rank- and
-score-identical — asserted in tests. This is the scale analogue of ck's
-manifest-gated incremental re-index (ck-index/src/lib.rs:841-906).
+seg=N partitions atomically replaced (tmp-write + directory swap locally;
+one overwritePartitions commit on Iceberg). An update-in-progress marker
+brackets the mutation: a crash between the doc_map swap and the postings
+re-encode is detected on the next load/update and repaired by re-encoding
+the flagged segments from doc_map — postings can never silently stay
+stale. Global stats (N, avgdl, df) are recomputed exactly, so incremental
+and from-scratch builds are rank- and score-identical — asserted in
+tests. This is the scale analogue of ck's manifest-gated incremental
+re-index (ck-index/src/lib.rs:841-906).
 
 Because different segments may be (re)encoded under different avgdl
 values, every posting row records avgdl_enc; the WAND scorer scales
@@ -62,7 +67,7 @@ from ck_spark.constants import (
 from ck_spark.index.manifest import Manifest
 from ck_spark.tokenizer import term_freqs_udf
 
-INDEX_VERSION = 2
+INDEX_VERSION = 4  # v3: merged doc_map+tfm layout; v4: <40-byte token filter
 DOC_ID_MASK = (1 << 62) - 1  # keep xxhash64-derived doc ids non-negative
 
 POSTINGS_SCHEMA = (
@@ -70,6 +75,12 @@ POSTINGS_SCHEMA = (
     "ids_blocks array<binary>, tfs_blocks array<binary>, dls_blocks array<binary>, "
     "block_max array<float>, block_last array<long>, avgdl_enc double"
 )
+
+# doc_map columns, in write order; tfm last so narrow readers prune it
+DOC_MAP_COLS = [
+    "doc_id", "repo", "path", "commit", "lang",
+    "content_sha256", "is_binary", "doc_len", "seg", "tfm",
+]
 
 
 @dataclass
@@ -83,10 +94,6 @@ class IndexPaths:
     @property
     def corpus_stats(self) -> str:
         return os.path.join(self.root, "corpus_stats")
-
-    @property
-    def pairs(self) -> str:
-        return os.path.join(self.root, "pairs")
 
     @property
     def postings(self) -> str:
@@ -119,7 +126,9 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
         .withColumn("seg", seg_expr(n_segments))
         .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         .withColumn("content_sha256", F.sha2("content", 256))
-        .withColumn("tfm", tf_udf("content"))
+        # binary docs are excluded from the index: null tf map (no posting
+        # storage), doc_len 0 (matches corpus_stats' ~is_binary filter)
+        .withColumn("tfm", F.when(~F.col("is_binary"), tf_udf("content")))
         .withColumn(
             "doc_len",
             F.coalesce(
@@ -132,7 +141,8 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
 def _doc_map_summary(spark: SparkSession, doc_map_path: str) -> tuple[int, int, str]:
     """One aggregation job: row count, distinct doc ids (collision check)
     and an order-independent corpus fingerprint (the analogue of ck's
-    manifest hash gate, O(1) state per executor)."""
+    manifest hash gate, O(1) state per executor). Column-pruned scan —
+    tfm never leaves the parquet reader."""
     row = (
         spark.read.parquet(doc_map_path)
         .agg(
@@ -156,6 +166,9 @@ def _write_corpus_stats(spark: SparkSession, paths: IndexPaths) -> None:
 
 
 def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
+    """Explode the per-doc tf map into (term, doc) rows — the postings
+    shuffle input. Runs off the stored doc_map (or a fresh tokenize),
+    never re-tokenizing."""
     return (
         docs.where(~F.col("is_binary"))
         .select(
@@ -266,6 +279,52 @@ def _write_term_stats(spark: SparkSession, paths: IndexPaths) -> int:
     return int(obs.get["rows"])
 
 
+def _reencode_segments(
+    spark: SparkSession, paths: IndexPaths, meta: dict, segs: list[int],
+    avgdl: float,
+) -> None:
+    """Drop + rebuild the postings partitions for the given segments from
+    the current doc_map (the repair/update shared path)."""
+    for s in segs:
+        shutil.rmtree(os.path.join(paths.postings, f"seg={s}"), ignore_errors=True)
+    docs_aff = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(list(segs)))
+    pairs_aff = _pairs_df(docs_aff, int(meta["term_buckets"]))
+    _encode_and_write_postings(
+        spark, pairs_aff, paths.postings, avgdl,
+        float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+    )
+
+
+def repair_index(spark: SparkSession, out_dir: str) -> bool:
+    """Crash recovery: if an update-in-progress marker exists, the postings
+    for the flagged segments may be stale/missing relative to doc_map
+    (the crash window is between the doc_map partition swap and the
+    postings re-encode). Re-derive them from doc_map — postings are a pure
+    function of doc_map, so this converges to a consistent index no matter
+    where in the window the crash landed. Returns True if a repair ran."""
+    man = Manifest(out_dir)
+    marker = man.load_marker("update_inprogress")
+    if marker is None:
+        return False
+    paths = IndexPaths(out_dir)
+    meta = man.load_meta()
+    _write_corpus_stats(spark, paths)
+    srow = spark.read.parquet(paths.corpus_stats).collect()[0]
+    avgdl = float(srow["avgdl"] or 0.0)
+    _reencode_segments(spark, paths, meta, marker["segs"], avgdl)
+    n_terms = _write_term_stats(spark, paths)
+    _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
+    meta.update({
+        "avgdl": avgdl, "n_docs": int(srow["n_docs"]),
+        "n_terms": int(n_terms), "input_snapshot": snapshot,
+    })
+    man.save_meta(meta)
+    man.clear_marker("update_inprogress")
+    man.complete("repair", int(time.time()), snapshot, 0, n_terms, 0,
+                 lineage=f"crash-repair segs={sorted(marker['segs'])}")
+    return True
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -275,7 +334,6 @@ def build_index(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     build_groups: int = 4,
     resume: bool = True,
-    keep_pairs: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
     block_size: int = BLOCK_SIZE,
@@ -283,10 +341,10 @@ def build_index(
 ) -> IndexPaths:
     """Build (or resume building) the inverted index under out_dir.
 
-    snapshot_id gates the resume of the tokenize-bearing stages (pairs,
-    doc_map): pass the input's Iceberg snapshot id / mtime+size token so a
-    rerun over DIFFERENT data into the same out_dir rebuilds instead of
-    reusing stale tokenization (ck's mtime/size fast path analogue,
+    snapshot_id gates the resume of the tokenize stage (doc_map): pass the
+    input's Iceberg snapshot id / mtime+size token so a rerun over
+    DIFFERENT data into the same out_dir rebuilds instead of reusing stale
+    tokenization (ck's mtime/size fast path analogue,
     ck-index/src/lib.rs:851-906). The default constant keeps same-corpus
     resume (kill/rerun) working when no snapshot token is available."""
     paths = IndexPaths(out_dir)
@@ -297,48 +355,15 @@ def build_index(
         n_docs_est = corpus.count()
         n_segments = max(1, int(np.ceil(n_docs_est / DEFAULT_DOCS_PER_SEGMENT)))
 
-    # ---- stage: pairs (the ONLY tokenize pass over content) ----------------
-    t0 = time.time()
-    if not (resume and man.is_complete("pairs", 0, snapshot_id)):
-        docs = _with_doc_columns(corpus, mode, n_segments)
-        pairs = _pairs_df(docs, term_buckets)
-        # observe(): metrics piggyback on the write job (SURVEY §2.4 A6 —
-        # the UpdateStats analogue) instead of a read-back count job.
-        obs = Observation()
-        (
-            pairs.observe(obs, F.count(F.lit(1)).alias("rows"))
-            # bound output files: ~1 writer task per segment dir instead of
-            # (input tasks × segments) small files
-            .repartition(n_segments, "seg")
-            .write.mode("overwrite")
-            .partitionBy("seg")
-            .parquet(paths.pairs)
-        )
-        man.complete("pairs", 0, snapshot_id, int(obs.get["rows"]), 0,
-                     int((time.time() - t0) * 1000), lineage="corpus->pairs")
-
-    # ---- stage: doc_map (no tokenize: doc_len joined from pairs) -----------
+    # ---- stage: doc_map (the ONLY corpus scan / tokenize pass) -------------
     t0 = time.time()
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, snapshot_id))
     if fresh_doc_map:
-        base = (
-            corpus.withColumn("doc_id", doc_id_expr())
-            .withColumn("seg", seg_expr(n_segments))
-            .withColumn("is_binary", F.contains("content", F.lit("\x00")))
-            .withColumn("content_sha256", F.sha2("content", 256))
-            .select(
-                "doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "is_binary", "seg",
-            )
-        )
-        lens = (
-            spark.read.parquet(paths.pairs)
-            .groupBy("doc_id")
-            .agg(F.first("dl").alias("doc_len"))
-        )
+        docs = _with_doc_columns(corpus, mode, n_segments)
         (
-            base.join(lens, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+            docs.select(*DOC_MAP_COLS)
+            # bound output files: ~1 writer task per segment dir instead of
+            # (input tasks × segments) small files
             .repartition(n_segments, "seg")
             .write.mode("overwrite")
             .partitionBy("seg")
@@ -352,7 +377,13 @@ def build_index(
         )
     if fresh_doc_map:
         man.complete("doc_map", 0, snapshot_id, n, 0, int((time.time() - t0) * 1000),
-                     lineage="corpus+pairs->doc_map")
+                     lineage="corpus->doc_map(tokenized)")
+        # a fresh tokenize over a CHANGED corpus must not inherit postings
+        # partitions from the old corpus: dynamic partition overwrite only
+        # replaces (seg,bucket) dirs that have rows under the new corpus,
+        # so terms that vanished would survive as stale postings. Wipe.
+        for stale in (paths.postings, paths.term_stats):
+            shutil.rmtree(stale, ignore_errors=True)
 
     # ---- stage: corpus_stats ----------------------------------------------
     t0 = time.time()
@@ -375,14 +406,15 @@ def build_index(
         if resume and man.is_complete("postings", g, snapshot):
             continue
         t0 = time.time()
-        pairs = spark.read.parquet(paths.pairs).where(F.col("seg").isin(segs))
+        docs_g = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(segs))
+        pairs = _pairs_df(docs_g, term_buckets)
         nrows, nterms = _encode_and_write_postings(
             spark, pairs, paths.postings, avgdl, k1, b, block_size
         )
         man.complete(
             "postings", g, snapshot, nrows, nterms,
             int((time.time() - t0) * 1000),
-            lineage=f"pairs[segs={segs}]->postings",
+            lineage=f"doc_map[segs={segs}]->postings",
         )
 
     # ---- stage: term_stats --------------------------------------------------
@@ -414,8 +446,6 @@ def build_index(
             "input_snapshot": snapshot,
         }
     )
-    if not keep_pairs and os.path.exists(paths.pairs):
-        shutil.rmtree(paths.pairs)
     return paths
 
 
@@ -434,28 +464,27 @@ def update_index(
     ingestion mode — and absent docs are left alone).
 
     ONLY added/modified docs are re-tokenized; unchanged docs in affected
-    segments are carried over from the stored `pairs` and `doc_map`
-    partitions (the chunk-cache reuse analogue, ck-index/src/lib.rs:
-    1113-1135 — here at doc granularity with postings instead of
-    embeddings). Affected seg partitions are rebuilt and swapped in
-    (tmp-write + directory swap locally; one overwritePartitions commit on
-    Iceberg); global stats are recomputed exactly, so the updated index is
-    result-identical to a from-scratch build (asserted in tests).
+    segments are carried over from the stored doc_map partitions (the
+    chunk-cache reuse analogue, ck-index/src/lib.rs:1113-1135 — here at
+    doc granularity with tf maps instead of embeddings). Affected seg
+    partitions are rebuilt and swapped in atomically, bracketed by an
+    update-in-progress marker: a crash anywhere between the swap and the
+    postings re-encode is detected on the next update/load (repair_index)
+    and repaired by re-deriving the flagged segments from doc_map. Global
+    stats are recomputed exactly, so the updated index is result-identical
+    to a from-scratch build (asserted in tests).
 
     Returns UpdateStats-style counters (SURVEY §2.4 A6):
-    {added, removed, modified, unchanged, affected_segments, build_ms}.
+    {added, removed, modified, unchanged, affected_segments, build_ms,
+    repaired}.
     """
     paths = IndexPaths(out_dir)
     man = Manifest(out_dir)
+    repaired = repair_index(spark, out_dir)
     meta = man.load_meta()
     n_segments = int(meta["n_segments"])
     mode = meta["tokenizer_mode"]
     term_buckets = int(meta["term_buckets"])
-    if not os.path.exists(paths.pairs):
-        raise RuntimeError(
-            "incremental update needs the stored pairs table "
-            "(build with keep_pairs=True)"
-        )
     t_start = time.time()
 
     new_min = corpus.select(
@@ -490,6 +519,7 @@ def update_index(
         ).alias("unchanged"),
     ).collect()[0]
     stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
+    stats["repaired"] = repaired
 
     changed = diff.where(
         F.col("old_sha").isNull()
@@ -515,67 +545,46 @@ def update_index(
     )
     docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
 
-    # Merge carried-over rows with fresh rows; write to tmp dirs FIRST
+    # Merge carried-over rows with fresh rows; write to a tmp dir FIRST
     # (the merged plan lazily reads the partitions being replaced), then
     # swap directories (Iceberg: a single overwritePartitions commit).
     tmp_dm = os.path.join(paths.root, "_tmp_doc_map")
-    tmp_pairs = os.path.join(paths.root, "_tmp_pairs")
     shutil.rmtree(tmp_dm, ignore_errors=True)
-    shutil.rmtree(tmp_pairs, ignore_errors=True)
 
-    dm_cols = [
-        "doc_id", "repo", "path", "commit", "lang",
-        "content_sha256", "doc_len", "is_binary", "seg",
-    ]
     old_dm_kept = (
         spark.read.parquet(paths.doc_map)
         .where(F.col("seg").isin(affected))
         .join(F.broadcast(dead), "doc_id", "left_anti")
-        .select(*dm_cols)
+        .select(*DOC_MAP_COLS)
     )
-    old_dm_kept.unionByName(docs_new.select(*dm_cols)).repartition(
+    old_dm_kept.unionByName(docs_new.select(*DOC_MAP_COLS)).repartition(
         max(len(affected), 1), "seg"
     ).write.mode("overwrite").partitionBy("seg").parquet(tmp_dm)
 
-    pair_cols = ["doc_id", "seg", "dl", "term", "tf", "bucket"]
-    old_pairs_kept = (
-        spark.read.parquet(paths.pairs)
-        .where(F.col("seg").isin(affected))
-        .join(F.broadcast(dead), "doc_id", "left_anti")
-        .select(*pair_cols)
-    )
-    old_pairs_kept.unionByName(
-        _pairs_df(docs_new, term_buckets).select(*pair_cols)
-    ).repartition(max(len(affected), 1), "seg").write.mode(
-        "overwrite"
-    ).partitionBy("seg").parquet(tmp_pairs)
+    # ---- mutation window: marker first, clear only after postings+stats
+    # are consistent again (crash => repair_index re-derives these segs)
+    man.save_marker("update_inprogress", {"segs": affected, "ts": time.time()})
 
-    for base, tmp in ((paths.doc_map, tmp_dm), (paths.pairs, tmp_pairs)):
-        for s in affected:
-            real = os.path.join(base, f"seg={s}")
-            cand = os.path.join(tmp, f"seg={s}")
-            shutil.rmtree(real, ignore_errors=True)
-            if os.path.exists(cand):
-                os.rename(cand, real)
-        shutil.rmtree(tmp, ignore_errors=True)
+    for s in affected:
+        real = os.path.join(paths.doc_map, f"seg={s}")
+        cand = os.path.join(tmp_dm, f"seg={s}")
+        shutil.rmtree(real, ignore_errors=True)
+        if os.path.exists(cand):
+            os.rename(cand, real)
+    shutil.rmtree(tmp_dm, ignore_errors=True)
 
     _write_corpus_stats(spark, paths)
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
 
-    for s in affected:
-        shutil.rmtree(os.path.join(paths.postings, f"seg={s}"), ignore_errors=True)
-    pairs_aff = spark.read.parquet(paths.pairs).where(F.col("seg").isin(affected))
-    _encode_and_write_postings(
-        spark, pairs_aff, paths.postings, avgdl,
-        float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
-    )
+    _reencode_segments(spark, paths, meta, affected, avgdl)
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 
     _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
     meta.update({"avgdl": avgdl, "n_docs": int(srow["n_docs"]), "input_snapshot": snapshot})
     man.save_meta(meta)
+    man.clear_marker("update_inprogress")
     stats["build_ms"] = int((time.time() - t_start) * 1000)
     man.complete(
         "update", int(time.time()), snapshot,

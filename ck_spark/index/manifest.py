@@ -72,6 +72,33 @@ class Manifest:
                     out.append(json.load(f))
         return out
 
+    # in-progress markers: crash-detection brackets around multi-artifact
+    # mutations (update_index). Written atomically like stage records; the
+    # presence of the marker means the bracketed mutation may be half-done.
+    def _marker_path(self, name: str) -> str:
+        return os.path.join(self.dir, f"marker-{name}.json")
+
+    def save_marker(self, name: str, payload: dict) -> None:
+        tmp = self._marker_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._marker_path(name))
+
+    def load_marker(self, name: str) -> dict | None:
+        try:
+            with open(self._marker_path(name)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def clear_marker(self, name: str) -> None:
+        try:
+            os.remove(self._marker_path(name))
+        except FileNotFoundError:
+            pass
+
     # index-level metadata (tokenizer mode, segment count, BM25 params):
     # the analogue of ck's manifest embedding_model/chunk_hash_version fields.
     def save_meta(self, meta: dict) -> None:

@@ -12,6 +12,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -40,6 +41,9 @@ DOC_MAP = StructType([
     _f("doc_len", IntegerType()),
     _f("is_binary", BooleanType()),
     _f("seg", IntegerType()),
+    # the per-doc tf map rides in doc_map (single tokenize artifact);
+    # narrow readers column-prune it at the parquet scan
+    _f("tfm", MapType(StringType(), IntegerType())),
 ])
 
 POSTINGS = StructType([

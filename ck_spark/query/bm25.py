@@ -68,6 +68,12 @@ class BM25Index:
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "BM25Index":
+        from ck_spark.index.builder import repair_index
+
+        # crash recovery: an interrupted update leaves an in-progress
+        # marker; re-derive the flagged segments' postings before serving
+        # queries (no-op file check on the happy path)
+        repair_index(spark, root)
         meta = Manifest(root).load_meta()
         return cls(spark, IndexPaths(root), meta)
 

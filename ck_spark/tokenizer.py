@@ -5,7 +5,8 @@ Two modes:
 - ``simple``: the reference's effective lexical analyzer. ck registers no
   custom tokenizer, so its BM25 pipeline is tantivy 0.24's default TEXT
   analyzer (/root/reference/ck-engine/src/lib.rs:750-753, 860-863):
-  split on non-alphanumeric, drop tokens longer than 40 chars, lowercase,
+  split on non-alphanumeric, drop tokens of 40+ bytes (RemoveLongFilter
+  keeps len < limit — tantivy 0.24 predicate), lowercase,
   no stoplist, no stemming. ``simple`` reproduces exactly that, and — being
   pure regex + lower + length — is also expressible in ANSI SQL, which is
   what the DuckDB oracle queries in ``__spark_entry__.py`` use.
@@ -62,9 +63,9 @@ def tokenize(text: str, mode: str = "code") -> List[str]:
     if mode == "code":
         return [
             t for t in toks
-            if len(t.encode("utf-8")) <= MAX_TOKEN_LEN and t not in CODE_STOPWORDS
+            if len(t.encode("utf-8")) < MAX_TOKEN_LEN and t not in CODE_STOPWORDS
         ]
-    return [t for t in toks if len(t.encode("utf-8")) <= MAX_TOKEN_LEN]
+    return [t for t in toks if len(t.encode("utf-8")) < MAX_TOKEN_LEN]
 
 
 def tokenize_series(s: pd.Series, mode: str = "code") -> pd.Series:
@@ -81,10 +82,10 @@ def tokenize_series(s: pd.Series, mode: str = "code") -> pd.Series:
         return toks.map(
             lambda ts: [
                 t for t in ts
-                if len(t.encode("utf-8")) <= MAX_TOKEN_LEN and t not in CODE_STOPWORDS
+                if len(t.encode("utf-8")) < MAX_TOKEN_LEN and t not in CODE_STOPWORDS
             ]
         )
-    return toks.map(lambda ts: [t for t in ts if len(t.encode("utf-8")) <= MAX_TOKEN_LEN])
+    return toks.map(lambda ts: [t for t in ts if len(t.encode("utf-8")) < MAX_TOKEN_LEN])
 
 
 def term_freqs(tokens: Iterable[str]) -> dict:
@@ -134,11 +135,11 @@ def doc_len_udf(mode: str = "code"):
 def sql_tokens_col(col):
     """JVM-side (whole-stage-codegen) token array equivalent to `simple`
     mode on ASCII text: lower → split on non-[a-z0-9] runs → drop empties
-    and >40-char tokens. Used by the dedup/text-stats operators so their
+    and >=40-char tokens. Used by the dedup/text-stats operators so their
     hot path has no Python at all; exactly mirrors the DuckDB oracle SQL.
     (For full Unicode parity with tantivy use tokens_udf instead.)"""
     toks = F.split(F.lower(col), "[^a-z0-9]+")
-    return F.filter(toks, lambda t: (t != F.lit("")) & (F.length(t) <= MAX_TOKEN_LEN))
+    return F.filter(toks, lambda t: (t != F.lit("")) & (F.length(t) < MAX_TOKEN_LEN))
 
 
 def shingles_col(col, n: int = 3):

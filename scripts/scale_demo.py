@@ -48,7 +48,7 @@ def main() -> None:
     build_index(
         spark, corpus, root, mode="code",
         n_segments=max(16, n_docs // 100_000), term_buckets=32,
-        build_groups=4, resume=False, keep_pairs=True,
+        build_groups=4, resume=False,
     )
     build_s = time.time() - t0
 
@@ -78,7 +78,6 @@ def main() -> None:
         "source_mb": round(src_bytes / 1e6, 1),
         "index_mb": round(core_idx / 1e6, 1),
         "index_to_source_ratio": round(core_idx / max(src_bytes, 1), 3),
-        "pairs_mb": round(du(os.path.join(root, "pairs")) / 1e6, 1),
         "latencies_s": latencies,
     }
     print(json.dumps(report, indent=1))
@@ -95,8 +94,8 @@ Deterministic synthetic source corpus, {n_docs:,} files,
   /root/reference/README.md:390 — this build does 1M LOC in
   {round(1e6 / max(report['loc_per_sec'], 1), 1)} s)
 - index size: {report['index_mb']} MB = **{report['index_to_source_ratio']}x
-  source** (reference target <= 2x, README.md:393); the reusable pairs
-  intermediate adds {report['pairs_mb']} MB and is optional (keep_pairs)
+  source** (reference target <= 2x, README.md:393); doc_map carries the
+  per-doc tf maps, so incremental updates need no extra intermediate
 - warm query latencies (distributed scan + segment scoring):
 """
     for k, v in latencies.items():

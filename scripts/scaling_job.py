@@ -63,7 +63,7 @@ def main() -> None:
     build_index(
         spark, corpus, root, mode="code",
         n_segments=args.n_segments, term_buckets=16, build_groups=1,
-        resume=False, keep_pairs=True,
+        resume=False,
     )
     build_s = time.time() - t0
 

@@ -149,7 +149,7 @@ def test_manifest_lineage_and_metrics(built):
     recs = [json.load(open(os.path.join(man_dir, f)))
             for f in os.listdir(man_dir) if f.startswith("stage-")]
     stages = {r["stage"] for r in recs}
-    assert {"doc_map", "corpus_stats", "pairs", "postings", "term_stats"} <= stages
+    assert {"doc_map", "corpus_stats", "postings", "term_stats"} <= stages
     for r in recs:
         assert r["status"] == "complete"
         assert r["build_ms"] >= 0

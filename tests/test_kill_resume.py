@@ -57,9 +57,9 @@ def test_sigkill_mid_build_then_resume_is_identical(spark, tmp_path):
         stages = os.listdir(man_dir) if os.path.isdir(man_dir) else []
         done_postings = [s for s in stages if s.startswith("stage-postings")]
         if stages and not done_postings and any(
-            s.startswith("stage-pairs") for s in stages
+            s.startswith("stage-doc_map") for s in stages
         ):
-            # pairs done, postings in flight -> kill NOW
+            # tokenize done, postings in flight -> kill NOW
             os.killpg(os.getpgid(p.pid), signal.SIGKILL)
             killed_mid = True
             break

@@ -26,7 +26,7 @@ from ck_spark.ops.textstats import fingerprints, lang_id, quality_scores, token_
 
 
 def _toks(s):
-    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t and len(t) <= 40]
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t and len(t) < 40]
 
 
 def _shingles(s, n=3):

@@ -27,7 +27,7 @@ def test_stream_upserts_match_batch_build(spark, parts, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     # bootstrap: initial batch build over part1 (+ edge docs so binary
-    # handling is exercised), keep_pairs for upserts
+    # handling is exercised); doc_map carries tfm for upserts
     seed_df = spark.createDataFrame(__import__("pandas").concat([part1, edge]))
     build_index(spark, seed_df, root, mode="code", n_segments=4,
                 term_buckets=8, build_groups=2)

@@ -12,16 +12,17 @@ from ck_spark.tokenizer import (
 
 
 def test_simple_mode_is_tantivy_default():
-    # split on non-alphanumeric, lowercase, no stoplist, len<=40
+    # split on non-alphanumeric, lowercase, no stoplist, len<40
     assert tokenize("Hello, WORLD_foo-bar 42!", mode="simple") == [
         "hello", "world", "foo", "bar", "42",
     ]
     # the (tantivy-default) simple mode does NOT split camelCase
     assert tokenize("getUserName", mode="simple") == ["getusername"]
-    # tokens longer than 40 chars dropped (tantivy remove-long filter)
+    # tokens of 40+ bytes dropped (tantivy RemoveLongFilter: keeps len < 40)
     long = "a" * 41
     assert tokenize(f"x {long} y", mode="simple") == ["x", "y"]
-    assert tokenize("a" * 40, mode="simple") == ["a" * 40]
+    assert tokenize("a" * 39, mode="simple") == ["a" * 39]
+    assert tokenize("a" * 40, mode="simple") == []
 
 
 def test_unicode_alphanumeric_like_tantivy():
@@ -30,7 +31,8 @@ def test_unicode_alphanumeric_like_tantivy():
     assert tokenize("日本語テスト ok", mode="simple") == ["日本語テスト", "ok"]
     # 40-char cutoff is measured in BYTES (tantivy RemoveLongFilter)
     assert tokenize("é" * 21, mode="simple") == []  # 42 bytes
-    assert tokenize("é" * 20, mode="simple") == ["é" * 20]  # 40 bytes
+    assert tokenize("é" * 19, mode="simple") == ["é" * 19]  # 38 bytes: kept
+    assert tokenize("é" * 20, mode="simple") == []  # 40 bytes: dropped
     # underscore is NOT alphanumeric -> split point in both modes
     assert tokenize("a_b", mode="simple") == ["a", "b"]
 

@@ -105,3 +105,67 @@ def test_update_finds_new_content(spark, corpora, tmp_path):
     idx = BM25Index.load(spark, root)
     hits = idx.search("totally new function", mode="and", k=5, with_paths=True).collect()
     assert len(hits) == 1
+
+
+def test_rebuild_changed_corpus_no_stale_postings(spark, tmp_path):
+    """Rebuilding into an existing out_dir after the corpus changed must not
+    leave postings from the old corpus behind (dynamic partition overwrite
+    only replaces partitions the new corpus writes to)."""
+    root = str(tmp_path / "rebuild")
+    base = generate_corpus(60, seed=1)
+    marked = base.copy()
+    marked.loc[marked.index[0], "content"] = "zzzstaleterm only here\n"
+    build_index(spark, spark.createDataFrame(marked), root, mode="code",
+                n_segments=3, term_buckets=4, build_groups=2, snapshot_id="v1")
+    idx = BM25Index.load(spark, root)
+    assert idx.search("zzzstaleterm", k=5).count() == 1
+
+    # rebuild same dir, corpus WITHOUT the term (and fewer docs)
+    smaller = base.iloc[5:40]
+    build_index(spark, spark.createDataFrame(smaller), root, mode="code",
+                n_segments=3, term_buckets=4, build_groups=2, snapshot_id="v2")
+    idx2 = BM25Index.load(spark, root)
+    assert idx2.search("zzzstaleterm", k=5).count() == 0
+    ts = spark.read.parquet(idx2.paths.term_stats)
+    assert ts.where(ts.term == "zzzstaleterm").count() == 0
+    # every posting doc_id exists in doc_map (no orphans from the old corpus)
+    from pyspark.sql import functions as F
+    dm_ids = {r.doc_id for r in
+              spark.read.parquet(idx2.paths.doc_map).select("doc_id").collect()}
+    res = idx2.search("def", k=1000).collect()
+    assert res and all(r["doc_id"] in dm_ids for r in res)
+
+
+def test_interrupted_update_is_repaired_on_load(spark, tmp_path):
+    """Crash window: doc_map swapped but postings not yet re-encoded. The
+    in-progress marker must trigger a repair on the next load/update, even
+    when a rerun's sha diff sees no changes."""
+    import shutil as _sh
+
+    from ck_spark.index.builder import IndexPaths
+    from ck_spark.index.manifest import Manifest
+
+    root = str(tmp_path / "crash")
+    base = generate_corpus(80, seed=3)
+    build_index(spark, spark.createDataFrame(base), root, mode="code",
+                n_segments=4, term_buckets=4, build_groups=2)
+    ref = _results(BM25Index.load(spark, root), ["parse buffer", "def"])
+
+    # simulate the crash state: marker present, one affected seg's postings
+    # wiped (as if the rmtree ran but the re-encode never did)
+    paths = IndexPaths(root)
+    Manifest(root).save_marker("update_inprogress", {"segs": [0, 1], "ts": 0})
+    _sh.rmtree(os.path.join(paths.postings, "seg=1"), ignore_errors=True)
+
+    idx = BM25Index.load(spark, root)  # triggers repair
+    assert Manifest(root).load_marker("update_inprogress") is None
+    got = _results(idx, ["parse buffer", "def"])
+    assert got == ref
+
+    # and a no-change update on a crashed index repairs too
+    Manifest(root).save_marker("update_inprogress", {"segs": [2], "ts": 0})
+    _sh.rmtree(os.path.join(paths.postings, "seg=2"), ignore_errors=True)
+    stats = update_index(spark, spark.createDataFrame(base), root)
+    assert stats["repaired"] is True
+    assert stats["affected_segments"] == []
+    assert _results(BM25Index.load(spark, root), ["parse buffer", "def"]) == ref
