@@ -85,14 +85,33 @@ def search_documents(
     """BM25 top-k over documents, results keyed by the ORIGINAL doc_id.
 
     Ties in BM25 score are broken by documents.doc_id (not the engine's
-    internal hash id): fetch k+tie_buffer, re-rank, cut to k — keeps the
-    engine's deterministic contract aligned with the SQL oracle's
-    ORDER BY score DESC, doc_id."""
+    internal hash id), exactly: fetch k+tie_buffer, and if the LAST fetched
+    score still equals the k-th score (the tie group may extend past the
+    fetch window), refetch with 4× the window until the boundary tie group
+    is fully covered (or the corpus is exhausted). Then re-rank by
+    (score desc, doc_id asc) and cut to k — always identical to the SQL
+    oracle's ORDER BY score DESC, doc_id, regardless of how many docs tie
+    at the boundary. The decision collects ≤fetch rows driver-side (top-k
+    results are driver-sized by definition)."""
     idx = documents_index(spark, sf_dir)
-    res = idx.search(query, k=k + tie_buffer, mode=mode,
-                     normalize=normalize, threshold=threshold, with_paths=True)
-    return (
-        res.select(F.col("path").cast("long").alias("doc_id"), "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
+    fetch = min(k + tie_buffer, n_docs)
+    while True:
+        res = idx.search(query, k=fetch, mode=mode,
+                         normalize=normalize, threshold=threshold,
+                         with_paths=True)
+        pdf = (
+            res.select(F.col("path").cast("long").alias("doc_id"), "score")
+            .toPandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        if len(pdf) < fetch or fetch >= n_docs or len(pdf) < k:
+            break  # exhausted: every tying doc is already here
+        if float(pdf["score"].iloc[-1]) != float(pdf["score"].iloc[k - 1]):
+            break  # strictly below the k-th score: tie group covered
+        fetch = min(fetch * 4, n_docs)
+    out = pdf.head(k)
+    if len(out) == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return spark.createDataFrame(out)

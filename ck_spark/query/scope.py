@@ -25,18 +25,37 @@ DEFAULT_EXCLUDE_GLOBS = [
 
 
 def glob_to_regex(glob: str) -> str:
-    """Translate a ck-style glob to an anchored Java-compatible regex.
-    `*` spans path separators too when used as a trailing component
-    (matching globset's path semantics closely enough for corpus paths)."""
+    """Translate a ck-style glob to a Java-compatible regex with globset's
+    component semantics (ck-engine/src/lib.rs:1062-1086):
+
+    - `*` and `?` match within ONE path component (never cross `/`)
+    - `**` crosses separators (zero or more components)
+    - the glob matches any component-aligned subpath, so `build/*`
+      excludes `build/x`, `a/build/x` and `a/build/x/y`, and a bare name
+      like `node_modules` or `*.lock` matches that component at any depth
+      (the reference matches globs against the full path AND each
+      component)."""
     out = []
-    for ch in glob:
+    i, n = 0, len(glob)
+    while i < n:
+        ch = glob[i]
         if ch == "*":
-            out.append(".*")
+            if i + 1 < n and glob[i + 1] == "*":
+                out.append(".*")
+                i += 2
+                # collapse a following separator into the ** ("a/**/b"
+                # also matches "a/b": zero components)
+                if i < n and glob[i] == "/":
+                    out[-1] = "(?:.*/)?"
+                    i += 1
+                continue
+            out.append("[^/]*")
         elif ch == "?":
-            out.append(".")
+            out.append("[^/]")
         else:
             out.append(re.escape(ch))
-    return "^(?:.*/)?" + "".join(out) + "$"
+        i += 1
+    return "(?:^|/)" + "".join(out) + "(?:/|$)"
 
 
 def path_scope_pred(

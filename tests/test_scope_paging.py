@@ -21,16 +21,47 @@ def engine(spark, tmp_path_factory):
     return idx, pdf, dm
 
 
-def test_glob_to_regex():
+def _glob_hits(glob: str, path: str) -> bool:
     import re
 
-    rx = re.compile(glob_to_regex("*.min.js"))
-    assert rx.match("a/b/x.min.js")
-    assert not rx.match("a/b/x.js")
-    rx2 = re.compile(glob_to_regex("node_modules/*"))
-    assert rx2.match("node_modules/pkg/index.js")
-    assert rx2.match("proj/node_modules/x")
-    assert not rx2.match("src/main.rs")
+    # re.search == Spark rlike (partial match); the pattern self-anchors
+    # with (?:^|/) ... (?:/|$)
+    return re.search(glob_to_regex(glob), path) is not None
+
+
+def test_glob_component_semantics():
+    """globset parity matrix (ck-engine/src/lib.rs:1062-1086 and the
+    hierarchical ckignore tests at lib.rs:1693-1856): * and ? never cross
+    '/', ** does, and a glob matches any component-aligned subpath."""
+    # suffix glob matches the basename component at any depth
+    assert _glob_hits("*.min.js", "a/b/x.min.js")
+    assert _glob_hits("*.min.js", "x.min.js")
+    assert not _glob_hits("*.min.js", "a/b/x.js")
+    # * does NOT cross separators: "*.js" can't swallow "lib/x" of
+    # "lib/x.extra/file.js"? — component-aligned: matches file.js itself
+    assert _glob_hits("*.js", "lib/sub/file.js")
+    assert not _glob_hits("a*b", "a/x/b")  # * stopped by '/'
+    assert _glob_hits("a*b", "src/axxb/y")  # within one component; dir match
+    # dir glob: everything under any build/ component
+    assert _glob_hits("build/*", "build/x")
+    assert _glob_hits("build/*", "proj/build/x")
+    assert _glob_hits("build/*", "proj/build/x/y")  # component-aligned subpath
+    assert not _glob_hits("build/*", "rebuild/x")  # 'build' != 'rebuild'
+    assert not _glob_hits("build/*", "src/main.rs")
+    # bare component name excludes the whole subtree
+    assert _glob_hits("node_modules", "node_modules/pkg/index.js")
+    assert _glob_hits("node_modules", "proj/node_modules/x")
+    assert not _glob_hits("node_modules", "my_node_modules/x")
+    # ? matches exactly one non-separator char
+    assert _glob_hits("v?.md", "docs/v1.md")
+    assert not _glob_hits("v?.md", "docs/v12.md")
+    assert not _glob_hits("v?.md", "docs/v/x.md")
+    # ** crosses components (zero or more)
+    assert _glob_hits("src/**/test", "src/a/b/test/x.py")
+    assert _glob_hits("src/**/test", "src/test/x.py")  # zero components
+    assert not _glob_hits("src/**/test", "src/a/tests/x.py")
+    assert _glob_hits("**/*.lock", "a/b/Cargo.lock")
+    assert _glob_hits("**/*.lock", "Cargo.lock")
 
 
 def test_scoped_search_is_exact(spark, engine):
