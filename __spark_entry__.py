@@ -797,6 +797,130 @@ fused AS (
 SELECT doc_id, round(rrf, 9) AS rrf_score FROM fused"""
 
 
+def _q_grep_full_section(spark, sf_dir):
+    """X6 --full-section: multi-line docs (sentences split onto lines),
+    generic line-window chunk table (window 10 lines, step 8), grep hits
+    joined to their enclosing chunk — first containing chunk in span order
+    wins (find_containing_section, ck-engine/src/lib.rs:1273-1283)."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.functions.chunker import chunk_corpus
+    from ck_spark.query.grep import grep
+    from ck_spark.query.sections import full_sections
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("text") != "").select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".\n")).alias("content"),
+    )
+    hits = grep(corpus, GREP_PATTERN).select("repo", "path", "line_no")
+    chunks = chunk_corpus(corpus, max_tokens=100, overlap_lines=2)
+    out = full_sections(hits, chunks)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("line_no").cast("long").alias("line_no"),
+        F.col("section_chunk_id").cast("long").alias("section_chunk_id"),
+        F.col("section_line_start").cast("long").alias("section_line_start"),
+        F.col("section_line_end").cast("long").alias("section_line_end"),
+        F.expr("TRIM(TRAILING '\n' FROM section)").alias("section"),
+    ).orderBy("doc_id", "line_no")
+
+
+_GREP_FULL_SECTION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(replace(text, '. ', '.' || chr(10)), chr(10)) AS ls
+  FROM documents WHERE text <> ''
+),
+chunks AS (
+  -- the generic line-window chunker at max_tokens=100/overlap=2:
+  -- window 10 lines, step 8; m = 1 + ceil(max(n-10,0)/8) chunks
+  SELECT doc_id, k AS chunk_id, 8*k + 1 AS ls_start,
+         least(8*k + 10, len(ls)) AS ls_end, ls
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(greatest(len(ls) - 10, 0) / 8.0) AS BIGINT))) AS k) g
+),
+hits AS (
+  SELECT doc_id, i AS line_no
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+  WHERE regexp_matches(ls[i], '{GREP_PATTERN}')
+),
+joined AS (
+  SELECT h.doc_id, h.line_no, min(c.chunk_id) AS section_chunk_id
+  FROM hits h JOIN chunks c
+    ON h.doc_id = c.doc_id AND h.line_no BETWEEN c.ls_start AND c.ls_end
+  GROUP BY 1, 2
+)
+SELECT j.doc_id, CAST(j.line_no AS BIGINT) AS line_no,
+       CAST(j.section_chunk_id AS BIGINT) AS section_chunk_id,
+       CAST(c.ls_start AS BIGINT) AS section_line_start,
+       CAST(c.ls_end AS BIGINT) AS section_line_end,
+       rtrim(array_to_string(list_slice(c.ls, c.ls_start, c.ls_end), chr(10)),
+             chr(10)) AS section
+FROM joined j
+JOIN chunks c ON c.doc_id = j.doc_id AND c.chunk_id = j.section_chunk_id
+ORDER BY j.doc_id, j.line_no"""
+
+
+def _q_chunk_symbols_python(spark, sf_dir):
+    """Symbol-aware chunker (C1/C3-C5) run distributed over synthesized
+    python sources: '# doc' trivia + a function with doc_id%5+1 body lines
+    + a class with one method. The oracle knows the exact spans/kinds/
+    breadcrumbs analytically — this verifies trivia extension, nesting,
+    kind classification and span arithmetic end-to-end."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.functions.symbols import chunk_corpus_symbols
+
+    docs = _docs(spark, sf_dir)
+    nb = (F.col("doc_id") % 5 + 1).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda j: F.concat(F.lit("    v"), j.cast("string"),
+                               F.lit(" = "), j.cast("string")),
+        ),
+        "\n",
+    )
+    content = F.concat(
+        F.lit("# doc\ndef fn_a(x):\n"), body,
+        F.lit("\nclass Box:\n    def get(self):\n        return 1"),
+    )
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+    ch = chunk_corpus_symbols(corpus)
+    return ch.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_type", "name", "breadcrumb",
+        F.col("line_start").cast("long").alias("line_start"),
+        F.col("line_end").cast("long").alias("line_end"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SYMBOLS_SQL = """
+WITH n AS (SELECT doc_id, doc_id % 5 + 1 AS nb FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS chunk_id, 'function' AS chunk_type,
+       'fn_a' AS name, 'fn_a' AS breadcrumb,
+       CAST(1 AS BIGINT) AS line_start, CAST(2 + nb AS BIGINT) AS line_end
+FROM n
+UNION ALL
+SELECT doc_id, 1, 'class', 'Box', 'Box', CAST(3 + nb AS BIGINT),
+       CAST(5 + nb AS BIGINT) FROM n
+UNION ALL
+SELECT doc_id, 2, 'method', 'get', 'Box::get', CAST(4 + nb AS BIGINT),
+       CAST(5 + nb AS BIGINT) FROM n
+ORDER BY doc_id, chunk_id"""
+
+
 # documents are single-line prose (no code indicators) -> the generic
 # line-window chunker degenerates to exactly one chunk per doc with a
 # 4.8-chars-per-token estimate, which IS expressible in SQL.
@@ -953,6 +1077,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_topk": _q_semantic_topk,
         "hybrid_lexical_semantic": _q_hybrid_lex_sem,
         "chunk_spans": _q_chunk_spans,
+        "grep_full_section": _q_grep_full_section,
+        "chunk_symbols_python": _q_chunk_symbols_python,
         "grep_whole_word": _q_grep_whole_word,
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
@@ -1037,6 +1163,8 @@ FROM h ORDER BY doc_id""",
         "semantic_topk": _semantic_topk_sql(),
         "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
         "chunk_spans": _CHUNK_SPANS_SQL,
+        "grep_full_section": _GREP_FULL_SECTION_SQL,
+        "chunk_symbols_python": _CHUNK_SYMBOLS_SQL,
         "grep_whole_word": _GREP_WW_SQL,
         "bm25_paged": _BM25_PAGED_SQL,
         "bm25_near_miss": _BM25_NEAR_MISS_SQL,

@@ -1,0 +1,657 @@
+"""Symbol-aware chunking: regex/indentation segmentation of code into
+function/class/method/module chunks with ancestry, breadcrumbs, leading
+trivia, gap filling, Haskell equation merging and striding.
+
+Rebuilds the visible behavior of the reference's chunking subsystem
+without a tree-sitter dependency (not available in this container):
+
+- per-language kind tables              ck-chunk/src/lib.rs:913-1111
+- build_chunk trivia/ancestry/breadcrumb ck-chunk/src/lib.rs:1113-1178
+- gap filler (blank-line split)         ck-chunk/src/lib.rs:577-712
+- Haskell equation/signature merger     ck-chunk/src/lib.rs:715-848
+- small-chunk merger (markdown)         ck-chunk/src/lib.rs:2086-2176
+- striding of oversized chunks          ck-chunk/src/lib.rs:1945-2084
+- language dispatch (C1)                ck-chunk/src/lib.rs:248-298
+
+Like the reference, enclosing symbols AND their nested members are both
+emitted (a class chunk covers its methods, which also appear as their own
+method chunks with ancestry/breadcrumb pointing at the class).
+
+Spans are line-granular (a symbol starts at the first byte of its header
+line — after extending up over decorators/attributes/doc comments — and
+ends at the last byte of its final body line, including the line ending),
+byte-exact against the \\n / \\r\\n / \\r line table.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ck_spark.functions.chunker import (
+    chunk_text as generic_chunk_text,
+    estimate_tokens,
+    split_lines_with_offsets,
+)
+
+DEFAULT_MAX_TOKENS = 8192      # ChunkConfig::default (ck-chunk/src/lib.rs:225)
+DEFAULT_STRIDE_OVERLAP = 1024  # 12.5% overlap
+MARKDOWN_TARGET_TOKENS = 1024  # get_model_chunk_config default (lib.rs:17-41)
+
+PARSEABLE_LANGS = {
+    "python", "py",
+    "rust", "rs",
+    "javascript", "js", "typescript", "ts",
+    "go",
+    "haskell", "hs",
+    "markdown", "md",
+}
+
+
+def canonical_lang(lang: str | None) -> str | None:
+    aliases = {"py": "python", "rs": "rust", "js": "javascript",
+               "ts": "typescript", "hs": "haskell", "md": "markdown"}
+    if not lang:
+        return None
+    la = lang.lower()
+    la = aliases.get(la, la)
+    return la if la in {"python", "rust", "javascript", "typescript", "go",
+                        "haskell", "markdown"} else None
+
+
+@dataclass
+class SymbolChunk:
+    chunk_id: int
+    byte_start: int
+    byte_end: int
+    line_start: int  # 1-indexed inclusive
+    line_end: int
+    text: str
+    estimated_tokens: int
+    chunk_type: str          # text | function | class | method | module
+    name: str | None = None
+    breadcrumb: str | None = None
+    ancestry: list[str] = field(default_factory=list)
+    stride_index: int | None = None
+    total_strides: int | None = None
+
+
+@dataclass
+class _Sym:
+    kind: str
+    name: str
+    start: int          # line index (0-based), after trivia extension
+    end: int            # line index (0-based, inclusive)
+    ancestry: list[str]
+
+
+# ---------------------------------------------------------------------------
+# per-language detectors (the kind tables, ck-chunk/src/lib.rs:913-1049)
+# ---------------------------------------------------------------------------
+
+_PY_HEADER = re.compile(r"^(\s*)(?:async\s+)?(def|class)\s+(\w+)")
+_PY_TRIVIA = re.compile(r"^\s*(@|#)")
+
+
+def _indent_width(s: str) -> int:
+    if not s.strip():
+        return 0
+    e = s.expandtabs(4)
+    return len(e) - len(e.lstrip())
+
+
+def _detect_python(lines: list[str]) -> list[_Sym]:
+    """Indentation-scoped def/class detection with nesting. A block ends at
+    the last non-blank line before the next statement at indent <= header's
+    (mirrors function_definition/class_definition node extents)."""
+    out: list[_Sym] = []
+    n = len(lines)
+
+    def block_end(i: int, indent: int) -> int:
+        last = i
+        j = i + 1
+        while j < n:
+            s = lines[j]
+            if s.strip():
+                if _indent_width(s) <= indent:
+                    break
+                last = j
+            j += 1
+        return last
+
+    def walk(lo: int, hi: int, ancestry: list[str], parent_kind: str | None):
+        i = lo
+        while i <= hi:
+            m = _PY_HEADER.match(lines[i])
+            if m:
+                indent = _indent_width(lines[i])
+                kw, name = m.group(2), m.group(3)
+                end = block_end(i, indent)
+                if kw == "class":
+                    kind = "class"
+                elif parent_kind == "class":
+                    kind = "method"   # adjust_chunk_type_for_context analogue
+                else:
+                    kind = "function"
+                out.append(_Sym(kind, name, i, end, list(ancestry)))
+                walk(i + 1, end, ancestry + [name], "class" if kw == "class" else "function")
+                i = end + 1
+            else:
+                i += 1
+
+    walk(0, n - 1, [], None)
+    return out
+
+
+# brace-language header tables: (regex, kind, container?) — kind mapping per
+# classify_chunk_kind (ck-chunk/src/lib.rs:1053-1111)
+_BRACE_TABLES: dict[str, list[tuple[re.Pattern, str, bool]]] = {
+    "rust": [
+        (re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:default\s+)?(?:const\s+)?"
+                    r"(?:async\s+)?(?:unsafe\s+)?(?:extern\s+\"[^\"]*\"\s+)?fn\s+(\w+)"),
+         "function", False),
+        (re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?struct\s+(\w+)"), "class", False),
+        (re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?enum\s+(\w+)"), "class", False),
+        (re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:unsafe\s+)?trait\s+(\w+)"), "module", True),
+        (re.compile(r"^\s*(?:unsafe\s+)?impl(?:<[^>]*>)?\s+(?:[\w:]+\s+for\s+)?([\w:]+)"),
+         "module", True),
+        (re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?mod\s+(\w+)"), "module", True),
+    ],
+    "go": [
+        (re.compile(r"^func\s+\([^)]*\)\s+(\w+)\s*\("), "method", False),
+        (re.compile(r"^func\s+(\w+)\s*\("), "function", False),
+        (re.compile(r"^type\s+(\w+)\s"), "class", False),
+        (re.compile(r"^(var|const)\s"), "module", False),
+    ],
+    "javascript": [
+        (re.compile(r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)"),
+         "function", False),
+        (re.compile(r"^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+(\w+)"),
+         "class", True),
+        (re.compile(r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*"
+                    r"(?:async\s*)?(?:\([^)]*\)|\w+)\s*=>"), "function", False),
+        (re.compile(r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*"
+                    r"(?:async\s+)?function"), "function", False),
+    ],
+}
+_BRACE_TABLES["typescript"] = _BRACE_TABLES["javascript"]
+
+# methods inside a js/ts class body: name(args) { — excluding keywords
+_JS_METHOD = re.compile(
+    r"^\s*(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?\*?\s*(\w+)\s*(?:<[^>]*>)?\([^;]*$"
+)
+_JS_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "function",
+                "new", "typeof", "await", "do", "else", "try"}
+
+_TRIVIA_RES = {
+    "rust": re.compile(r"^\s*(///|//!|//|#\[|#!\[)"),
+    "go": re.compile(r"^\s*//"),
+    "javascript": re.compile(r"^\s*(//|/\*|\*|@)"),
+    "typescript": re.compile(r"^\s*(//|/\*|\*|@)"),
+    "python": _PY_TRIVIA,
+    "haskell": re.compile(r"^\s*(--|\{-)"),
+}
+
+_STRING_OR_COMMENT = re.compile(
+    r'"(?:\\.|[^"\\])*"'       # double-quoted strings
+    r"|'(?:\\.|[^'\\])*'"      # single-quoted strings/chars
+    r"|//.*$"                  # line comments
+)
+
+
+def _brace_delta(line: str) -> tuple[int, int]:
+    """(net brace depth change, depth of first opening) with strings and
+    line comments stripped — a heuristic (block comments / raw strings can
+    fool it), acceptable for a regex rebuild and flagged in tests."""
+    clean = _STRING_OR_COMMENT.sub("", line)
+    return clean.count("{") - clean.count("}"), clean.count("{")
+
+
+def _brace_block_end(lines: list[str], i: int) -> int:
+    """Line index (inclusive) where the block opened at/after line i closes.
+    If a ';' terminates the declaration before any '{', ends there."""
+    depth = 0
+    opened = False
+    j = i
+    n = len(lines)
+    while j < n:
+        clean = _STRING_OR_COMMENT.sub("", lines[j])
+        if not opened:
+            brace_pos = clean.find("{")
+            semi_pos = clean.find(";")
+            if semi_pos != -1 and (brace_pos == -1 or semi_pos < brace_pos):
+                return j  # `struct Foo;` / `type A = B;` one-liner decl
+        d, _ = _brace_delta(lines[j])
+        if d != 0 or "{" in clean:
+            opened = opened or "{" in clean
+        depth += d
+        if opened and depth <= 0:
+            return j
+        j += 1
+    return n - 1
+
+
+def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
+    table = _BRACE_TABLES[lang]
+    out: list[_Sym] = []
+    n = len(lines)
+
+    def walk(lo: int, hi: int, ancestry: list[str], in_container: str | None):
+        i = lo
+        while i <= hi:
+            line = lines[i]
+            matched = False
+            for rx, kind, is_container in table:
+                m = rx.match(line)
+                if m:
+                    name = m.group(1) if m.groups() else kind
+                    end = min(_brace_block_end(lines, i), hi)
+                    k = kind
+                    if kind == "function" and in_container in ("class", "module"):
+                        k = "method"  # fn in impl / method in class
+                    out.append(_Sym(k, name, i, end, list(ancestry)))
+                    if is_container and end > i:
+                        walk(i + 1, end, ancestry + [name],
+                             "class" if kind == "class" else "module")
+                    i = end + 1
+                    matched = True
+                    break
+            if matched:
+                continue
+            # methods inside a js/ts class body (method_definition)
+            if in_container == "class" and lang in ("javascript", "typescript"):
+                m = _JS_METHOD.match(line)
+                if m and m.group(1) not in _JS_KEYWORDS and "{" in line:
+                    end = min(_brace_block_end(lines, i), hi)
+                    out.append(_Sym("method", m.group(1), i, end, list(ancestry)))
+                    i = end + 1
+                    continue
+            i += 1
+
+    walk(0, n - 1, [], None)
+    return out
+
+
+_HS_SIG = re.compile(r"^(\w[\w']*)\s*(?:,\s*[\w']+\s*)*::")
+_HS_EQ = re.compile(r"^(\w[\w']*)\s+[^=]*=|^(\w[\w']*)\s*=")
+_HS_DATA = re.compile(r"^(data|newtype|type)\s+(\w+)")
+_HS_CLASS = re.compile(r"^(class|instance)\s+.*?\b(\w+)\b[^=]*where\s*$")
+
+
+def _hs_block_end(lines: list[str], i: int) -> int:
+    """A Haskell top-level binding extends over following indented or blank
+    lines until the next column-0 line."""
+    j = i + 1
+    last = i
+    n = len(lines)
+    while j < n:
+        s = lines[j]
+        if s.strip() == "":
+            j += 1
+            continue
+        if not s[0].isspace():
+            break
+        last = j
+        j += 1
+    return last
+
+
+def _detect_haskell(lines: list[str]) -> list[_Sym]:
+    out: list[_Sym] = []
+    i, n = 0, len(lines)
+    while i < n:
+        s = lines[i]
+        if not s or s[0].isspace():
+            i += 1
+            continue
+        m = _HS_DATA.match(s)
+        if m:
+            end = _hs_block_end(lines, i)
+            out.append(_Sym("module", m.group(2), i, end, []))
+            i = end + 1
+            continue
+        m = _HS_CLASS.match(s)
+        if m:
+            end = _hs_block_end(lines, i)
+            out.append(_Sym("class", m.group(2), i, end, []))
+            i = end + 1
+            continue
+        m = _HS_SIG.match(s)
+        if m:
+            end = _hs_block_end(lines, i)
+            out.append(_Sym("function", m.group(1), i, end, []))
+            i = end + 1
+            continue
+        m = _HS_EQ.match(s)
+        if m:
+            name = m.group(1) or m.group(2)
+            end = _hs_block_end(lines, i)
+            out.append(_Sym("function", name, i, end, []))
+            i = end + 1
+            continue
+        i += 1
+    return _merge_haskell_equations(out)
+
+
+def _merge_haskell_equations(syms: list[_Sym]) -> list[_Sym]:
+    """C7: a signature + its equations (and multi-equation definitions like
+    'fib 0 = ...' / 'fib n = ...') merge into ONE function symbol spanning
+    first signature line to last equation line
+    (merge_haskell_functions, ck-chunk/src/lib.rs:715-848)."""
+    merged: list[_Sym] = []
+    for s in syms:
+        if (merged and s.kind == "function" and merged[-1].kind == "function"
+                and merged[-1].name == s.name):
+            merged[-1].end = max(merged[-1].end, s.end)
+        else:
+            merged.append(s)
+    return merged
+
+
+_MD_HEADING = re.compile(r"^(#{1,6})\s+(.+?)\s*#*\s*$")
+
+
+def _detect_markdown(lines: list[str]) -> list[_Sym]:
+    """Headings open sections that end before the next heading of the same
+    or higher level (the tree-sitter 'section' node analogue)."""
+    out: list[_Sym] = []
+    heads = [(i, len(m.group(1)), m.group(2))
+             for i, ln in enumerate(lines) if (m := _MD_HEADING.match(ln))]
+    n = len(lines)
+    for hi, (i, level, title) in enumerate(heads):
+        end = n - 1
+        for j, lvl, _t in heads[hi + 1:]:
+            if lvl <= level:
+                end = j - 1
+                break
+        anc = []
+        for pj, plvl, pt in heads[:hi][::-1]:
+            if plvl < level and (not anc or plvl < anc[-1][0]):
+                anc.append((plvl, pt))
+        ancestry = [t for _l, t in sorted(anc)]
+        out.append(_Sym("module", title, i, end, ancestry))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+def _extend_leading_trivia(lines: list[str], start: int, lang: str) -> int:
+    """Pull decorators / attributes / doc comments directly above the header
+    into the chunk (extend_with_leading_trivia, ck-chunk/src/lib.rs:1183+)."""
+    rx = _TRIVIA_RES.get(lang)
+    if rx is None:
+        return start
+    i = start - 1
+    while i >= 0 and lines[i].strip() and rx.match(lines[i]):
+        i -= 1
+    return i + 1
+
+
+def _line_span_bytes(offsets, start_line: int, end_line: int) -> tuple[int, int]:
+    return offsets[start_line][0], offsets[end_line][1]
+
+
+def _make_chunk(data: bytes, offsets, sym: _Sym, lines: list[str], lang: str) -> SymbolChunk:
+    start = _extend_leading_trivia(lines, sym.start, lang)
+    b0, b1 = _line_span_bytes(offsets, start, sym.end)
+    text = data[b0:b1].decode("utf-8")
+    ancestry = sym.ancestry + [sym.name]
+    return SymbolChunk(
+        chunk_id=-1, byte_start=b0, byte_end=b1,
+        line_start=start + 1, line_end=sym.end + 1,
+        text=text, estimated_tokens=estimate_tokens(text),
+        chunk_type=sym.kind, name=sym.name,
+        breadcrumb="::".join(ancestry), ancestry=ancestry,
+    )
+
+
+def _fill_gaps(chunks: list[SymbolChunk], data: bytes, offsets) -> list[SymbolChunk]:
+    """C6: uncovered regions become 'text' chunks, split on blank lines
+    (fill_gaps, ck-chunk/src/lib.rs:577-712)."""
+    if not chunks:
+        return chunks
+    chunks = sorted(chunks, key=lambda c: (c.byte_start, c.byte_end))
+    text = data.decode("utf-8")
+
+    def gap_segments(g0: int, g1: int):
+        """Split [g0,g1) on blank lines; yield (b0,b1) with content."""
+        seg_start = None
+        for li, (b0, b1, ln) in enumerate(offsets):
+            if b1 <= g0 or b0 >= g1:
+                continue
+            s0, s1 = max(b0, g0), min(b1, g1)
+            if ln.strip() == "" or data[s0:s1].decode("utf-8", "ignore").strip() == "":
+                if seg_start is not None:
+                    yield (seg_start, s0)
+                    seg_start = None
+            else:
+                if seg_start is None:
+                    seg_start = s0
+        if seg_start is not None:
+            yield (seg_start, g1)
+
+    gaps: list[tuple[int, int]] = []
+    last_end = 0
+    for c in chunks:
+        if last_end < c.byte_start:
+            gaps.extend(gap_segments(last_end, c.byte_start))
+        last_end = max(last_end, c.byte_end)
+    if last_end < len(data):
+        gaps.extend(gap_segments(last_end, len(data)))
+
+    out = list(chunks)
+    for g0, g1 in gaps:
+        seg = data[g0:g1].decode("utf-8")
+        if not seg.strip():
+            continue
+        line_start = text[: len(data[:g0].decode("utf-8"))].count("\n") + 1
+        line_end = max(line_start,
+                       line_start + data[g0:g1].decode("utf-8").rstrip("\n").count("\n"))
+        out.append(SymbolChunk(
+            chunk_id=-1, byte_start=g0, byte_end=g1,
+            line_start=line_start, line_end=line_end,
+            text=seg, estimated_tokens=estimate_tokens(seg),
+            chunk_type="text",
+        ))
+    out.sort(key=lambda c: (c.byte_start, c.byte_end))
+    return out
+
+
+def _merge_small(chunks: list[SymbolChunk], data: bytes, target_tokens: int) -> list[SymbolChunk]:
+    """C9: group ADJACENT small chunks up to target_tokens; mixed-type
+    groups become 'text' (merge_small_chunks, ck-chunk/src/lib.rs:2086)."""
+    if not chunks:
+        return chunks
+    result: list[SymbolChunk] = []
+    group: list[SymbolChunk] = []
+    group_tokens = 0
+
+    def flush():
+        nonlocal group, group_tokens
+        if not group:
+            return
+        if len(group) == 1:
+            result.append(group[0])
+        else:
+            first, last = group[0], group[-1]
+            text = data[first.byte_start:last.byte_end].decode("utf-8")
+            ctype = first.chunk_type if all(
+                c.chunk_type == first.chunk_type for c in group) else "text"
+            result.append(SymbolChunk(
+                chunk_id=-1, byte_start=first.byte_start, byte_end=last.byte_end,
+                line_start=first.line_start, line_end=last.line_end,
+                text=text, estimated_tokens=estimate_tokens(text),
+                chunk_type=ctype,
+            ))
+        group, group_tokens = [], 0
+
+    for c in chunks:
+        if group_tokens + c.estimated_tokens > target_tokens:
+            flush()
+        if c.estimated_tokens > target_tokens:
+            flush()
+            result.append(c)
+            continue
+        group.append(c)
+        group_tokens += c.estimated_tokens
+    flush()
+    return result
+
+
+def _stride(chunks: list[SymbolChunk], max_tokens: int, overlap_tokens: int) -> list[SymbolChunk]:
+    """C8: split oversized chunks into overlapping windows carrying
+    (stride_index, total_strides) (stride_large_chunk, lib.rs:1971-2084)."""
+    out: list[SymbolChunk] = []
+    for c in chunks:
+        if c.estimated_tokens <= max_tokens:
+            out.append(c)
+            continue
+        text = c.text
+        nchars = len(text)
+        cpt = nchars / max(c.estimated_tokens, 1)
+        window = int(max_tokens * 0.9 * cpt)
+        overlap = int(overlap_tokens * cpt)
+        step = max(window - overlap, 1)
+        total = 1 if nchars <= window else -(-(nchars - overlap) // step)
+        start = 0
+        idx = 0
+        while start < nchars:
+            endc = min(start + window, nchars)
+            seg = text[start:endc]
+            b_off = len(text[:start].encode("utf-8"))
+            b_end = len(text[:endc].encode("utf-8"))
+            line_off = text[:start].count("\n")
+            out.append(SymbolChunk(
+                chunk_id=-1,
+                byte_start=c.byte_start + b_off, byte_end=c.byte_start + b_end,
+                line_start=c.line_start + line_off,
+                line_end=c.line_start + line_off + max(seg.rstrip("\n").count("\n"), 0),
+                text=seg, estimated_tokens=estimate_tokens(seg),
+                chunk_type=c.chunk_type, name=c.name,
+                breadcrumb=c.breadcrumb, ancestry=list(c.ancestry),
+                stride_index=idx, total_strides=total,
+            ))
+            if endc >= nchars:
+                break
+            start += step
+            idx += 1
+    return out
+
+
+def chunk_code(
+    text: str,
+    lang: str | None,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    stride_overlap: int = DEFAULT_STRIDE_OVERLAP,
+) -> list[SymbolChunk]:
+    """Language dispatch (C1) + the full chunk pipeline. Falls back to the
+    generic line-window chunker for unknown languages or symbol-free files
+    (chunk_text_with_config_and_model, ck-chunk/src/lib.rs:248-298)."""
+    la = canonical_lang(lang)
+    if not text:
+        return []
+    if la is None:
+        return _generic_as_symbol_chunks(text)
+
+    lines_off = split_lines_with_offsets(text)
+    lines = [ln for _b0, _b1, ln in lines_off]
+    data = text.encode("utf-8")
+
+    if la == "python":
+        syms = _detect_python(lines)
+    elif la in ("rust", "go", "javascript", "typescript"):
+        syms = _detect_brace(lines, la)
+    elif la == "haskell":
+        syms = _detect_haskell(lines)
+    else:  # markdown
+        syms = _detect_markdown(lines)
+
+    if not syms:
+        return _generic_as_symbol_chunks(text)
+
+    chunks = [_make_chunk(data, lines_off, s, lines, la) for s in syms]
+    # drop exact duplicates (same span), like extract_code_chunks does
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for c in chunks:
+        key = (c.byte_start, c.byte_end)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(c)
+    chunks = _fill_gaps(uniq, data, lines_off)
+    if la == "markdown":
+        chunks = _merge_small(chunks, data, MARKDOWN_TARGET_TOKENS)
+    chunks = _stride(chunks, max_tokens, stride_overlap)
+    for i, c in enumerate(chunks):
+        c.chunk_id = i
+    return chunks
+
+
+def _generic_as_symbol_chunks(text: str) -> list[SymbolChunk]:
+    out = []
+    for c in generic_chunk_text(text):
+        out.append(SymbolChunk(
+            chunk_id=c.chunk_id, byte_start=c.byte_start, byte_end=c.byte_end,
+            line_start=c.line_start, line_end=c.line_end, text=c.text,
+            estimated_tokens=c.estimated_tokens, chunk_type="text",
+        ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+SYMBOL_CHUNK_SCHEMA = (
+    "chunk_id int, byte_start long, byte_end long, line_start int, "
+    "line_end int, text string, estimated_tokens int, chunk_type string, "
+    "name string, breadcrumb string, ancestry array<string>, "
+    "stride_index int, total_strides int"
+)
+
+
+def symbol_chunks_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
+                      stride_overlap: int = DEFAULT_STRIDE_OVERLAP):
+    """Arrow pandas UDF: (content, lang) -> array<struct<symbol chunk>>.
+    Chunking is per-document and embarrassingly parallel — the UDF is the
+    right boundary (pure Python string work, no Spark state)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StructType
+
+    struct_t = StructType.fromDDL(SYMBOL_CHUNK_SCHEMA)
+
+    @F.pandas_udf(ArrayType(struct_t))
+    def _udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        out = []
+        for text, la in zip(content.fillna(""), lang):
+            out.append([c.__dict__ for c in
+                        chunk_code(text, la, max_tokens, stride_overlap)])
+        return pd.Series(out)
+
+    return _udf
+
+
+def chunk_corpus_symbols(corpus, max_tokens: int = DEFAULT_MAX_TOKENS,
+                         stride_overlap: int = DEFAULT_STRIDE_OVERLAP):
+    """corpus -> symbol-aware chunks table (C1 dispatch by the corpus lang
+    column; falls back to the generic line-window chunker per doc). One row
+    per chunk: identity + span + chunk_type/name/breadcrumb/ancestry +
+    stride info."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.index.builder import doc_id_expr
+
+    return (
+        corpus.withColumn("doc_id", doc_id_expr())
+        .select(
+            "doc_id", "repo", "path", "lang",
+            F.explode(symbol_chunks_udf(max_tokens, stride_overlap)(
+                F.col("content"), F.col("lang"))).alias("c"),
+        )
+        .select("doc_id", "repo", "path", "lang", "c.*")
+    )
