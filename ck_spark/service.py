@@ -1,0 +1,230 @@
+"""MCP-shaped query service facade (L8).
+
+One module exposing the reference's MCP tool surface
+(ck-cli/src/mcp_server.rs:635-935) over the Spark engine:
+
+  lexical_search / regex_search / semantic_search / hybrid_search /
+  index_status / reindex / health_check
+
+with the reference's defaults: top_k 10 (DEFAULT_MCP_TOP_K,
+mcp_server.rs:33), page_size 50 capped at 200 (paging.py), offset
+cursors ("next_cursor" in the response, mcp_server.rs:561-565), and a
+build-on-first-use index (L7: auto-index-before-search).
+
+Responses are plain dicts shaped like the reference's structured_content:
+{"summary": str, "results": [...], "pagination": {"page_size", "has_more",
+"next_cursor", "returned"}} — a thin JSON-RPC layer over these callables
+would be protocol-complete; the protocol plumbing itself (stdio framing)
+is out of scope per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ck_spark.constants import (
+    SEMANTIC_DEFAULT_THRESHOLD,
+)
+from ck_spark.index.builder import build_index, update_index
+from ck_spark.index.manifest import Manifest
+from ck_spark.query.bm25 import BM25Index
+from ck_spark.query.grep import grep
+from ck_spark.query.paging import DEFAULT_PAGE_SIZE, MAX_PAGE_SIZE
+from ck_spark.query.semantic import hybrid_lexical_semantic
+from ck_spark.query.semantic import semantic_search as _semantic_search
+
+DEFAULT_MCP_TOP_K = 10  # mcp_server.rs:33
+
+
+def _decode_cursor(cursor: str | None) -> int:
+    if not cursor:
+        return 0
+    try:
+        off = int(cursor)
+        return max(off, 0)
+    except ValueError:
+        return 0
+
+
+def _page(df: DataFrame, order_cols, cursor: str | None, page_size: int | None) -> dict:
+    """Collect one page + has_more/next_cursor. Fetches offset+size+1 rows
+    through a distributed partial top-k (TakeOrderedAndProject) — no
+    count() job, no unbounded window."""
+    size = min(page_size or DEFAULT_PAGE_SIZE, MAX_PAGE_SIZE)
+    offset = _decode_cursor(cursor)
+    rows = df.orderBy(*order_cols).limit(offset + size + 1).collect()
+    window = rows[offset: offset + size]
+    has_more = len(rows) > offset + size
+    return {
+        "results": [r.asDict(recursive=True) for r in window],
+        "pagination": {
+            "page_size": size,
+            "returned": len(window),
+            "has_more": has_more,
+            "next_cursor": str(offset + size) if has_more else None,
+        },
+    }
+
+
+class CkService:
+    """The ck MCP server analogue: owns an index root + the corpus source,
+    builds lazily on first search (L7), answers the six tool calls."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        corpus: DataFrame | None = None,
+        embeddings: DataFrame | None = None,
+        mode: str = "code",
+        build_opts: dict | None = None,
+    ):
+        self.spark = spark
+        self.root = index_root
+        self.corpus = corpus
+        self.embeddings = embeddings
+        self.mode = mode
+        self.build_opts = build_opts or {}
+        self._idx: BM25Index | None = None
+
+    # -- index lifecycle ----------------------------------------------------
+
+    def _index(self) -> BM25Index:
+        """Auto-index-before-search (L7): build on first use if absent."""
+        if self._idx is not None:
+            return self._idx
+        meta_path = os.path.join(self.root, "manifest", "index_meta.json")
+        if not os.path.exists(meta_path):
+            if self.corpus is None:
+                raise RuntimeError("no index at root and no corpus to build from")
+            build_index(self.spark, self.corpus, self.root, mode=self.mode,
+                        **self.build_opts)
+        self._idx = BM25Index.load(self.spark, self.root)
+        return self._idx
+
+    def index_status(self) -> dict:
+        """Tool: index_status — manifest meta + per-stage records
+        (mcp_server.rs index status tool / ck --status)."""
+        man = Manifest(self.root)
+        try:
+            meta = man.load_meta()
+        except FileNotFoundError:
+            return {"exists": False, "root": self.root}
+        recs = man.records()
+        return {
+            "exists": True,
+            "root": self.root,
+            "meta": meta,
+            "stages": [
+                {k: r.get(k) for k in ("stage", "partition_id", "rows",
+                                       "build_ms", "status", "lineage")}
+                for r in recs
+            ],
+            "update_in_progress": man.load_marker("update_inprogress") is not None,
+        }
+
+    def reindex(self, corpus: DataFrame | None = None,
+                full_snapshot: bool = False) -> dict:
+        """Tool: reindex — incremental upsert of the given corpus batch
+        (or the service's corpus) into the index."""
+        src = corpus if corpus is not None else self.corpus
+        if src is None:
+            raise RuntimeError("reindex needs a corpus")
+        self._index()  # ensure built
+        stats = update_index(self.spark, src, self.root,
+                             full_snapshot=full_snapshot)
+        self._idx = BM25Index.load(self.spark, self.root)  # refresh meta
+        return {"summary": "reindex complete", **stats}
+
+    def health_check(self) -> dict:
+        return {"status": "healthy", "server": "ck_spark", "protocol": "mcp",
+                "root": self.root, "ts": time.time()}
+
+    # -- search tools ---------------------------------------------------------
+
+    def lexical_search(
+        self, query: str, top_k: int = DEFAULT_MCP_TOP_K, mode: str = "or",
+        cursor: str | None = None, page_size: int | None = None,
+        include_prefixes: list[str] | None = None,
+        exclude_globs: list[str] | None = None,
+    ) -> dict:
+        idx = self._index()
+        res = idx.search(query, k=top_k, mode=mode, with_paths=True,
+                         include_prefixes=include_prefixes,
+                         exclude_globs=exclude_globs)
+        out = _page(res, [F.desc("score"), F.asc("doc_id")], cursor, page_size)
+        out["summary"] = f"lexical top-{top_k} for {query!r}"
+        return out
+
+    def regex_search(
+        self, pattern: str, cursor: str | None = None,
+        page_size: int | None = None, full_section: bool = False,
+        **grep_kw,
+    ) -> dict:
+        if self.corpus is None:
+            raise RuntimeError("regex search needs the corpus")
+        if full_section:
+            from ck_spark.query.sections import grep_full_section
+
+            hits = grep_full_section(self.corpus, pattern, **grep_kw)
+            order = ["path", "line_no"]
+        else:
+            hits = grep(self.corpus, pattern, **grep_kw)
+            order = ["path", "line_no"]
+        out = _page(hits, order, cursor, page_size)
+        out["summary"] = f"regex matches for {pattern!r}"
+        return out
+
+    def semantic_search(
+        self, query_vec: list[float], top_k: int = DEFAULT_MCP_TOP_K,
+        threshold: float | None = SEMANTIC_DEFAULT_THRESHOLD,
+        cursor: str | None = None, page_size: int | None = None,
+    ) -> dict:
+        if self.embeddings is None:
+            raise RuntimeError("semantic search needs an embeddings table")
+        res = _semantic_search(self.embeddings, query_vec, k=top_k,
+                               threshold=threshold)
+        out = _page(res, [F.desc("cosine"), F.asc("vec_id")], cursor, page_size)
+        out["summary"] = f"semantic top-{top_k}"
+        return out
+
+    def hybrid_search(
+        self, query: str, query_vec: list[float],
+        top_k: int = DEFAULT_MCP_TOP_K,
+        cursor: str | None = None, page_size: int | None = None,
+    ) -> dict:
+        idx = self._index()
+        lex = idx.search(query, k=max(top_k * 3, 30))
+        if self.embeddings is None:
+            raise RuntimeError("hybrid search needs an embeddings table")
+        sem = _semantic_search(self.embeddings, query_vec,
+                               k=max(top_k * 3, 30), threshold=None)
+        fused = hybrid_lexical_semantic(lex, sem, k=top_k)
+        out = _page(fused, [F.desc("rrf_score"), F.asc("doc_id")],
+                    cursor, page_size)
+        out["summary"] = f"hybrid (RRF k=60) top-{top_k} for {query!r}"
+        return out
+
+
+def rerank(results: DataFrame, score_fn, k: int,
+           text_col: str = "section", score_col: str = "score") -> DataFrame:
+    """T5 rerank seam: re-score a result frame with a pluggable scorer
+    (the reference's cross-encoder slot, ck-engine/src/semantic_v3.rs:
+    230-291 — model inference itself is out of scope), re-sort, re-cut.
+
+    score_fn: pandas Series[str] -> Series[float], run as an Arrow UDF."""
+
+    @F.pandas_udf("double")
+    def _score(s: pd.Series) -> pd.Series:
+        return score_fn(s).astype(float)
+
+    return (
+        results.withColumn(score_col, _score(F.col(text_col)))
+        .orderBy(F.desc(score_col))
+        .limit(k)
+    )

@@ -1,0 +1,100 @@
+"""MCP facade tests mirroring the reference's mcp_tests.rs shapes:
+tool responses carry results + pagination (page_size default 50, cap 200,
+offset next_cursor), top_k defaults to 10, index builds on first use,
+reindex upserts, status reports stages."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.service import DEFAULT_MCP_TOP_K, CkService, rerank
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svc") / "idx")
+    pdf = generate_corpus(150, seed=11)
+    corpus = spark.createDataFrame(pdf)
+    # tiny deterministic embeddings keyed by the engine's doc ids
+    from ck_spark.index.builder import doc_id_expr
+
+    emb = corpus.select(
+        doc_id_expr().alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: F.sin(F.xxhash64("path") % 100 + j)).alias("embedding"),
+    )
+    return CkService(spark, root, corpus=corpus, embeddings=emb,
+                     build_opts=dict(n_segments=3, term_buckets=4, build_groups=2))
+
+
+def test_lazy_build_and_lexical_defaults(service):
+    # no index exists yet: first search builds it (L7)
+    out = service.lexical_search("parse buffer")
+    assert out["pagination"]["page_size"] == 50
+    assert len(out["results"]) <= DEFAULT_MCP_TOP_K
+    assert out["results"], "expected hits on the generated corpus"
+    assert out["results"][0]["score"] >= out["results"][-1]["score"]
+    assert {"doc_id", "score", "path"} <= set(out["results"][0])
+    st = service.index_status()
+    assert st["exists"] and st["meta"]["n_docs"] > 0
+    assert any(s["stage"] == "doc_map" for s in st["stages"])
+    assert st["update_in_progress"] is False
+
+
+def test_pagination_cursor_roundtrip(service):
+    p1 = service.regex_search("def", page_size=7)
+    assert p1["pagination"]["page_size"] == 7
+    assert p1["pagination"]["has_more"] is True
+    assert p1["pagination"]["next_cursor"] == "7"
+    p2 = service.regex_search("def", page_size=7, cursor=p1["pagination"]["next_cursor"])
+    k1 = {(r["path"], r["line_no"]) for r in p1["results"]}
+    k2 = {(r["path"], r["line_no"]) for r in p2["results"]}
+    assert not (k1 & k2), "pages must not overlap"
+    # page size is capped at 200 like the reference
+    big = service.regex_search("def", page_size=999)
+    assert big["pagination"]["page_size"] == 200
+
+
+def test_semantic_and_hybrid(service):
+    qv = [math.sin(j + 1) for j in range(8)]
+    sem = service.semantic_search(qv, top_k=5, threshold=None)
+    assert 0 < len(sem["results"]) <= 5
+    assert "cosine" in sem["results"][0]
+    hyb = service.hybrid_search("parse buffer", qv, top_k=5)
+    assert 0 < len(hyb["results"]) <= 5
+    assert "rrf_score" in hyb["results"][0]
+
+
+def test_regex_full_section(service):
+    out = service.regex_search("def parse", full_section=True, page_size=5)
+    if out["results"]:  # sections exist in the generated python-ish corpus
+        r = out["results"][0]
+        assert r["section_line_start"] <= r["line_no"] <= r["section_line_end"]
+
+
+def test_reindex_upsert(service, spark):
+    delta = spark.createDataFrame(
+        [("repoA", "brand/new_file.py", "c1", "python",
+          "def zzservicetoken():\n    return 1\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    stats = service.reindex(delta)
+    assert stats["added"] == 1
+    hit = service.lexical_search("zzservicetoken")
+    assert hit["results"] and hit["results"][0]["path"] == "brand/new_file.py"
+
+
+def test_health_check(service):
+    h = service.health_check()
+    assert h["status"] == "healthy" and h["server"] == "ck_spark"
+
+
+def test_rerank_seam(service, spark):
+    df = spark.createDataFrame(
+        [("a", "short"), ("b", "a much longer piece of text here")],
+        "id string, section string",
+    )
+    out = rerank(df, lambda s: s.str.len(), k=1).collect()
+    assert out[0]["id"] == "b"
