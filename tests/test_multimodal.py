@@ -37,11 +37,12 @@ def test_feature_extraction_plumbing(spark, media):
         assert 0 <= r["mean_val"] <= 255
 
 
-def test_real_decode_is_cleanly_stubbed(spark, media):
-    if HAVE_IMAGE_CODEC:
-        pytest.skip("codec installed; stub path not applicable")
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(media, real_decode=True)
+def test_real_decode_rejects_invalid_payloads(spark, media):
+    """real_decode is no longer a stub: PNG payloads decode through the
+    built-in codec, and a payload that ISN'T a valid PNG fails loudly at
+    decode time (never a silent fake)."""
+    with pytest.raises(Exception, match="not a PNG|no decoder"):
+        extract_features(media, real_decode=True).collect()
 
 
 def test_frame_sampling(spark, media):
@@ -58,3 +59,108 @@ def test_frame_sampling(spark, media):
 def test_resize_stub(spark, media):
     out = resize_stub(media, 32, 32).select("width", "height").distinct().collect()
     assert len(out) == 1 and out[0]["width"] == 32 and out[0]["height"] == 32
+
+
+# ---- real PNG codec round-trip (the decode seam made real) -----------------
+
+
+def test_png_roundtrip_shapes():
+    import numpy as np
+
+    from ck_spark.ops.png import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    for shape in [(5, 7), (4, 4, 3), (3, 6, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_png_all_filter_types_decode():
+    """Decoder inverts every PNG filter type (we emit only filter 0, but
+    real-world PNGs use all five) — forward-filter a known image per row
+    and check recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ck_spark.ops.png import decode_png
+
+    rng = np.random.default_rng(1)
+    h, w, ch = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = img.reshape(h, w * ch).astype(np.int16)
+    bpp = ch
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5  # use every filter type
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * ch, np.int16)
+        line = np.zeros(w * ch, np.int16)
+        for x in range(w * ch):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if (y > 0 and x >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) % 256
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_extract_features_real_decode_png(spark):
+    """End-to-end: a REAL PNG payload through the Arrow mapInPandas path,
+    statistics over actual pixels (closes the 'decode stub' weakness)."""
+    import numpy as np
+
+    from ck_spark.ops.multimodal import extract_features
+    from ck_spark.ops.png import encode_png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)  # known gradient
+    payload = encode_png(img)
+    media = spark.createDataFrame(
+        [(1, "image", "png", bytearray(payload), 4, 4, 0)],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    row = extract_features(media, real_decode=True).collect()[0]
+    assert abs(row["mean_val"] - float(np.arange(48).mean())) < 1e-9
+    assert abs(row["std_val"] - float(np.arange(48).std())) < 1e-9
+    assert row["n_bytes"] == len(payload)
+
+
+def test_extract_features_real_decode_unsupported_kind_raises(spark):
+    import pytest as _pytest
+
+    from ck_spark.ops.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "audio", "wav", bytearray(b"RIFF...."), 0, 0, 1000)],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with _pytest.raises(Exception) as ei:
+        extract_features(media, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "no decoder" in str(ei.value)
