@@ -36,7 +36,29 @@ def main() -> None:
     from ck_spark.query.hybrid import add_rank, rrf_fuse
     from ck_spark.session import get_spark
 
-    spark = get_spark("ck_spark-bench", cores=cpus, shuffle_partitions=cpus)
+    # route the driver JVM log to a file so the suite can ASSERT no
+    # unpartitioned-window warnings (VERDICT r01 done-criterion: zero
+    # 'WARN WindowExec: No Partition Defined' lines in the bench log)
+    log_dir = tempfile.mkdtemp(prefix="ck_bench_log_")
+    log_file = os.path.join(log_dir, "spark.log")
+    l4j = os.path.join(log_dir, "log4j2.properties")
+    with open(l4j, "w") as f:
+        f.write(
+            "rootLogger.level = warn\n"
+            "rootLogger.appenderRef.file.ref = FileApp\n"
+            "appender.file.type = File\n"
+            "appender.file.name = FileApp\n"
+            f"appender.file.fileName = {log_file}\n"
+            "appender.file.layout.type = PatternLayout\n"
+            "appender.file.layout.pattern = %p %c: %m%n\n"
+        )
+    spark = get_spark(
+        "ck_spark-bench", cores=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-Dlog4j2.configurationFile=file:{l4j}",
+        },
+    )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
     # single-file parquet -> 1 scan partition; spread work across a
@@ -153,6 +175,22 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # scale-hygiene gate: the engine must never move an unbounded input to
+    # a single partition through WindowExec
+    window_warns = 0
+    try:
+        with open(log_file) as f:
+            window_warns = sum(
+                1 for line in f
+                if "WindowExec" in line and "No Partition Defined" in line
+            )
+    except OSError:
+        window_warns = -1  # log capture unavailable (non-fatal)
+    assert window_warns <= 0, (
+        f"{window_warns} unpartitioned-window warnings in the bench log — "
+        "an operator is single-partitioning unbounded data"
+    )
+
     total = round(sum(timings.values()), 3)
     build_s = timings.get("index_build", float("nan"))
     sizes = size_report
@@ -167,6 +205,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": cpus,
                 "indexed_docs_per_sec": round(n_docs / build_s, 1) if build_s else None,
+                "window_warns": window_warns,
                 **sizes,
             }
         )

@@ -78,6 +78,84 @@ def main() -> None:
         "\n".join(bcast),
     ))
 
+    # narrow doc_map reader prunes the tfm map column at the parquet scan
+    # (single-pass build: tf maps ride in doc_map; readers that don't need
+    # them never deserialize them)
+    narrow = plan_of(
+        spark.read.parquet(idx.paths.doc_map).select("doc_id", "path", "doc_len")
+    )
+    pruned = [ln.strip()[:240] for ln in narrow.splitlines() if "ReadSchema" in ln or "FileScan" in ln][:4]
+    assert all("tfm" not in ln for ln in pruned), "tfm not pruned from narrow read"
+    sections.append((
+        "doc_map narrow read — tfm column pruned",
+        "doc_map carries the per-doc tf map (the single tokenize artifact); "
+        "a narrow reader's ReadSchema must NOT contain tfm — parquet column "
+        "pruning makes the merged layout free for path/length readers. The "
+        "build also no longer shuffles pairs to recover doc_len (one fewer "
+        "full exchange than round 1: doc_len is written in the tokenize "
+        "pass itself).",
+        "\n".join(pruned),
+    ))
+
+    # postings encode input: doc_map scan -> explode -> ONE exchange on the
+    # exact grouping keys (no doc_len join, no second corpus scan)
+    from ck_spark.index.builder import _pairs_df
+
+    enc_in = _pairs_df(spark.read.parquet(idx.paths.doc_map).where(F.col("seg").isin([0, 1])), 16)
+    enc_plan = plan_of(enc_in.repartition(8, "seg", "bucket", "term"))
+    n_exchanges = enc_plan.count("Exchange")
+    exch = [ln.strip()[:200] for ln in enc_plan.splitlines()
+            if "Exchange" in ln or "FileScan" in ln or "Generate" in ln][:6]
+    sections.append((
+        "postings encode input — single exchange",
+        f"doc_map(seg-pruned scan) → explode(tfm) → one hash exchange on "
+        f"(seg,bucket,term). Exchanges in plan: {n_exchanges} (round 1 had "
+        "an extra pairs.groupBy(doc_id) exchange just to recover doc_len).",
+        "\n".join(exch),
+    ))
+
+    # normalized search: scalar max agg + broadcast join, NO WindowExec
+    norm_plan = plan_of(idx.search("parse buffer", k=10, normalize=True))
+    assert "WindowExec" not in norm_plan and "Window" not in norm_plan, "normalize must not use a window"
+    nrm = [ln.strip()[:200] for ln in norm_plan.splitlines()
+           if "Broadcast" in ln or "TakeOrdered" in ln][:5]
+    sections.append((
+        "score normalization — window-free",
+        "Max-normalization after top-k is a scalar aggregate broadcast-"
+        "joined back — the plan contains no WindowExec (round 1's "
+        "unpartitioned-window hazard is structurally gone; bench.py also "
+        "asserts zero WindowExec warnings in the driver log).",
+        "\n".join(nrm),
+    ))
+
+    # materialized ANN index: partition pruning on lsh_bucket
+    import math
+
+    from ck_spark.ops.similarity import ann_index_topk, build_ann_index
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda j: F.sin(F.col("id") * 13 + j)).alias("embedding"),
+    )
+    ann_root = tempfile.mkdtemp(prefix="plans-ann-")
+    build_ann_index(spark, emb, ann_root, n_planes=6, dim=16)
+    qv = [math.sin(j + 1) for j in range(16)]
+    ap = plan_of(ann_index_topk(spark, ann_root, qv, k=10, n_probes=2))
+    annp = []
+    for ln in ap.splitlines():
+        if "FileScan" in ln:
+            annp.append(ln.strip()[:160] + " …")
+            for frag in re.findall(r"PartitionFilters: \[[^\]]*\]", ln):
+                annp.append("  " + frag[:220])
+    sections.append((
+        "ANN index query — lsh_bucket partition pruning",
+        "The materialized ANN table is partitioned by lsh_bucket; a "
+        "multi-probe query scans ONLY the probed buckets (PartitionFilters "
+        "below) — ~N/2^planes rows per probe instead of the full table.",
+        "\n".join(annp),
+    ))
+
     out = ["# PLANS — captured physical plans (judge artifact)\n",
            "Generated by `python scripts/capture_plans.py` on a fresh "
            "3000-doc index. What to look for in each plan is stated above "
