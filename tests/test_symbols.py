@@ -247,3 +247,40 @@ def test_empty_and_crlf():
     chunks = chunk_code(src, "python")
     _spans_are_byte_exact(chunks, src)
     assert {c.name for c in chunks if c.chunk_type == "function"} == {"f", "g"}
+
+
+def test_lang_from_path_matches_reference_table():
+    """X3: mirrors test_language_from_path / case-insensitivity tests
+    (ck-core/src/lib.rs:1175-1228)."""
+    from ck_spark.functions.lang import lang_from_path
+
+    assert lang_from_path("test.rs") == "rust"
+    assert lang_from_path("test.py") == "python"
+    assert lang_from_path("test.js") == "javascript"
+    assert lang_from_path("test.hs") == "haskell"
+    assert lang_from_path("test.lhs") == "haskell"
+    assert lang_from_path("test.go") == "go"
+    assert lang_from_path("test.unknown") is None
+    assert lang_from_path("noext") is None
+    # case-insensitive
+    assert lang_from_path("MAIN.RS") == "rust"
+    assert lang_from_path("app.PY") == "python"
+    assert lang_from_path("Component.TSX") == "typescript"
+    # headers assume C++; dotfiles have no extension
+    assert lang_from_path("inc/util.h") == "cpp"
+    assert lang_from_path(".gitignore") is None
+    assert lang_from_path(None) is None
+
+
+def test_lang_from_path_col_agrees(spark):
+    from pyspark.sql import functions as F
+
+    from ck_spark.functions.lang import lang_from_path, lang_from_path_col
+
+    paths = ["a/b/test.rs", "MAIN.RS", "x.tar.gz", "noext", ".bashrc",
+             "deep/dir/app.PY", "t.cpp", "u.c++", "v.mdx", "w.unknown"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {r["path"]: r["lang"] for r in
+           df.select("path", lang_from_path_col(F.col("path")).alias("lang")).collect()}
+    for p in paths:
+        assert got[p] == lang_from_path(p), p
