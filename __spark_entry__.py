@@ -312,6 +312,52 @@ def _q_simhash(spark, sf_dir):
     return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH candidate pairs: every doc
+    labelled with the min doc id reachable through the near-dup graph
+    (iterative min-label propagation; the oracle is a recursive CTE)."""
+    from ck_spark.ops.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).select("id_a", "id_b")
+    return dedup_clusters(pairs, docs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""WITH RECURSIVE {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {', '.join(f"min(md5(sh || '#{i}')) AS h{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id),
+melted AS ({' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS key FROM sig"
+        for b in range(4))}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels ORDER BY doc_id"""
+
+
 ANN_K = 10
 ANN_PLANES = 8
 
@@ -1064,6 +1110,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_embedding_cosine": _q_embedding_near_dup,
@@ -1152,6 +1199,7 @@ FROM h ORDER BY doc_id""",
         "dedup_minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "dedup_embedding_cosine": _embedding_near_dup_sql(),

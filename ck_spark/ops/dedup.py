@@ -185,3 +185,60 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, universe: DataFrame,
+    id_col: str = "doc_id", max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the step
+    that turns pairwise signals (LSH/SimHash/Jaccard) into KEEP/DROP
+    decisions: every doc gets cluster_id = the minimum doc id reachable
+    through the dup graph; keeping one doc per cluster_id deduplicates.
+
+    pairs: (id_a, id_b); universe: frame carrying id_col (docs absent from
+    every pair become singleton clusters of themselves).
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each round
+    every node adopts the minimum label among itself and its neighbors —
+    converges in O(graph diameter) rounds; near-dup components are
+    near-cliques, so 2-3 rounds in practice. Each round is one join + one
+    groupBy shuffle on doc id; localCheckpoint() every round truncates the
+    lineage so the plan doesn't grow with iterations (the classic Spark
+    iterative-algorithm footgun). The driver sees only a change-count per
+    round (observe-style aggregate), never the data.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = universe.select(F.col(id_col).alias("src")).distinct().withColumn(
+        "label", F.col("src")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("src").alias(id_col),
+        F.col("label").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count("*").over(w).cast("long"))

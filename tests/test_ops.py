@@ -255,3 +255,22 @@ def test_ann_index_partition_pruning_and_recall(spark, tmp_path):
         .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     )
     assert [r["vec_id"] for r in allcos.collect()] == brute
+
+
+def test_dedup_clusters_connected_components(spark):
+    from ck_spark.ops.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 50]], "doc_id long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup_clusters(pairs, universe).collect()}
+    # chain 1-2-3-4-5 collapses to min id 1 (multi-iteration propagation)
+    for d in (1, 2, 3, 4, 5):
+        assert got[d] == (1, 5)
+    for d in (10, 11):
+        assert got[d] == (10, 2)
+    assert got[50] == (50, 1)  # singleton: no pair mentions it
