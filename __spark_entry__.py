@@ -129,9 +129,71 @@ ORDER BY scored.score DESC, doc_id
 LIMIT {k}"""
 
 
+def _bm25_contrib_cte(terms: list[str]) -> str:
+    """Per-(doc, term) BM25 contributions for the boolean-query oracles."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""WITH {_TOK_CTES},
+q(term) AS (VALUES {values}),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)"""
+
+
+# tantivy-QueryParser syntax oracles: must/must_not/phrase semantics
+_BOOL_NOT_SQL = f"""{_bm25_contrib_cte(["table"])}
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'hash')
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id LIMIT 20"""
+
+_BOOL_MIXED_SQL = f"""{_bm25_contrib_cte(["table", "merge"])}
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'table')
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id LIMIT 20"""
+
+# phrase "table hash": tokens adjacent under simple-mode tokenization
+_PHRASE_RE = "(^|[^a-z0-9])table[^a-z0-9]+hash($|[^a-z0-9])"
+_BOOL_PHRASE_SQL = f"""{_bm25_contrib_cte(["table", "hash"])}
+SELECT c.doc_id, round(sum(c.c), 6) AS score
+FROM contrib c
+JOIN documents d ON d.doc_id = c.doc_id
+WHERE regexp_matches(lower(d.text), '{_PHRASE_RE}')
+  AND c.doc_id IN (SELECT doc_id FROM tok WHERE term = 'table')
+  AND c.doc_id IN (SELECT doc_id FROM tok WHERE term = 'hash')
+GROUP BY c.doc_id
+ORDER BY sum(c.c) DESC, c.doc_id LIMIT 20"""
+
+
 # --------------------------------------------------------------------------
 # engine-side query callables
 # --------------------------------------------------------------------------
+
+
+def _bm25_syntax(query: str, k: int):
+    """tantivy-QueryParser grammar through the engine's search_query
+    (+must / -must_not / "phrase"; phrases verified for token adjacency
+    against the corpus — query/boolean.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ck_spark.adapters import search_documents
+
+        df = search_documents(spark, sf_dir, query, k=k, mode="syntax")
+        return df.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
 
 
 def _bm25(query: str, k: int, mode: str = "or"):
@@ -1099,6 +1161,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _bm25("table join", k=20, mode="and"),
         "bm25_ubiquitous_term": _bm25("table", k=20),
         "bm25_norm_threshold": _q_bm25_norm_threshold,
+        "bm25_boolean_not": _bm25_syntax("table -hash", k=20),
+        "bm25_boolean_mixed": _bm25_syntax("+table merge", k=20),
+        "bm25_phrase": _bm25_syntax('"table hash"', k=20),
         "term_df_top50": _q_term_df_top50,
         "doc_len_stats": _q_doc_len,
         "corpus_stats": _q_corpus_stats,
@@ -1148,6 +1213,9 @@ norm AS (
 )
 SELECT doc_id, round(score, 6) AS score FROM norm WHERE score >= 0.5
 ORDER BY score DESC, doc_id""",
+        "bm25_boolean_not": _BOOL_NOT_SQL,
+        "bm25_boolean_mixed": _BOOL_MIXED_SQL,
+        "bm25_phrase": _BOOL_PHRASE_SQL,
         "term_df_top50": f"""WITH {_TOK_CTES}
 SELECT term, CAST(df AS BIGINT) AS df
 FROM df ORDER BY df DESC, term LIMIT 50""",

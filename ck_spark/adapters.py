@@ -97,9 +97,17 @@ def search_documents(
     n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
     fetch = min(k + tie_buffer, n_docs)
     while True:
-        res = idx.search(query, k=fetch, mode=mode,
-                         normalize=normalize, threshold=threshold,
-                         with_paths=True)
+        if mode == "syntax":
+            # tantivy-QueryParser grammar (+must/-not/"phrase"/AND);
+            # phrases verify adjacency against the corpus content
+            corpus = documents_as_corpus(load_documents(spark, sf_dir))
+            res = idx.search_query(query, k=fetch, corpus=corpus,
+                                   normalize=normalize, threshold=threshold,
+                                   with_paths=True)
+        else:
+            res = idx.search(query, k=fetch, mode=mode,
+                             normalize=normalize, threshold=threshold,
+                             with_paths=True)
         pdf = (
             res.select(F.col("path").cast("long").alias("doc_id"), "score")
             .toPandas()

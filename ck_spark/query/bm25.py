@@ -202,6 +202,126 @@ class BM25Index:
             )
         return self._finish(seg_top, k, normalize, threshold, with_paths)
 
+    def search_query(
+        self,
+        query: str,
+        k: int = LEXICAL_DEFAULT_TOPK,
+        corpus: DataFrame | None = None,
+        normalize: bool = False,
+        threshold: float | None = None,
+        with_paths: bool = False,
+        include_prefixes: list[str] | None = None,
+        exclude_globs: list[str] | None = None,
+    ) -> DataFrame:
+        """tantivy-QueryParser-style search: bare terms are SHOULD, +term
+        MUST, -term MUST_NOT, "quoted words" phrases, `a AND b` conjunctive
+        (ck passes its query string to tantivy's parser,
+        ck-engine/src/lib.rs:765-768; grammar rebuilt in query/boolean.py).
+
+        Phrases need `corpus` (the index stores no positions): the phrase's
+        terms are MUST clauses and the candidate set is restricted — via
+        the same exact cogrouped-allowed-set mechanism as path scoping — to
+        docs whose content matches the token-adjacency regex, so the top-k
+        is exact, not a post-filter. The adjacency scan is one codegen
+        regex pass over the corpus (grep-cost; a positions index is the
+        10^12-doc upgrade path and this is its seam)."""
+        from ck_spark.query.boolean import parse_query, phrase_adjacency_regex
+
+        pq = parse_query(query, self.meta["tokenizer_mode"])
+        spark = self.spark
+        empty = spark.createDataFrame([], _RESULT_SCHEMA)
+        if not pq.positive_terms:
+            return self._finish(empty, k, normalize, threshold, with_paths)
+        if pq.phrases and corpus is None:
+            raise ValueError(
+                "phrase queries need the corpus DataFrame for adjacency "
+                "verification (the index stores no positions)"
+            )
+
+        ts = self.term_stats(pq.all_terms)
+        idfs = self.idfs(pq.all_terms)
+        known = set(ts["term"])
+        must = list(dict.fromkeys(pq.must + [t for p in pq.phrases for t in p]))
+        if any(t not in known for t in must):
+            # a required term absent from the corpus matches nothing
+            return self._finish(empty, k, normalize, threshold, with_paths)
+        should = [t for t in pq.should if t in known]
+        must_not = [t for t in pq.must_not if t in known]
+        scan_terms = list(dict.fromkeys(must + should + must_not))
+        if not scan_terms:
+            return self._finish(empty, k, normalize, threshold, with_paths)
+        buckets = sorted(
+            {int(b) for t, b in zip(ts["term"], ts["bucket"]) if t in scan_terms}
+        )
+        post = spark.read.parquet(self.paths.postings).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms)
+        )
+
+        avgdl = float(self.meta["avgdl"])
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        q_k = int(k)
+        must_set, should_set, not_set = set(must), set(should), set(must_not)
+        n_must = len(must_set)
+
+        def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            m = [r for r in rows if r["term"] in must_set]
+            s = [r for r in rows if r["term"] in should_set]
+            n = [r for r in rows if r["term"] in not_set]
+            if n_must and len({r["term"] for r in m}) < n_must:
+                # a must term with no postings in this segment => no doc
+                # here can match (segments partition the doc space)
+                return pd.DataFrame({"doc_id": [], "score": []})
+            ids, scores = _scorer.score_boolean(
+                m, s, n, idfs, avgdl, k1, b, q_k, allowed
+            )
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        allowed_df = None
+        if pq.phrases:
+            from ck_spark.index.builder import doc_id_expr, seg_expr
+
+            pred = F.lit(True)
+            for p in pq.phrases:
+                pred = pred & F.col("content").rlike(phrase_adjacency_regex(p))
+            allowed_df = (
+                corpus.where(pred)
+                .withColumn("doc_id", doc_id_expr())
+                .withColumn("seg", seg_expr(int(self.meta["n_segments"])))
+                .select("seg", "doc_id")
+            )
+        if include_prefixes or exclude_globs:
+            from ck_spark.query.scope import path_scope_pred
+
+            scoped = (
+                spark.read.parquet(self.paths.doc_map)
+                .where(path_scope_pred(F.col("path"), include_prefixes, exclude_globs))
+                .select("seg", "doc_id")
+            )
+            allowed_df = scoped if allowed_df is None else allowed_df.join(
+                scoped, ["seg", "doc_id"], "inner"
+            )
+
+        if allowed_df is not None:
+            import numpy as np
+
+            def score_cogroup(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+                if len(pl) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
+                return score_rows(pl, allowed)
+
+            seg_top = (
+                post.groupBy("seg")
+                .cogroup(allowed_df.groupBy("seg"))
+                .applyInPandas(score_cogroup, _RESULT_SCHEMA)
+            )
+        else:
+            seg_top = post.groupBy("seg").applyInPandas(
+                lambda pdf: score_rows(pdf, None), _RESULT_SCHEMA
+            )
+        return self._finish(seg_top, k, normalize, threshold, with_paths)
+
     def search_many(
         self,
         queries: list[tuple[str, str]],

@@ -1,0 +1,99 @@
+"""tantivy-style query syntax: +must, -must_not, "phrases", bare shoulds.
+
+The reference passes its query string straight to tantivy's QueryParser
+(ck-engine/src/lib.rs:765-768); this module rebuilds the commonly-used
+subset of that grammar over the Spark index:
+
+- bare terms are SHOULD clauses (tantivy default)
+- ``+term`` / ``-term`` are MUST / MUST_NOT
+- ``"multi word"`` is a phrase: its terms become MUST clauses for
+  candidate generation, then candidates are verified for token ADJACENCY
+  against the corpus content (the index stores no positions; the verify
+  regex encodes exactly the simple-mode tokenizer's boundary rule —
+  tokens are maximal alnum runs, so adjacency means exactly one
+  non-alphanumeric run between them). Scoring deviation, documented: the
+  phrase contributes the BM25 sum of its terms rather than tantivy's
+  phrase-frequency, preserving the candidate SET semantics.
+- ``a AND b`` promotes every bare term to MUST (the parser's conjunctive
+  shorthand); ``OR`` is the default and is accepted as a no-op keyword.
+
+Parsing is pure and shared by the engine and the test oracles.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ck_spark.tokenizer import tokenize
+
+_TOKEN_RE = re.compile(r'([+-]?)"([^"]*)"|(\S+)')
+
+
+@dataclass
+class ParsedQuery:
+    should: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+
+    @property
+    def positive_terms(self) -> list[str]:
+        out = list(dict.fromkeys(
+            self.must + self.should + [t for p in self.phrases for t in p]
+        ))
+        return out
+
+    @property
+    def all_terms(self) -> list[str]:
+        return list(dict.fromkeys(self.positive_terms + self.must_not))
+
+
+def parse_query(q: str, mode: str = "code") -> ParsedQuery:
+    pq = ParsedQuery()
+    conjunctive = False
+    bare: list[str] = []
+    for m in _TOKEN_RE.finditer(q or ""):
+        sign, phrase, word = m.group(1), m.group(2), m.group(3)
+        if phrase is not None:
+            terms = tokenize(phrase, mode)
+            if not terms:
+                continue
+            if sign == "-":
+                pq.must_not.extend(terms)
+            elif len(terms) == 1:
+                (pq.must if sign == "+" else bare).append(terms[0])
+            else:
+                pq.phrases.append(terms)
+            continue
+        if word in ("AND", "&&"):
+            conjunctive = True
+            continue
+        if word in ("OR", "||"):
+            continue
+        sign = "+" if word.startswith("+") else "-" if word.startswith("-") else ""
+        terms = tokenize(word.lstrip("+-"), mode)
+        if not terms:
+            continue
+        if sign == "+":
+            pq.must.extend(terms)
+        elif sign == "-":
+            pq.must_not.extend(terms)
+        else:
+            bare.extend(terms)
+    if conjunctive:
+        pq.must.extend(bare)
+    else:
+        pq.should.extend(bare)
+    for f_ in ("should", "must", "must_not"):
+        setattr(pq, f_, list(dict.fromkeys(getattr(pq, f_))))
+    return pq
+
+
+def phrase_adjacency_regex(terms: list[str]) -> str:
+    """Java/RE2-compatible regex matching the phrase's tokens appearing
+    consecutively under simple-mode tokenization (case-insensitive; one
+    non-alphanumeric separator run between tokens; boundaries must not be
+    alphanumeric so partial-token matches are impossible)."""
+    body = "[^a-z0-9]+".join(re.escape(t) for t in terms)
+    return f"(?i)(^|[^a-z0-9]){body}($|[^a-z0-9])"

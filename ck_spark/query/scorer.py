@@ -339,3 +339,84 @@ def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
                 contrib = w * _partial(tfs[pos_c[hit]], dls[pos_c[hit]], avgdl, k1, b)
                 cand_scores[hit] += contrib
     return _topk(cand_ids, cand_scores, k)
+
+
+def _decode_union_ids(rows: list[dict]) -> np.ndarray:
+    """Sorted unique doc ids across all rows (the must_not exclusion set)."""
+    if not rows:
+        return np.empty(0, dtype=np.int64)
+    ids = [decode_all_blocks(r["ids_blocks"]).astype(np.int64) for r in rows]
+    return np.unique(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
+
+
+def _exclude(ids: np.ndarray, extras: list[np.ndarray], banned: np.ndarray):
+    if banned.size == 0 or ids.size == 0:
+        return ids, extras
+    pos = np.searchsorted(banned, ids)
+    pos_c = np.minimum(pos, banned.size - 1)
+    keep = banned[pos_c] != ids
+    return ids[keep], [e[keep] for e in extras]
+
+
+def score_boolean(must_rows: list[dict], should_rows: list[dict],
+                  not_rows: list[dict], idfs: dict, avgdl: float,
+                  k1: float, b: float, k: int,
+                  allowed: np.ndarray | None = None):
+    """tantivy BooleanQuery semantics (the reference's +term / -term /
+    bare-term grammar, QueryParser at ck-engine/src/lib.rs:765-768):
+    a doc matches iff it contains EVERY must term, NO must_not term, and —
+    when no must clauses exist — at least one should term; its score is
+    the BM25 sum over the matching must+should clauses (must_not never
+    contributes). Built from the same intersection/union kernels as the
+    and/or strategies, so scores are identical to those paths for pure
+    queries."""
+    banned = _decode_union_ids(not_rows)
+    if must_rows:
+        decoded = []
+        for row in must_rows:
+            ids, tfs, dls = _decode_term(row, allowed)
+            decoded.append((row["term"], ids, tfs, dls))
+        decoded.sort(key=lambda t: t[1].size)
+        cand = decoded[0][1]
+        for _, ids, _, _ in decoded[1:]:
+            if cand.size == 0:
+                break
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            cand = cand[ids[pos_c] == cand]
+        cand, _ = _exclude(cand, [], banned)
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        scores = np.zeros(cand.size)
+        for term, ids, tfs, dls in decoded:
+            pos = np.searchsorted(ids, cand)
+            scores += idfs[term] * _partial(tfs[pos], dls[pos], avgdl, k1, b)
+        for row in should_rows:
+            ids, tfs, dls = _decode_term(row, allowed)
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = ids[pos_c] == cand
+            if hit.any():
+                scores[hit] += idfs[row["term"]] * _partial(
+                    tfs[pos_c[hit]], dls[pos_c[hit]], avgdl, k1, b
+                )
+        return _topk(cand, scores, k)
+    if not should_rows:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    uids, scores = np.empty(0, dtype=np.int64), np.empty(0)
+    all_ids, all_contrib = [], []
+    for row in should_rows:
+        ids, tfs, dls = _decode_term(row, allowed)
+        ids, (tfs, dls) = _exclude(ids, [tfs, dls], banned)
+        all_ids.append(ids)
+        all_contrib.append(idfs[row["term"]] * _partial(tfs, dls, avgdl, k1, b))
+    ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
+    contrib = np.concatenate(all_contrib) if all_contrib else np.empty(0)
+    if ids.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    uids, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(uids.size)
+    np.add.at(scores, inv, contrib)
+    return _topk(uids, scores, k)

@@ -162,3 +162,122 @@ def test_duplicate_content_both_ranked(engine):
     top2 = got[:2]
     assert abs(top2[0][1] - top2[1][1]) < 1e-12
     assert top2[0][0] < top2[1][0]  # deterministic tie-break by doc_id
+
+
+# ---- tantivy-QueryParser-style syntax (boolean.py + search_query) -----------
+
+
+def _corpus_df(spark, docs_by_id):
+    # rebuild the corpus frame the engine fixture was built from
+    from ck_spark.corpus import generate_corpus
+
+    return spark.createDataFrame(generate_corpus(300, seed=42))
+
+
+def test_parse_query_grammar():
+    from ck_spark.query.boolean import parse_query
+
+    pq = parse_query('parse +buffer -cache "token index"', mode="code")
+    assert pq.should == ["parse"]
+    assert pq.must == ["buffer"]
+    assert pq.must_not == ["cache"]
+    assert pq.phrases == [["token", "index"]]
+    # AND promotes bare terms to must
+    pq2 = parse_query("parse AND buffer", mode="code")
+    assert set(pq2.must) == {"parse", "buffer"} and pq2.should == []
+    # camelCase splits inside operators too
+    pq3 = parse_query("+getUserName", mode="code")
+    assert pq3.must == ["get", "user", "name"]
+
+
+def test_search_query_pure_modes_match_search(spark, engine):
+    """Bare terms == OR mode; AND keyword == AND mode; +every-term == AND."""
+    idx, docs = engine
+    a = _run_sq(idx, "parse buffer", k=10)
+    b = _run(idx, "parse buffer", k=10)
+    assert a == b
+    c = _run_sq(idx, "parse AND buffer", k=10)
+    d = _run(idx, "parse buffer", k=10, mode="and")
+    assert c == d
+    assert _run_sq(idx, "+parse +buffer", k=10) == d
+
+
+def _run_sq(idx, q, k=10, corpus=None):
+    rows = idx.search_query(q, k=k, corpus=corpus).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def test_search_query_must_not(spark, engine):
+    """'parse -buffer': docs with parse and WITHOUT buffer, scored by the
+    parse contribution only — cross-checked against the pure-Python oracle
+    on the filtered doc set (idf/avgdl stay corpus-global)."""
+    from ck_spark.tokenizer import tokenize
+
+    idx, docs = engine
+    got = _run_sq(idx, "parse -buffer", k=10)
+    assert got, "expected hits"
+    with_buffer = {d for d, c in docs.items() if "buffer" in tokenize(c, "code")}
+    assert all(d not in with_buffer for d, _ in got)
+    exp_full = bm25_rank(docs, "parse", k=len(docs), tokenizer_mode="code")
+    exp = [(d, s) for d, s in exp_full if d not in with_buffer][:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+
+
+def test_search_query_mixed_must_should(spark, engine):
+    """'+parse buffer': parse required, buffer optional but scored."""
+    from ck_spark.tokenizer import tokenize
+
+    idx, docs = engine
+    got = _run_sq(idx, "+parse buffer", k=15)
+    with_parse = {d for d, c in docs.items() if "parse" in tokenize(c, "code")}
+    assert got and all(d in with_parse for d, _ in got)
+    # oracle: OR scores over both terms, restricted to docs containing parse
+    exp_full = bm25_rank(docs, "parse buffer", k=len(docs), tokenizer_mode="code")
+    exp = [(d, s) for d, s in exp_full if d in with_parse][:15]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+
+
+def test_search_query_phrase(spark, engine):
+    """Phrase: candidates must contain the tokens ADJACENTLY (verified
+    against corpus content); scores are the BM25 sum of the phrase terms."""
+    import re as _re
+
+    from ck_spark.query.boolean import phrase_adjacency_regex
+    from ck_spark.tokenizer import tokenize
+
+    idx, docs = engine
+    corpus = _corpus_df(spark, docs)
+    # find a token bigram that exists adjacently in some docs
+    phrase = None
+    for content in docs.values():
+        ts = tokenize(content, "code")
+        if len(ts) >= 2:
+            phrase = (ts[10 % len(ts)], ts[(11) % len(ts)])
+            rx = _re.compile(phrase_adjacency_regex(list(phrase)))
+            n = sum(1 for c in docs.values() if rx.search(c))
+            if 1 <= n <= 100:
+                break
+    assert phrase is not None
+    q = f'"{phrase[0]} {phrase[1]}"'
+    got = _run_sq(idx, q, k=20, corpus=corpus)
+    rx = _re.compile(phrase_adjacency_regex(list(phrase)))
+    matching = {d for d, c in docs.items() if rx.search(c)}
+    assert got and all(d in matching for d, _ in got)
+    exp_full = bm25_rank(docs, f"{phrase[0]} {phrase[1]}", k=len(docs),
+                         tokenizer_mode="code")
+    exp = [(d, s) for d, s in exp_full if d in matching][:20]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    # phrase without corpus raises
+    with pytest.raises(ValueError, match="corpus"):
+        idx.search_query(q, k=5)
+
+
+def test_search_query_edge_cases(spark, engine):
+    idx, _ = engine
+    assert _run_sq(idx, "-parse") == []          # pure negation matches nothing
+    assert _run_sq(idx, "") == []
+    assert _run_sq(idx, "+xylophonequasar parse") == []  # unknown must
+    # unknown must_not is just ignored
+    assert _run_sq(idx, "parse -xylophonequasar") == _run(idx, "parse")[:100]
