@@ -1,0 +1,104 @@
+"""Filesystem source: a real recursive directory scan into the corpus
+shape — the rebuild of ck's directory walk + ignore semantics (S1/S2:
+ck-engine/src/lib.rs walkdir + DEFAULT_EXCLUDES at ck-core/src/lib.rs:
+415-453). A reference user points ck at a source tree; this connector is
+the Spark equivalent: `read_source_tree(spark, root)` yields the corpus
+DataFrame that build_index / grep / chunking consume.
+
+Spark-first: `binaryFile` format scans the tree distributed (file listing
+parallelized by the driver, content read by executors), exclude globs
+apply to the repo-relative path BEFORE content is read where possible
+(the filter is a scan-level predicate on the file-status columns), and
+UTF-8 decoding is JVM-side make_valid_utf8 over the binary→string cast
+(replacement chars, exactly from_utf8_lossy) — no Python in the ingest
+path.
+
+`commit` stays a caller token (default "worktree"): doc ids must be
+stable per path so the sha256 diff in update_index classifies changed
+files as MODIFIED, mirroring ck's mtime-gated re-index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ck_spark.functions.lang import lang_from_path_col
+from ck_spark.query.scope import DEFAULT_EXCLUDE_GLOBS, path_scope_pred
+
+DEFAULT_MAX_FILE_BYTES = 16 * 1024 * 1024  # skip blobs like ck skips huge files
+
+
+def read_source_tree(
+    spark: SparkSession,
+    root: str,
+    repo: str | None = None,
+    commit: str = "worktree",
+    include_prefixes: list[str] | None = None,
+    exclude_globs: list[str] | None = None,
+    use_default_excludes: bool = True,
+    max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
+) -> DataFrame:
+    """Recursive scan of `root` into (repo, path, commit, lang, content).
+
+    - path is repo-relative with '/' separators
+    - default excludes (.git, node_modules, target, …) apply unless
+      disabled; extra exclude_globs use globset component semantics
+    - files larger than max_file_bytes are skipped (size predicate on the
+      file-status column — their content is never shipped)
+    - content is lossy-UTF-8 decoded; binary detection stays downstream
+      (build_index flags NUL bytes, which survive the cast)
+    """
+    root = os.path.abspath(root)
+    repo = repo or os.path.basename(root.rstrip("/")) or "repo"
+    globs = list(exclude_globs or [])
+    if use_default_excludes:
+        globs = list(DEFAULT_EXCLUDE_GLOBS) + globs
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    # binaryFile yields path as a "file:<abs>" URI: strip the scheme, then
+    # relativize by substring (no regex-escaping pitfalls with odd roots)
+    prefix_len = len(root) + 2  # after scheme strip; +1 past the slash
+    rel = F.substring(
+        F.regexp_replace(F.col("path"), "^file:", ""), prefix_len, 1_000_000
+    )
+
+    out = (
+        raw.where(F.col("length") <= F.lit(int(max_file_bytes)))
+        .withColumn("relpath", rel)
+        .where(path_scope_pred(F.col("relpath"), include_prefixes, globs))
+        .select(
+            F.lit(repo).alias("repo"),
+            F.col("relpath").alias("path"),
+            F.lit(commit).alias("commit"),
+            lang_from_path_col(F.col("relpath")).alias("lang"),
+            # cast reinterprets bytes; make_valid_utf8 replaces invalid
+            # sequences (from_utf8_lossy, JVM-side — Arrow-safe downstream)
+            F.expr("make_valid_utf8(cast(content as string))").alias("content"),
+        )
+    )
+    return out
+
+
+def tree_snapshot_token(root: str) -> str:
+    """Cheap change token for build_index(snapshot_id=…): aggregate
+    (mtime, size) over the tree — the driver-side analogue of ck's
+    manifest mtime fast path. O(files) stat calls, no content reads."""
+    acc_m, acc_s, n = 0, 0, 0
+    for base, dirs, files in os.walk(root):
+        dirs.sort()
+        for f in sorted(files):
+            try:
+                st = os.stat(os.path.join(base, f))
+            except OSError:
+                continue
+            acc_m = (acc_m * 1_000_003 + int(st.st_mtime_ns // 1_000_000)) % (1 << 61)
+            acc_s = (acc_s * 1_000_033 + st.st_size) % (1 << 61)
+            n += 1
+    return f"tree-n{n}-m{acc_m}-s{acc_s}"
