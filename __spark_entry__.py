@@ -1112,6 +1112,38 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    import os
+
+    from ck_spark.ops.events import sessionize
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(e, gap="30 minutes").orderBy("user_id", "session_start_us")
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+m AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us"""
+
+
 TPCH_SQL = {
     "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1186,6 +1218,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
         "semantic_topk": _q_semantic_topk,
         "hybrid_lexical_semantic": _q_hybrid_lex_sem,
         "chunk_spans": _q_chunk_spans,
@@ -1276,6 +1309,7 @@ FROM h ORDER BY doc_id""",
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,
         **TPCH_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
         "semantic_topk": _semantic_topk_sql(),
         "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
         "chunk_spans": _CHUNK_SPANS_SQL,

@@ -72,3 +72,74 @@ def start_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window event aggregation — the late-data-aware
+    streaming form of the batch `events_hourly` query.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted, so state size is
+    O(active windows × types) regardless of stream length; events arriving
+    later than the watermark are dropped (the documented late-data
+    contract). In batch mode the same expression degrades to a plain
+    groupBy — asserted equal in tests."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            F.col(type_col),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-user sessionization: the SAME session_window
+    expression as ops/events.sessionize, made stateful by the watermark
+    (sessions close when the watermark passes their end — Spark's native
+    stateful session aggregation; no custom state handler needed)."""
+    from pyspark.sql import functions as F
+
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )

@@ -68,3 +68,111 @@ def test_stream_upserts_match_batch_build(spark, parts, tmp_path):
                             available_now=True, stats_log=stats3)
     q3.awaitTermination(300)
     assert all(s["added"] == s["modified"] == 0 for s in stats3)
+
+
+# ---- watermarked stateful aggregation (sessions + windows) ------------------
+
+
+def test_stream_sessionize_watermark_and_late_data(spark, tmp_path):
+    """Cross-batch session merge, watermark-driven finalization, and the
+    late-data drop contract: an event older than the watermark whose
+    session state was already finalized is dropped (Spark reports it in
+    numRowsDroppedByWatermark), while an open session still merges."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from ck_spark.streaming.ingest import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, user):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    inp = str(tmp_path / "ev_in")
+    batches = [
+        # b0: two u1 events (one session), u2, and the u9 watermark driver
+        [ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2), ev(4, 300, 9)],
+        # b1: u9 keep-alive; DURING this batch wm=03:00 so the early
+        # sessions finalize+emit and their state is evicted
+        [ev(7, 310, 9)],
+        # b2: u2 00:20 is LATE (wm 03:10, state gone) -> dropped; the far-
+        # future sentinel advances the watermark so u9's session finalizes
+        [ev(6, 20, 2), (99, t0 + dt.timedelta(days=10), 99, "click", 1.0)],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        d = inp + f"/b={i}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(d)
+        # file source orders micro-batches by modification time
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now - 3600 * (3 - i),) * 2)
+
+    stream = (
+        spark.readStream.schema(schema + ", b int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp)
+    )
+    sess = stream_sessionize(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress for op in p["stateOperators"]
+    )
+    rows = spark.sql("select * from sess_out").collect()
+    got = {(r["user_id"], r["session_start_us"] // 60_000_000): r["n_events"]
+           for r in rows}
+
+    def mins(m):
+        return int((t0 + dt.timedelta(minutes=m)).timestamp() // 60)
+
+    assert dropped == 1                     # exactly the late u2 event
+    assert got.get((1, mins(0))) == 2       # u1 session: 00:00+00:10 merged
+    assert got.get((2, mins(5))) == 1       # u2: late 00:20 NOT merged
+    assert got.get((9, mins(300))) == 2     # u9 merged across micro-batches
+    assert all(u != 99 for u, _ in got)     # sentinel session never finalized
+
+    # batch sessionize over the same non-late, non-sentinel events agrees
+    from ck_spark.ops.events import sessionize
+
+    kept = [e for b in batches for e in b if e[0] not in (6, 99)]
+    batch = {(r["user_id"], r["session_start_us"] // 60_000_000): r["n_events"]
+             for r in sessionize(spark.createDataFrame(kept, schema)).collect()}
+    assert batch == got
+
+
+def test_stream_event_stats_matches_batch(spark, tmp_path):
+    """The watermarked windowed aggregation equals the batch groupBy on
+    fully-arrived data (late-free input)."""
+    import datetime as dt
+
+    from ck_spark.streaming.ingest import stream_event_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(i, t0 + dt.timedelta(minutes=7 * i), i % 3, ["view", "click"][i % 2],
+             float(i)) for i in range(40)]
+    rows.append((999, t0 + dt.timedelta(days=5), 0, "view", 0.0))  # wm driver
+    inp = str(tmp_path / "ev2_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    agg = stream_event_stats(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("win_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("select * from win_out").collect()}
+
+    batch_df = spark.createDataFrame(rows[:-1], schema)  # the finalized part
+    from ck_spark.streaming.ingest import stream_event_stats as _agg
+    exp = {(r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in _agg(batch_df).collect()}
+    assert got == exp
