@@ -216,13 +216,20 @@ def _brace_block_end(lines: list[str], i: int) -> int:
     opened = False
     j = i
     n = len(lines)
+    last_nonblank = i
     while j < n:
         clean = _STRING_OR_COMMENT.sub("", lines[j])
         if not opened:
+            if j > i and not lines[j].strip():
+                # blank line before any '{'/';': the declaration ended
+                # (brace-less one-liner like `const f = x => x * x`)
+                return last_nonblank
             brace_pos = clean.find("{")
             semi_pos = clean.find(";")
             if semi_pos != -1 and (brace_pos == -1 or semi_pos < brace_pos):
                 return j  # `struct Foo;` / `type A = B;` one-liner decl
+        if lines[j].strip():
+            last_nonblank = j
         d, _ = _brace_delta(lines[j])
         if d != 0 or "{" in clean:
             opened = opened or "{" in clean

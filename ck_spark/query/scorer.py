@@ -405,7 +405,6 @@ def score_boolean(must_rows: list[dict], should_rows: list[dict],
         return _topk(cand, scores, k)
     if not should_rows:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    uids, scores = np.empty(0, dtype=np.int64), np.empty(0)
     all_ids, all_contrib = [], []
     for row in should_rows:
         ids, tfs, dls = _decode_term(row, allowed)

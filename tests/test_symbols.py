@@ -284,3 +284,12 @@ def test_lang_from_path_col_agrees(spark):
            df.select("path", lang_from_path_col(F.col("path")).alias("lang")).collect()}
     for p in paths:
         assert got[p] == lang_from_path(p), p
+
+
+def test_braceless_arrow_does_not_swallow_file():
+    src = "const f = x => x * x\n\nfunction g() {\n  return f(2)\n}\n"
+    ch = chunk_code(src, "javascript")
+    f = next(c for c in ch if c.name == "f")
+    g = next(c for c in ch if c.name == "g")
+    assert f.line_end == 1          # declaration ends at the blank line
+    assert g.line_start == 3        # g is its own chunk, not inside f
