@@ -25,6 +25,7 @@ byte-exact against the \\n / \\r\\n / \\r line table.
 
 from __future__ import annotations
 
+import bisect
 import re
 from dataclasses import dataclass, field
 
@@ -209,9 +210,12 @@ def _brace_delta(line: str) -> tuple[int, int]:
     return clean.count("{") - clean.count("}"), clean.count("{")
 
 
-def _brace_block_end(lines: list[str], i: int) -> int:
+def _brace_block_end(lines: list[str], i: int, table=None) -> int:
     """Line index (inclusive) where the block opened at/after line i closes.
-    If a ';' terminates the declaration before any '{', ends there."""
+    If a ';' terminates the declaration before any '{', ends there; a
+    brace-less declaration also ends at a blank line or at the next line
+    matching a header pattern (so `const f = x => x * x` followed directly
+    by `function g() {...}` never swallows g)."""
     depth = 0
     opened = False
     j = i
@@ -224,6 +228,10 @@ def _brace_block_end(lines: list[str], i: int) -> int:
                 # blank line before any '{'/';': the declaration ended
                 # (brace-less one-liner like `const f = x => x * x`)
                 return last_nonblank
+            if j > i and table is not None and any(
+                rx.match(lines[j]) for rx, _k, _c in table
+            ):
+                return last_nonblank  # next symbol starts: decl ended
             brace_pos = clean.find("{")
             semi_pos = clean.find(";")
             if semi_pos != -1 and (brace_pos == -1 or semi_pos < brace_pos):
@@ -254,7 +262,7 @@ def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
                 m = rx.match(line)
                 if m:
                     name = m.group(1) if m.groups() else kind
-                    end = min(_brace_block_end(lines, i), hi)
+                    end = min(_brace_block_end(lines, i, table), hi)
                     k = kind
                     if kind == "function" and in_container in ("class", "module"):
                         k = "method"  # fn in impl / method in class
@@ -419,17 +427,28 @@ def _make_chunk(data: bytes, offsets, sym: _Sym, lines: list[str], lang: str) ->
 
 def _fill_gaps(chunks: list[SymbolChunk], data: bytes, offsets) -> list[SymbolChunk]:
     """C6: uncovered regions become 'text' chunks, split on blank lines
-    (fill_gaps, ck-chunk/src/lib.rs:577-712)."""
+    (fill_gaps, ck-chunk/src/lib.rs:577-712). Line lookups are binary
+    searches over the line table — O((chunks+gaps)·log lines), never a
+    per-gap prefix decode (files with many gaps stay linear)."""
     if not chunks:
         return chunks
     chunks = sorted(chunks, key=lambda c: (c.byte_start, c.byte_end))
-    text = data.decode("utf-8")
+    starts = [b0 for b0, _b1, _ln in offsets]
+
+    def line_of(b: int) -> int:
+        """0-based index of the line containing byte b."""
+        return max(bisect.bisect_right(starts, b) - 1, 0)
 
     def gap_segments(g0: int, g1: int):
         """Split [g0,g1) on blank lines; yield (b0,b1) with content."""
         seg_start = None
-        for li, (b0, b1, ln) in enumerate(offsets):
-            if b1 <= g0 or b0 >= g1:
+        li = line_of(g0)
+        while li < len(offsets):
+            b0, b1, ln = offsets[li]
+            if b0 >= g1:
+                break
+            li += 1
+            if b1 <= g0:
                 continue
             s0, s1 = max(b0, g0), min(b1, g1)
             if ln.strip() == "" or data[s0:s1].decode("utf-8", "ignore").strip() == "":
@@ -456,9 +475,10 @@ def _fill_gaps(chunks: list[SymbolChunk], data: bytes, offsets) -> list[SymbolCh
         seg = data[g0:g1].decode("utf-8")
         if not seg.strip():
             continue
-        line_start = text[: len(data[:g0].decode("utf-8"))].count("\n") + 1
-        line_end = max(line_start,
-                       line_start + data[g0:g1].decode("utf-8").rstrip("\n").count("\n"))
+        # gap boundaries are line-aligned (chunks span whole lines), so the
+        # line table answers both endpoints directly
+        line_start = line_of(g0) + 1
+        line_end = max(line_start, line_of(max(g1 - 1, g0)) + 1)
         out.append(SymbolChunk(
             chunk_id=-1, byte_start=g0, byte_end=g1,
             line_start=line_start, line_end=line_end,
@@ -527,12 +547,18 @@ def _stride(chunks: list[SymbolChunk], max_tokens: int, overlap_tokens: int) -> 
         total = 1 if nchars <= window else -(-(nchars - overlap) // step)
         start = 0
         idx = 0
+        # incremental prefix tracking: starts advance monotonically, so
+        # byte offsets / newline counts accumulate in O(step) per stride
+        prev_start, prev_bytes, prev_nl = 0, 0, 0
         while start < nchars:
             endc = min(start + window, nchars)
             seg = text[start:endc]
-            b_off = len(text[:start].encode("utf-8"))
-            b_end = len(text[:endc].encode("utf-8"))
-            line_off = text[:start].count("\n")
+            prev_bytes += len(text[prev_start:start].encode("utf-8"))
+            prev_nl += text[prev_start:start].count("\n")
+            prev_start = start
+            b_off = prev_bytes
+            b_end = b_off + len(seg.encode("utf-8"))
+            line_off = prev_nl
             out.append(SymbolChunk(
                 chunk_id=-1,
                 byte_start=c.byte_start + b_off, byte_end=c.byte_start + b_end,

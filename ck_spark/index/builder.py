@@ -296,18 +296,38 @@ def _reencode_segments(
 
 
 def repair_index(spark: SparkSession, out_dir: str) -> bool:
-    """Crash recovery: if an update-in-progress marker exists, the postings
-    for the flagged segments may be stale/missing relative to doc_map
-    (the crash window is between the doc_map partition swap and the
-    postings re-encode). Re-derive them from doc_map — postings are a pure
-    function of doc_map, so this converges to a consistent index no matter
-    where in the window the crash landed. Returns True if a repair ran."""
+    """Crash recovery: if an update-in-progress marker exists, first finish
+    or roll forward the doc_map segment swap (the rename-aside protocol
+    guarantees every crash point leaves each segment's data in exactly one
+    of real / tmp / .old), then re-derive the flagged segments' postings —
+    postings are a pure function of doc_map, so this converges to a
+    consistent index no matter where in the window the crash landed.
+    A segment whose update was lost entirely simply reverts to its
+    pre-update state; rerunning the update re-detects the diff.
+    Returns True if a repair ran."""
     man = Manifest(out_dir)
     marker = man.load_marker("update_inprogress")
     if marker is None:
         return False
     paths = IndexPaths(out_dir)
     meta = man.load_meta()
+    tmp_dm = marker.get("tmp") or os.path.join(out_dir, "_tmp_doc_map")
+    for s in marker["segs"]:
+        real = os.path.join(paths.doc_map, f"seg={s}")
+        cand = os.path.join(tmp_dm, f"seg={s}")
+        old = real + ".old"
+        if os.path.exists(cand):
+            # swap never completed for this segment: roll it forward
+            # (cand present => real is pre-update state or absent)
+            if os.path.exists(real):
+                os.rename(real, old)
+            os.rename(cand, real)
+            shutil.rmtree(old, ignore_errors=True)
+        elif not os.path.exists(real) and os.path.exists(old):
+            os.rename(old, real)  # crash between rename-aside and rename-in
+        elif os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)  # swap done, tail cleanup
+    shutil.rmtree(tmp_dm, ignore_errors=True)
     _write_corpus_stats(spark, paths)
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
@@ -381,7 +401,12 @@ def build_index(
         # a fresh tokenize over a CHANGED corpus must not inherit postings
         # partitions from the old corpus: dynamic partition overwrite only
         # replaces (seg,bucket) dirs that have rows under the new corpus,
-        # so terms that vanished would survive as stale postings. Wipe.
+        # so terms that vanished would survive as stale postings. Wipe —
+        # and invalidate the stage records too: if the new corpus happens
+        # to produce the SAME content fingerprint (e.g. only the
+        # snapshot_id token changed), resume must still re-encode rather
+        # than skip over directories that no longer exist.
+        man.invalidate("postings", "term_stats")
         for stale in (paths.postings, paths.term_stats):
             shutil.rmtree(stale, ignore_errors=True)
 
@@ -562,15 +587,28 @@ def update_index(
     ).write.mode("overwrite").partitionBy("seg").parquet(tmp_dm)
 
     # ---- mutation window: marker first, clear only after postings+stats
-    # are consistent again (crash => repair_index re-derives these segs)
-    man.save_marker("update_inprogress", {"segs": affected, "ts": time.time()})
+    # are consistent again (crash => repair_index restores/completes the
+    # swap from the surviving tmp/.old dirs, then re-derives postings)
+    man.save_marker(
+        "update_inprogress",
+        {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
+    )
 
     for s in affected:
         real = os.path.join(paths.doc_map, f"seg={s}")
         cand = os.path.join(tmp_dm, f"seg={s}")
-        shutil.rmtree(real, ignore_errors=True)
+        old = real + ".old"
         if os.path.exists(cand):
+            # rename-aside, never rmtree-then-rename: every crash point
+            # leaves either real, cand or .old holding the data
+            if os.path.exists(real):
+                os.rename(real, old)
             os.rename(cand, real)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            # the update emptied this segment: removal is the correct
+            # final state (a rerun re-detects if this crashes mid-way)
+            shutil.rmtree(real, ignore_errors=True)
     shutil.rmtree(tmp_dm, ignore_errors=True)
 
     _write_corpus_stats(spark, paths)

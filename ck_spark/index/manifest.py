@@ -64,6 +64,18 @@ class Manifest:
             return False
         return rec.get("status") == "complete" and rec.get("input_snapshot") == input_snapshot
 
+    def invalidate(self, *stages: str) -> None:
+        """Remove every record of the given stages — used when their output
+        directories are wiped, so resume can never skip re-creating them
+        (a record without its data is a lie)."""
+        for name in os.listdir(self.dir):
+            for stage in stages:
+                if name.startswith(f"stage-{stage}-") and name.endswith(".json"):
+                    try:
+                        os.remove(os.path.join(self.dir, name))
+                    except FileNotFoundError:
+                        pass
+
     def records(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.dir)):

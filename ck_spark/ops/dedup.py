@@ -236,6 +236,14 @@ def dedup_clusters(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand downstream dedup a component
+        # split across multiple cluster_ids — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            "(a dup component's graph diameter exceeds max_iterations — "
+            "raise it; near-dup components are normally near-cliques)"
+        )
     out = labels.select(
         F.col("src").alias(id_col),
         F.col("label").alias("cluster_id"),

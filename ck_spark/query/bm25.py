@@ -67,13 +67,17 @@ class BM25Index:
     meta: dict
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "BM25Index":
-        from ck_spark.index.builder import repair_index
+    def load(cls, spark: SparkSession, root: str, repair: bool = False) -> "BM25Index":
+        """repair=True additionally heals a crashed update (re-deriving the
+        marker's segments) — pass it ONLY from a context that owns the
+        index exclusively: a concurrent reader repairing while the writer's
+        update is legitimately in flight would clobber the writer's
+        partitions and clear its crash bracket. Owners: update_index
+        (always repairs first) and CkService (single-service root)."""
+        if repair:
+            from ck_spark.index.builder import repair_index
 
-        # crash recovery: an interrupted update leaves an in-progress
-        # marker; re-derive the flagged segments' postings before serving
-        # queries (no-op file check on the happy path)
-        repair_index(spark, root)
+            repair_index(spark, root)
         meta = Manifest(root).load_meta()
         return cls(spark, IndexPaths(root), meta)
 
@@ -281,9 +285,21 @@ class BM25Index:
         if pq.phrases:
             from ck_spark.index.builder import doc_id_expr, seg_expr
 
-            pred = F.lit(True)
-            for p in pq.phrases:
-                pred = pred & F.col("content").rlike(phrase_adjacency_regex(p))
+            if self.meta["tokenizer_mode"] == "simple":
+                # codegen separator regex == the simple tokenizer's
+                # boundary rule (and what the SQL oracle can express)
+                pred = F.lit(True)
+                for p in pq.phrases:
+                    pred = pred & F.col("content").rlike(phrase_adjacency_regex(p))
+            else:
+                # code mode splits inside identifiers (camelCase), so
+                # adjacency must be checked under the index's own
+                # tokenizer — Arrow UDF, exact by construction
+                from ck_spark.query.boolean import phrase_match_udf
+
+                pred = phrase_match_udf(pq.phrases, self.meta["tokenizer_mode"])(
+                    F.col("content")
+                )
             allowed_df = (
                 corpus.where(pred)
                 .withColumn("doc_id", doc_id_expr())

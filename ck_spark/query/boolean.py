@@ -25,6 +25,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from ck_spark.tokenizer import tokenize
 
 _TOKEN_RE = re.compile(r'([+-]?)"([^"]*)"|(\S+)')
@@ -97,3 +99,34 @@ def phrase_adjacency_regex(terms: list[str]) -> str:
     alphanumeric so partial-token matches are impossible)."""
     body = "[^a-z0-9]+".join(re.escape(t) for t in terms)
     return f"(?i)(^|[^a-z0-9]){body}($|[^a-z0-9])"
+
+
+def _contains_subsequence(toks: list[str], p: list[str]) -> bool:
+    n, m = len(toks), len(p)
+    if m == 0:
+        return True
+    first = p[0]
+    for i in range(n - m + 1):
+        if toks[i] == first and toks[i:i + m] == p:
+            return True
+    return False
+
+
+def phrase_match_udf(phrases: list[list[str]], mode: str):
+    """Arrow pandas UDF: content -> True iff EVERY phrase's terms appear
+    consecutively under the index's OWN tokenizer. This is the exact
+    adjacency check for non-simple modes (code mode splits camelCase, so
+    'parseBuffer' contains the adjacent tokens [parse, buffer] — a
+    separator regex can't see that); simple-mode callers use the codegen
+    regex instead."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("boolean")
+    def _udf(content: pd.Series) -> pd.Series:
+        def ok(text):
+            toks = tokenize(text or "", mode)
+            return all(_contains_subsequence(toks, p) for p in phrases)
+
+        return content.map(ok)
+
+    return _udf

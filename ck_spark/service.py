@@ -98,13 +98,16 @@ class CkService:
         """Auto-index-before-search (L7): build on first use if absent."""
         if self._idx is not None:
             return self._idx
-        meta_path = os.path.join(self.root, "manifest", "index_meta.json")
-        if not os.path.exists(meta_path):
+        try:
+            Manifest(self.root).load_meta()
+        except FileNotFoundError:
             if self.corpus is None:
                 raise RuntimeError("no index at root and no corpus to build from")
             build_index(self.spark, self.corpus, self.root, mode=self.mode,
                         **self.build_opts)
-        self._idx = BM25Index.load(self.spark, self.root)
+        # the service owns its root exclusively -> safe to heal a crashed
+        # update at load time
+        self._idx = BM25Index.load(self.spark, self.root, repair=True)
         return self._idx
 
     def index_status(self) -> dict:
@@ -138,7 +141,7 @@ class CkService:
         self._index()  # ensure built
         stats = update_index(self.spark, src, self.root,
                              full_snapshot=full_snapshot)
-        self._idx = BM25Index.load(self.spark, self.root)  # refresh meta
+        self._idx = BM25Index.load(self.spark, self.root, repair=True)  # refresh meta
         return {"summary": "reindex complete", **stats}
 
     def health_check(self) -> dict:

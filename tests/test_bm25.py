@@ -240,38 +240,68 @@ def test_search_query_mixed_must_should(spark, engine):
 
 
 def test_search_query_phrase(spark, engine):
-    """Phrase: candidates must contain the tokens ADJACENTLY (verified
-    against corpus content); scores are the BM25 sum of the phrase terms."""
-    import re as _re
-
-    from ck_spark.query.boolean import phrase_adjacency_regex
+    """Phrase: candidates must contain the tokens ADJACENTLY under the
+    index's tokenizer (code mode here: camelCase splits count as
+    adjacency); scores are the BM25 sum of the phrase terms."""
     from ck_spark.tokenizer import tokenize
 
     idx, docs = engine
     corpus = _corpus_df(spark, docs)
-    # find a token bigram that exists adjacently in some docs
+
+    def adjacent(c, p):
+        ts = tokenize(c, "code")
+        m = len(p)
+        return any(ts[i:i + m] == p for i in range(len(ts) - m + 1))
+
+    # find a token bigram adjacent in a nonempty strict subset of docs
     phrase = None
     for content in docs.values():
         ts = tokenize(content, "code")
-        if len(ts) >= 2:
-            phrase = (ts[10 % len(ts)], ts[(11) % len(ts)])
-            rx = _re.compile(phrase_adjacency_regex(list(phrase)))
-            n = sum(1 for c in docs.values() if rx.search(c))
-            if 1 <= n <= 100:
-                break
+        for off in (10, 20, 3):
+            if len(ts) > off + 1:
+                cand = [ts[off], ts[off + 1]]
+                n = sum(1 for c in docs.values() if adjacent(c, cand))
+                if 1 <= n <= 150:
+                    phrase = cand
+                    break
+        if phrase:
+            break
     assert phrase is not None
     q = f'"{phrase[0]} {phrase[1]}"'
-    got = _run_sq(idx, q, k=20, corpus=corpus)
-    rx = _re.compile(phrase_adjacency_regex(list(phrase)))
-    matching = {d for d, c in docs.items() if rx.search(c)}
-    assert got and all(d in matching for d, _ in got)
+    got = _run_sq(idx, q, k=500, corpus=corpus)
+    matching = {d for d, c in docs.items() if adjacent(c, phrase)}
+    assert got and {d for d, _ in got} == matching
     exp_full = bm25_rank(docs, f"{phrase[0]} {phrase[1]}", k=len(docs),
                          tokenizer_mode="code")
-    exp = [(d, s) for d, s in exp_full if d in matching][:20]
+    exp = [(d, s) for d, s in exp_full if d in matching][: len(got)]
     assert [d for d, _ in got] == [d for d, _ in exp]
     # phrase without corpus raises
     with pytest.raises(ValueError, match="corpus"):
         idx.search_query(q, k=5)
+
+
+def test_search_query_phrase_code_mode_camelcase_adjacency(spark, engine):
+    """camelCase identifiers tokenize into adjacent terms: the phrase
+    '"batch buffer ctx"' must match docs whose only occurrence is the
+    identifier batchBufferCtx (the separator-regex approach would miss
+    them)."""
+    from ck_spark.tokenizer import tokenize
+
+    idx, docs = engine
+    corpus = _corpus_df(spark, docs)
+    ident_docs = {d for d, c in docs.items() if "batchBufferCtx" in c}
+    if not ident_docs:
+        pytest.skip("corpus draw lacks the identifier")
+    got = {d for d, _ in _run_sq(idx, '"batch buffer ctx"', k=500, corpus=corpus)}
+
+    def adjacent(c):
+        ts = tokenize(c, "code")
+        return any(ts[i:i + 3] == ["batch", "buffer", "ctx"]
+                   for i in range(len(ts) - 2))
+
+    expected = {d for d, c in docs.items() if adjacent(c)}
+    assert got == expected
+    assert ident_docs <= got
 
 
 def test_search_query_edge_cases(spark, engine):
@@ -281,3 +311,5 @@ def test_search_query_edge_cases(spark, engine):
     assert _run_sq(idx, "+xylophonequasar parse") == []  # unknown must
     # unknown must_not is just ignored
     assert _run_sq(idx, "parse -xylophonequasar") == _run(idx, "parse")[:100]
+
+

@@ -157,7 +157,7 @@ def test_interrupted_update_is_repaired_on_load(spark, tmp_path):
     Manifest(root).save_marker("update_inprogress", {"segs": [0, 1], "ts": 0})
     _sh.rmtree(os.path.join(paths.postings, "seg=1"), ignore_errors=True)
 
-    idx = BM25Index.load(spark, root)  # triggers repair
+    idx = BM25Index.load(spark, root, repair=True)  # owner-context repair
     assert Manifest(root).load_marker("update_inprogress") is None
     got = _results(idx, ["parse buffer", "def"])
     assert got == ref
@@ -169,3 +169,64 @@ def test_interrupted_update_is_repaired_on_load(spark, tmp_path):
     assert stats["repaired"] is True
     assert stats["affected_segments"] == []
     assert _results(BM25Index.load(spark, root), ["parse buffer", "def"]) == ref
+
+
+def test_interrupted_swap_windows_are_recovered(spark, tmp_path):
+    """The rename-aside swap protocol: every crash point leaves a segment's
+    doc_map in exactly one of real / tmp-cand / .old, and repair restores a
+    consistent index from any of them (review finding: the old
+    rmtree-then-rename could permanently lose a segment)."""
+    import shutil as _sh
+
+    from ck_spark.index.builder import IndexPaths
+    from ck_spark.index.manifest import Manifest
+
+    base = generate_corpus(80, seed=9)
+    ref_results = None
+    for window in ("aside", "tmp"):
+        root = str(tmp_path / f"swapcrash_{window}")
+        build_index(spark, spark.createDataFrame(base), root, mode="code",
+                    n_segments=4, term_buckets=4, build_groups=2)
+        idx = BM25Index.load(spark, root)
+        ref = _results(idx, ["parse buffer", "def"])
+        if ref_results is None:
+            ref_results = ref
+        paths = IndexPaths(root)
+        real = os.path.join(paths.doc_map, "seg=1")
+        tmp_dm = os.path.join(root, "_tmp_doc_map")
+        man = Manifest(root)
+        if window == "aside":
+            # crash between rename(real, old) and rename(cand, real):
+            # real missing, .old holds the pre-update data
+            os.rename(real, real + ".old")
+        else:
+            # crash before the swap started: cand still in tmp, real is
+            # pre-update — repair must roll the swap FORWARD
+            os.makedirs(tmp_dm, exist_ok=True)
+            _sh.copytree(real, os.path.join(tmp_dm, "seg=1"))
+        man.save_marker("update_inprogress",
+                        {"segs": [1], "tmp": tmp_dm, "ts": 0})
+        healed = BM25Index.load(spark, root, repair=True)
+        assert Manifest(root).load_marker("update_inprogress") is None
+        assert os.path.isdir(real)
+        assert not os.path.exists(real + ".old")
+        assert not os.path.exists(tmp_dm)
+        assert _results(healed, ["parse buffer", "def"]) == ref
+
+
+def test_rebuild_same_content_different_snapshot_keeps_postings(spark, tmp_path):
+    """Review finding: wiping postings on a fresh tokenize while their
+    stage records survive let resume skip re-encoding — a rebuild whose
+    content fingerprint is unchanged (only the snapshot token moved) must
+    still produce a complete, queryable index."""
+    root = str(tmp_path / "resnap")
+    base = generate_corpus(60, seed=4)
+    build_index(spark, spark.createDataFrame(base), root, mode="code",
+                n_segments=3, term_buckets=4, build_groups=2, snapshot_id="t1")
+    ref = _results(BM25Index.load(spark, root), ["parse buffer"])
+    # same corpus content, new snapshot token (e.g. a touch changed mtime)
+    build_index(spark, spark.createDataFrame(base), root, mode="code",
+                n_segments=3, term_buckets=4, build_groups=2, snapshot_id="t2")
+    idx = BM25Index.load(spark, root)
+    assert os.path.isdir(idx.paths.postings) and os.path.isdir(idx.paths.term_stats)
+    assert _results(idx, ["parse buffer"]) == ref
