@@ -115,6 +115,26 @@ def main() -> None:
 
         timed("hybrid_rrf", lambda: hybrid())
 
+        # boolean syntax (+must/-not/phrase — the tantivy QueryParser surface)
+        timed("bm25_boolean", lambda: idx.search_query(
+            "+table merge -hash", k=100).collect())
+        timed("bm25_phrase", lambda: idx.search_query(
+            '"table hash"', k=100, corpus=corpus).collect())
+
+        # full-section extraction over symbol chunks
+        from ck_spark.query.sections import grep_full_section
+
+        timed("grep_full_section", lambda: grep_full_section(
+            corpus, "row|window").limit(200).collect())
+
+        # sessionization over the events table
+        ev_path = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(ev_path):
+            from ck_spark.ops.events import sessionize
+
+            ev = spark.read.parquet(ev_path)
+            timed("events_sessions", lambda: sessionize(ev).count())
+
         # batch API: whole query set in one job
         batch = [("spark", "or"), ("spark join window", "or"),
                  ("table join", "and"), ("table", "or"), ("table value row", "or")]
