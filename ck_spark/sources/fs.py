@@ -69,6 +69,9 @@ def read_source_tree(
         F.regexp_replace(F.col("path"), "^file:", ""), prefix_len, 1_000_000
     )
 
+    from ck_spark.ops.pdf import extract_pdf_text_udf
+
+    is_pdf = F.lower(F.col("relpath")).endswith(".pdf")
     out = (
         raw.where(F.col("length") <= F.lit(int(max_file_bytes)))
         .withColumn("relpath", rel)
@@ -78,9 +81,13 @@ def read_source_tree(
             F.col("relpath").alias("path"),
             F.lit(commit).alias("commit"),
             lang_from_path_col(F.col("relpath")).alias("lang"),
-            # cast reinterprets bytes; make_valid_utf8 replaces invalid
-            # sequences (from_utf8_lossy, JVM-side — Arrow-safe downstream)
-            F.expr("make_valid_utf8(cast(content as string))").alias("content"),
+            # PDFs extract to text (S4, ops/pdf.py — the pdf_extract
+            # preprocessing analogue, ck-index/src/lib.rs:1561-1596);
+            # everything else is the JVM's lossy UTF-8 (make_valid_utf8 —
+            # the bare cast reinterprets bytes and breaks Arrow downstream)
+            F.when(is_pdf, extract_pdf_text_udf()(F.col("content")))
+            .otherwise(F.expr("make_valid_utf8(cast(content as string))"))
+            .alias("content"),
         )
     )
     return out
