@@ -218,12 +218,16 @@ def _brace_block_end(lines: list[str], i: int, table=None) -> int:
     by `function g() {...}` never swallows g)."""
     depth = 0
     opened = False
+    paren_depth = 0  # unclosed (/[ in the signature: still mid-declaration
     j = i
     n = len(lines)
     last_nonblank = i
     while j < n:
         clean = _STRING_OR_COMMENT.sub("", lines[j])
-        if not opened:
+        if not opened and paren_depth <= 0:
+            # the blank-line / next-header terminators only apply OUTSIDE
+            # an open signature: a multi-line param list (or a grouped
+            # `var (...)`) may legitimately contain blank lines before '{'
             if j > i and not lines[j].strip():
                 # blank line before any '{'/';': the declaration ended
                 # (brace-less one-liner like `const f = x => x * x`)
@@ -232,10 +236,14 @@ def _brace_block_end(lines: list[str], i: int, table=None) -> int:
                 rx.match(lines[j]) for rx, _k, _c in table
             ):
                 return last_nonblank  # next symbol starts: decl ended
+        if not opened:
             brace_pos = clean.find("{")
             semi_pos = clean.find(";")
-            if semi_pos != -1 and (brace_pos == -1 or semi_pos < brace_pos):
+            if (paren_depth <= 0 and semi_pos != -1
+                    and (brace_pos == -1 or semi_pos < brace_pos)):
                 return j  # `struct Foo;` / `type A = B;` one-liner decl
+        paren_depth += (clean.count("(") - clean.count(")")
+                        + clean.count("[") - clean.count("]"))
         if lines[j].strip():
             last_nonblank = j
         d, _ = _brace_delta(lines[j])

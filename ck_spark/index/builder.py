@@ -295,6 +295,14 @@ def _reencode_segments(
     )
 
 
+def _aside_path(paths: IndexPaths, seg: int) -> str:
+    """Swap-aside location for a doc_map segment: underscore-prefixed so a
+    concurrent reader's partition discovery never sees it (Spark ignores
+    _-/.-prefixed names), and never a 'seg=N.old' dir that would poison
+    the seg partition column's type."""
+    return os.path.join(paths.doc_map, f"_aside_seg={seg}")
+
+
 def repair_index(spark: SparkSession, out_dir: str) -> bool:
     """Crash recovery: if an update-in-progress marker exists, first finish
     or roll forward the doc_map segment swap (the rename-aside protocol
@@ -315,7 +323,7 @@ def repair_index(spark: SparkSession, out_dir: str) -> bool:
     for s in marker["segs"]:
         real = os.path.join(paths.doc_map, f"seg={s}")
         cand = os.path.join(tmp_dm, f"seg={s}")
-        old = real + ".old"
+        old = _aside_path(paths, s)
         if os.path.exists(cand):
             # swap never completed for this segment: roll it forward
             # (cand present => real is pre-update state or absent)
@@ -597,18 +605,22 @@ def update_index(
     for s in affected:
         real = os.path.join(paths.doc_map, f"seg={s}")
         cand = os.path.join(tmp_dm, f"seg={s}")
-        old = real + ".old"
+        old = _aside_path(paths, s)
         if os.path.exists(cand):
             # rename-aside, never rmtree-then-rename: every crash point
-            # leaves either real, cand or .old holding the data
+            # leaves either real, cand or the aside holding the data (the
+            # aside name is underscore-prefixed so Spark partition
+            # discovery ignores it while it exists)
             if os.path.exists(real):
                 os.rename(real, old)
             os.rename(cand, real)
             shutil.rmtree(old, ignore_errors=True)
-        else:
-            # the update emptied this segment: removal is the correct
-            # final state (a rerun re-detects if this crashes mid-way)
-            shutil.rmtree(real, ignore_errors=True)
+        elif os.path.exists(real):
+            # the update emptied this segment: rename aside FIRST (an
+            # interrupted rmtree would leave a torn partition that repair
+            # would bless), then drop the aside
+            os.rename(real, old)
+            shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp_dm, ignore_errors=True)
 
     _write_corpus_stats(spark, paths)

@@ -78,6 +78,15 @@ class BM25Index:
             from ck_spark.index.builder import repair_index
 
             repair_index(spark, root)
+        elif Manifest(root).load_marker("update_inprogress") is not None:
+            import warnings
+
+            warnings.warn(
+                f"index at {root} has an update in progress (or a crashed "
+                "one): results may be mid-update until the owner repairs "
+                "it (BM25Index.load(repair=True) / update_index)",
+                stacklevel=2,
+            )
         meta = Manifest(root).load_meta()
         return cls(spark, IndexPaths(root), meta)
 

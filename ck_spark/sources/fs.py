@@ -71,26 +71,37 @@ def read_source_tree(
 
     from ck_spark.ops.pdf import extract_pdf_text_udf
 
-    is_pdf = F.lower(F.col("relpath")).endswith(".pdf")
-    out = (
+    scoped = (
         raw.where(F.col("length") <= F.lit(int(max_file_bytes)))
         .withColumn("relpath", rel)
         .where(path_scope_pred(F.col("relpath"), include_prefixes, globs))
-        .select(
+    )
+
+    def as_corpus(df, content_col):
+        return df.select(
             F.lit(repo).alias("repo"),
             F.col("relpath").alias("path"),
             F.lit(commit).alias("commit"),
             lang_from_path_col(F.col("relpath")).alias("lang"),
-            # PDFs extract to text (S4, ops/pdf.py — the pdf_extract
-            # preprocessing analogue, ck-index/src/lib.rs:1561-1596);
-            # everything else is the JVM's lossy UTF-8 (make_valid_utf8 —
-            # the bare cast reinterprets bytes and breaks Arrow downstream)
-            F.when(is_pdf, extract_pdf_text_udf()(F.col("content")))
-            .otherwise(F.expr("make_valid_utf8(cast(content as string))"))
-            .alias("content"),
+            content_col.alias("content"),
         )
+
+    # two branches rather than F.when: a pandas UDF inside when() is
+    # extracted into an ArrowEvalPython node that runs over EVERY row, so
+    # all non-PDF bytes would round-trip through Python. Split keeps the
+    # text branch pure-JVM (make_valid_utf8 over the cast — the bare cast
+    # reinterprets bytes and breaks Arrow downstream) and ships only .pdf
+    # payloads to the extractor (S4, ops/pdf.py — the pdf_extract
+    # preprocessing analogue, ck-index/src/lib.rs:1561-1596).
+    is_pdf = F.lower(F.col("relpath")).endswith(".pdf")
+    text_part = as_corpus(
+        scoped.where(~is_pdf),
+        F.expr("make_valid_utf8(cast(content as string))"),
     )
-    return out
+    pdf_part = as_corpus(
+        scoped.where(is_pdf), extract_pdf_text_udf()(F.col("content"))
+    )
+    return text_part.unionByName(pdf_part)
 
 
 def tree_snapshot_token(root: str) -> str:

@@ -119,27 +119,14 @@ def stream_sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """Streaming per-user sessionization: the SAME session_window
-    expression as ops/events.sessionize, made stateful by the watermark
-    (sessions close when the watermark passes their end — Spark's native
-    stateful session aggregation; no custom state handler needed)."""
-    from pyspark.sql import functions as F
+    """Streaming per-user sessionization: literally the batch operator
+    applied to a watermarked stream — ops/events.sessionize's
+    session_window expression becomes stateful session aggregation
+    (sessions close when the watermark passes their end). Delegating
+    keeps batch/stream equivalence true by construction."""
+    from ck_spark.ops.events import sessionize
 
-    w = F.session_window(F.col(ts_col), gap)
-    return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(F.col(user_col), w.alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col(user_col),
-            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
-            F.col("n_events").cast("long").alias("n_events"),
-            "sum_value",
-        )
+    return sessionize(
+        events.withWatermark(ts_col, watermark),
+        gap=gap, user_col=user_col, ts_col=ts_col, value_col=value_col,
     )

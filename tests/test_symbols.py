@@ -293,3 +293,22 @@ def test_braceless_arrow_does_not_swallow_file():
     g = next(c for c in ch if c.name == "g")
     assert f.line_end == 1          # declaration ends at the blank line
     assert g.line_start == 3        # g is its own chunk, not inside f
+
+
+def test_multiline_signature_with_blank_line():
+    """A blank line INSIDE an open param list must not terminate the
+    declaration (the brace-less-decl guard only applies outside open
+    parens) — review regression."""
+    src = (
+        "pub fn foo(\n"
+        "    a: u32,\n"
+        "\n"
+        "    b: u32,\n"
+        ") -> u32 {\n"
+        "    a + b\n"
+        "}\n"
+    )
+    ch = chunk_code(src, "rust")
+    foo = next(c for c in ch if c.name == "foo")
+    assert foo.line_start == 1 and foo.line_end == 7
+    assert foo.text.rstrip().endswith("}")
