@@ -48,18 +48,26 @@ PARSEABLE_LANGS = {
     "go",
     "haskell", "hs",
     "markdown", "md",
+    "ruby", "rb",
+    "java",
+    "c", "cpp", "cc", "cxx", "h", "hpp",
+    "csharp", "cs",
 }
+
+_CANONICAL = {"python", "rust", "javascript", "typescript", "go",
+              "haskell", "markdown", "ruby", "java", "c", "cpp", "csharp"}
 
 
 def canonical_lang(lang: str | None) -> str | None:
     aliases = {"py": "python", "rs": "rust", "js": "javascript",
-               "ts": "typescript", "hs": "haskell", "md": "markdown"}
+               "ts": "typescript", "hs": "haskell", "md": "markdown",
+               "rb": "ruby", "cs": "csharp",
+               "cc": "cpp", "cxx": "cpp", "h": "cpp", "hpp": "cpp"}
     if not lang:
         return None
     la = lang.lower()
     la = aliases.get(la, la)
-    return la if la in {"python", "rust", "javascript", "typescript", "go",
-                        "haskell", "markdown"} else None
+    return la if la in _CANONICAL else None
 
 
 @dataclass
@@ -176,12 +184,47 @@ _BRACE_TABLES: dict[str, list[tuple[re.Pattern, str, bool]]] = {
         (re.compile(r"^\s*(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*"
                     r"(?:async\s+)?function"), "function", False),
     ],
+    "java": [
+        (re.compile(r"^\s*(?:(?:public|private|protected|static|final|abstract|synchronized)\s+)*"
+                    r"(?:class)\s+(\w+)"), "class", True),
+        (re.compile(r"^\s*(?:(?:public|private|protected|static)\s+)*interface\s+(\w+)"),
+         "module", True),
+        (re.compile(r"^\s*(?:(?:public|private|protected|static)\s+)*enum\s+(\w+)"),
+         "class", True),
+    ],
+    "csharp": [
+        (re.compile(r"^\s*(?:(?:public|private|protected|internal|static|sealed|abstract|partial)\s+)*"
+                    r"class\s+(\w+)"), "class", True),
+        (re.compile(r"^\s*(?:(?:public|private|protected|internal)\s+)*interface\s+(\w+)"),
+         "module", True),
+        (re.compile(r"^\s*(?:(?:public|private|protected|internal|static)\s+)*"
+                    r"(?:struct|enum)\s+(\w+)"), "class", True),
+        (re.compile(r"^\s*namespace\s+([\w.]+)"), "module", True),
+    ],
+    "c": [
+        # function definition heuristic: type-ish prefix + name( ... with no
+        # ';' on the line (a prototype would end in ';')
+        (re.compile(r"^[A-Za-z_][\w\s\*]*?[\s\*](\w+)\s*\([^;]*$"), "function", False),
+        (re.compile(r"^(\w+)\s*\([^;]*$"), "function", False),
+        (re.compile(r"^\s*typedef\s+(?:struct|enum|union)\s*(\w*)"), "class", False),
+        (re.compile(r"^\s*(?:struct|enum|union)\s+(\w+)\s*\{?\s*$"), "class", False),
+    ],
 }
 _BRACE_TABLES["typescript"] = _BRACE_TABLES["javascript"]
+# C++ = C plus classes/namespaces/templates
+_BRACE_TABLES["cpp"] = [
+    (re.compile(r"^\s*(?:template\s*<[^>]*>\s*)?class\s+(\w+)"), "class", True),
+    (re.compile(r"^\s*namespace\s+(\w+)"), "module", True),
+] + _BRACE_TABLES["c"]
 
 # methods inside a js/ts class body: name(args) { — excluding keywords
 _JS_METHOD = re.compile(
     r"^\s*(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?\*?\s*(\w+)\s*(?:<[^>]*>)?\([^;]*$"
+)
+# java/csharp methods & constructors: modifiers/return type words then
+# name( — at least one leading word so field declarations don't match
+_JVM_METHOD = re.compile(
+    r"^\s*(?:[\w<>\[\],.?]+\s+)+(\w+)\s*\([^;]*$"
 )
 _JS_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "function",
                 "new", "typeof", "await", "do", "else", "try"}
@@ -193,6 +236,11 @@ _TRIVIA_RES = {
     "typescript": re.compile(r"^\s*(//|/\*|\*|@)"),
     "python": _PY_TRIVIA,
     "haskell": re.compile(r"^\s*(--|\{-)"),
+    "ruby": re.compile(r"^\s*#"),
+    "java": re.compile(r"^\s*(//|/\*|\*|@)"),
+    "csharp": re.compile(r"^\s*(//|/\*|\*|\[)"),
+    "c": re.compile(r"^\s*(//|/\*|\*|#)"),
+    "cpp": re.compile(r"^\s*(//|/\*|\*|#)"),
 }
 
 _STRING_OR_COMMENT = re.compile(
@@ -283,15 +331,64 @@ def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
                     break
             if matched:
                 continue
-            # methods inside a js/ts class body (method_definition)
-            if in_container == "class" and lang in ("javascript", "typescript"):
-                m = _JS_METHOD.match(line)
+            # methods inside a class body (method_definition /
+            # method_declaration — js/ts/java/csharp share the shape)
+            if in_container == "class" and lang in (
+                "javascript", "typescript", "java", "csharp"
+            ):
+                rx_m = _JVM_METHOD if lang in ("java", "csharp") else _JS_METHOD
+                m = rx_m.match(line)
                 if m and m.group(1) not in _JS_KEYWORDS and "{" in line:
                     end = min(_brace_block_end(lines, i), hi)
                     out.append(_Sym("method", m.group(1), i, end, list(ancestry)))
                     i = end + 1
                     continue
             i += 1
+
+    walk(0, n - 1, [], None)
+    return out
+
+
+_RB_HEADER = re.compile(
+    r"^(\s*)(def|class|module)\s+(?:self\.)?([\w?!.]+)"
+)
+
+
+def _detect_ruby(lines: list[str]) -> list[_Sym]:
+    """Ruby def/class/module blocks: the block ends at the first 'end' at
+    the SAME indentation as the header (the dominant formatting for the
+    kinds the reference captures: method/class/module/singleton_method,
+    ck-chunk/src/lib.rs:941-943)."""
+    out: list[_Sym] = []
+    n = len(lines)
+
+    def block_end(i: int, indent: str) -> int:
+        for j in range(i + 1, n):
+            if lines[j].rstrip() == indent + "end":
+                return j
+        return n - 1
+
+    def walk(lo: int, hi: int, ancestry: list[str], parent_kind: str | None):
+        i = lo
+        while i <= hi:
+            m = _RB_HEADER.match(lines[i])
+            if m:
+                indent, kw, name = m.group(1), m.group(2), m.group(3)
+                end = min(block_end(i, indent), hi)
+                if kw == "class":
+                    kind = "class"
+                elif kw == "module":
+                    kind = "module"
+                elif parent_kind == "class":
+                    kind = "method"
+                else:
+                    kind = "function"
+                out.append(_Sym(kind, name, i, end, list(ancestry)))
+                walk(i + 1, end - 1, ancestry + [name],
+                     "class" if kw in ("class", "module") else "function")
+                i = end + 1
+            else:
+                i += 1
 
     walk(0, n - 1, [], None)
     return out
@@ -605,8 +702,11 @@ def chunk_code(
 
     if la == "python":
         syms = _detect_python(lines)
-    elif la in ("rust", "go", "javascript", "typescript"):
+    elif la in ("rust", "go", "javascript", "typescript",
+                "java", "csharp", "c", "cpp"):
         syms = _detect_brace(lines, la)
+    elif la == "ruby":
+        syms = _detect_ruby(lines)
     elif la == "haskell":
         syms = _detect_haskell(lines)
     else:  # markdown

@@ -312,3 +312,108 @@ def test_multiline_signature_with_blank_line():
     foo = next(c for c in ch if c.name == "foo")
     assert foo.line_start == 1 and foo.line_end == 7
     assert foo.text.rstrip().endswith("}")
+
+
+def test_ruby_blocks():
+    src = textwrap.dedent('''\
+        # frozen_string_literal: true
+
+        module Util
+          class Calc
+            def add(a, b)
+              a + b
+            end
+
+            def self.version
+              "1.0"
+            end
+          end
+        end
+
+        def standalone
+          42
+        end
+    ''')
+    chunks = chunk_code(src, "ruby")
+    _spans_are_byte_exact(chunks, src)
+    t = _by_type(chunks)
+    assert {c.name for c in t.get("module", [])} == {"Util"}
+    assert {c.name for c in t.get("class", [])} == {"Calc"}
+    assert {c.name for c in t.get("method", [])} == {"add", "version"}
+    assert {c.name for c in t.get("function", [])} == {"standalone"}
+    add = next(c for c in t["method"] if c.name == "add")
+    assert add.breadcrumb == "Util::Calc::add"
+    assert add.text.rstrip().endswith("end")
+
+
+def test_java_class_and_methods():
+    src = textwrap.dedent('''\
+        // header
+        public class Account {
+            private double balance;
+
+            public Account(double b) {
+                balance = b;
+            }
+
+            public double getBalance() {
+                return balance;
+            }
+        }
+    ''')
+    chunks = chunk_code(src, "java")
+    _spans_are_byte_exact(chunks, src)
+    t = _by_type(chunks)
+    assert {c.name for c in t.get("class", [])} == {"Account"}
+    assert {c.name for c in t.get("method", [])} >= {"Account", "getBalance"}
+    gb = next(c for c in t["method"] if c.name == "getBalance")
+    assert gb.breadcrumb == "Account::getBalance"
+
+
+def test_c_functions_and_structs():
+    src = textwrap.dedent('''\
+        #include <stdio.h>
+
+        struct point {
+            int x;
+            int y;
+        };
+
+        static int add(int a, int b) {
+            return a + b;
+        }
+
+        int main(void)
+        {
+            return add(1, 2);
+        }
+    ''')
+    chunks = chunk_code(src, "c")
+    _spans_are_byte_exact(chunks, src)
+    t = _by_type(chunks)
+    assert {c.name for c in t.get("class", [])} == {"point"}
+    assert {c.name for c in t.get("function", [])} == {"add", "main"}
+    main = next(c for c in t["function"] if c.name == "main")
+    assert main.text.rstrip().endswith("}")  # brace on its own line handled
+
+
+def test_cpp_namespace_class_methods():
+    src = textwrap.dedent('''\
+        namespace geo {
+
+        class Circle {
+        public:
+            double area() {
+                return 3.14 * r * r;
+            }
+        private:
+            double r;
+        };
+
+        }  // namespace geo
+    ''')
+    chunks = chunk_code(src, "cpp")
+    _spans_are_byte_exact(chunks, src)
+    t = _by_type(chunks)
+    assert {c.name for c in t.get("module", [])} == {"geo"}
+    assert {c.name for c in t.get("class", [])} == {"Circle"}
