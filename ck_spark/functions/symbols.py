@@ -52,17 +52,20 @@ PARSEABLE_LANGS = {
     "java",
     "c", "cpp", "cc", "cxx", "h", "hpp",
     "csharp", "cs",
+    "zig", "dart", "elixir", "ex", "exs",
 }
 
 _CANONICAL = {"python", "rust", "javascript", "typescript", "go",
-              "haskell", "markdown", "ruby", "java", "c", "cpp", "csharp"}
+              "haskell", "markdown", "ruby", "java", "c", "cpp", "csharp",
+              "zig", "dart", "elixir"}
 
 
 def canonical_lang(lang: str | None) -> str | None:
     aliases = {"py": "python", "rs": "rust", "js": "javascript",
                "ts": "typescript", "hs": "haskell", "md": "markdown",
                "rb": "ruby", "cs": "csharp",
-               "cc": "cpp", "cxx": "cpp", "h": "cpp", "hpp": "cpp"}
+               "cc": "cpp", "cxx": "cpp", "h": "cpp", "hpp": "cpp",
+               "ex": "elixir", "exs": "elixir"}
     if not lang:
         return None
     la = lang.lower()
@@ -209,6 +212,20 @@ _BRACE_TABLES: dict[str, list[tuple[re.Pattern, str, bool]]] = {
         (re.compile(r"^\s*typedef\s+(?:struct|enum|union)\s*(\w*)"), "class", False),
         (re.compile(r"^\s*(?:struct|enum|union)\s+(\w+)\s*\{?\s*$"), "class", False),
     ],
+    "zig": [
+        (re.compile(r"^\s*(?:pub\s+)?(?:export\s+)?(?:inline\s+)?fn\s+(\w+)"),
+         "function", False),
+        (re.compile(r"^\s*test\s+\"([^\"]+)\""), "module", False),
+        (re.compile(r"^\s*(?:pub\s+)?const\s+(\w+)\s*=\s*(?:struct|enum|union|opaque)\b"),
+         "class", False),
+    ],
+    "dart": [
+        (re.compile(r"^\s*(?:abstract\s+)?class\s+(\w+)"), "class", True),
+        (re.compile(r"^\s*mixin\s+(\w+)"), "class", True),
+        (re.compile(r"^\s*enum\s+(\w+)"), "class", False),
+        (re.compile(r"^\s*(?:[\w<>\[\],?]+\s+)?(\w+)\s*\([^;]*\)\s*(?:async\s*)?\{"),
+         "function", False),
+    ],
 }
 _BRACE_TABLES["typescript"] = _BRACE_TABLES["javascript"]
 # C++ = C plus classes/namespaces/templates
@@ -241,6 +258,9 @@ _TRIVIA_RES = {
     "csharp": re.compile(r"^\s*(//|/\*|\*|\[)"),
     "c": re.compile(r"^\s*(//|/\*|\*|#)"),
     "cpp": re.compile(r"^\s*(//|/\*|\*|#)"),
+    "zig": re.compile(r"^\s*(///|//)"),
+    "dart": re.compile(r"^\s*(///|//|@)"),
+    "elixir": re.compile(r"^\s*(#|@doc|@moduledoc|@spec)"),
 }
 
 _STRING_OR_COMMENT = re.compile(
@@ -391,6 +411,51 @@ def _detect_ruby(lines: list[str]) -> list[_Sym]:
                 i += 1
 
     walk(0, n - 1, [], None)
+    return out
+
+
+_EX_HEADER = re.compile(
+    r"^(\s*)(defmodule|defmacro|defprotocol|defimpl|defp|def)\s+([\w.?!]+)"
+)
+
+
+def _detect_elixir(lines: list[str]) -> list[_Sym]:
+    """Elixir defmodule/def/defp/defmacro blocks (the reference handles
+    elixir via query-based chunking over 'call' nodes, ck-chunk/src/
+    lib.rs:1012-1014; kinds per classify_chunk_kind: def/defp->Function,
+    defmacro->Method, defmodule/defprotocol->Module). `do:`-style
+    one-liners end on their own line; do-blocks end at the matching
+    same-indent 'end'."""
+    out: list[_Sym] = []
+    n = len(lines)
+
+    def block_end(i: int, indent: str) -> int:
+        if "do:" in lines[i]:
+            return i  # keyword-list one-liner
+        for j in range(i + 1, n):
+            if lines[j].rstrip() == indent + "end":
+                return j
+        return n - 1
+
+    kinds = {"defmodule": "module", "defprotocol": "module",
+             "defimpl": "module", "defmacro": "method",
+             "def": "function", "defp": "function"}
+
+    def walk(lo: int, hi: int, ancestry: list[str]):
+        i = lo
+        while i <= hi:
+            m = _EX_HEADER.match(lines[i])
+            if m:
+                indent, kw, name = m.group(1), m.group(2), m.group(3)
+                end = min(block_end(i, indent), hi)
+                out.append(_Sym(kinds[kw], name, i, end, list(ancestry)))
+                if kw in ("defmodule", "defprotocol", "defimpl") and end > i:
+                    walk(i + 1, end - 1, ancestry + [name])
+                i = end + 1
+            else:
+                i += 1
+
+    walk(0, n - 1, [])
     return out
 
 
@@ -703,10 +768,12 @@ def chunk_code(
     if la == "python":
         syms = _detect_python(lines)
     elif la in ("rust", "go", "javascript", "typescript",
-                "java", "csharp", "c", "cpp"):
+                "java", "csharp", "c", "cpp", "zig", "dart"):
         syms = _detect_brace(lines, la)
     elif la == "ruby":
         syms = _detect_ruby(lines)
+    elif la == "elixir":
+        syms = _detect_elixir(lines)
     elif la == "haskell":
         syms = _detect_haskell(lines)
     else:  # markdown

@@ -417,3 +417,71 @@ def test_cpp_namespace_class_methods():
     t = _by_type(chunks)
     assert {c.name for c in t.get("module", [])} == {"geo"}
     assert {c.name for c in t.get("class", [])} == {"Circle"}
+
+
+def test_zig_dart_elixir():
+    zig = textwrap.dedent('''\
+        const Calculator = struct {
+            memory: f64,
+        };
+
+        pub fn add(a: f64, b: f64) f64 {
+            return a + b;
+        }
+
+        test "addition works" {
+            try expect(add(1, 2) == 3);
+        }
+    ''')
+    t = _by_type(chunk_code(zig, "zig"))
+    assert {c.name for c in t.get("class", [])} == {"Calculator"}
+    assert {c.name for c in t.get("function", [])} == {"add"}
+    assert {c.name for c in t.get("module", [])} == {"addition works"}
+
+    dart = textwrap.dedent('''\
+        class Point {
+          double x = 0;
+
+          double dist(Point o) {
+            return 0;
+          }
+        }
+
+        int add(int a, int b) {
+          return a + b;
+        }
+    ''')
+    t = _by_type(chunk_code(dart, "dart"))
+    assert {c.name for c in t.get("class", [])} == {"Point"}
+    assert "add" in {c.name for c in t.get("function", [])}
+
+    elixir = textwrap.dedent('''\
+        defmodule Math do
+          @doc "adds"
+          def add(a, b) do
+            a + b
+          end
+
+          defp helper(x), do: x * 2
+
+          defmacro squared(n) do
+            quote do: unquote(n) * unquote(n)
+          end
+        end
+
+        def orphan(x) do
+          x
+        end
+    ''')
+    chunks = chunk_code(elixir, "elixir")
+    _spans_are_byte_exact(chunks, elixir)
+    t = _by_type(chunks)
+    assert {c.name for c in t.get("module", [])} == {"Math"}
+    fns = {c.name for c in t.get("function", [])}
+    assert {"add", "helper", "orphan"} <= fns
+    assert {c.name for c in t.get("method", [])} == {"squared"}
+    add = next(c for c in t["function"] if c.name == "add")
+    assert add.breadcrumb == "Math::add"
+    assert "@doc" in add.text  # module-attribute trivia attached
+    helper = next(c for c in t["function"] if c.name == "helper")
+    assert helper.line_start == helper.line_end  # do: one-liner
