@@ -174,6 +174,19 @@ WHERE regexp_matches(lower(d.text), '{_PHRASE_RE}')
 GROUP BY c.doc_id
 ORDER BY sum(c.c) DESC, c.doc_id LIMIT 20"""
 
+# negative phrase: 'table -"table hash"' — tantivy MustNot(PhraseQuery)
+# excludes ONLY docs containing the ADJACENT phrase; docs with both terms
+# separate still match and score on 'table' alone
+_BOOL_PHRASE_NOT_SQL = f"""{_bm25_contrib_cte(["table"])}
+SELECT c.doc_id, round(sum(c.c), 6) AS score
+FROM contrib c
+WHERE c.doc_id NOT IN (
+  SELECT doc_id FROM documents d
+  WHERE regexp_matches(lower(d.text), '{_PHRASE_RE}')
+)
+GROUP BY c.doc_id
+ORDER BY sum(c.c) DESC, c.doc_id LIMIT 20"""
+
 
 # --------------------------------------------------------------------------
 # engine-side query callables
@@ -182,8 +195,8 @@ ORDER BY sum(c.c) DESC, c.doc_id LIMIT 20"""
 
 def _bm25_syntax(query: str, k: int):
     """tantivy-QueryParser grammar through the engine's search_query
-    (+must / -must_not / "phrase"; phrases verified for token adjacency
-    against the corpus — query/boolean.py)."""
+    (+must / -must_not / "phrase" / -"phrase"; phrases resolve INDEX-ONLY
+    against the positions postings — query/boolean.py, scorer.py)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -1196,6 +1209,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean_not": _bm25_syntax("table -hash", k=20),
         "bm25_boolean_mixed": _bm25_syntax("+table merge", k=20),
         "bm25_phrase": _bm25_syntax('"table hash"', k=20),
+        "bm25_phrase_not": _bm25_syntax('table -"table hash"', k=20),
         "term_df_top50": _q_term_df_top50,
         "doc_len_stats": _q_doc_len,
         "corpus_stats": _q_corpus_stats,
@@ -1249,6 +1263,7 @@ ORDER BY score DESC, doc_id""",
         "bm25_boolean_not": _BOOL_NOT_SQL,
         "bm25_boolean_mixed": _BOOL_MIXED_SQL,
         "bm25_phrase": _BOOL_PHRASE_SQL,
+        "bm25_phrase_not": _BOOL_PHRASE_NOT_SQL,
         "term_df_top50": f"""WITH {_TOK_CTES}
 SELECT term, CAST(df AS BIGINT) AS df
 FROM df ORDER BY df DESC, term LIMIT 50""",

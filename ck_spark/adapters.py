@@ -99,9 +99,9 @@ def search_documents(
     while True:
         if mode == "syntax":
             # tantivy-QueryParser grammar (+must/-not/"phrase"/AND);
-            # phrases verify adjacency against the corpus content
-            corpus = documents_as_corpus(load_documents(spark, sf_dir))
-            res = idx.search_query(query, k=fetch, corpus=corpus,
+            # phrases resolve index-only from the positions postings —
+            # no corpus argument, no corpus scan
+            res = idx.search_query(query, k=fetch,
                                    normalize=normalize, threshold=threshold,
                                    with_paths=True)
         else:

@@ -144,6 +144,47 @@ def decode_all_u32_blocks(blocks) -> np.ndarray:
     return np.concatenate([decode_u32s(b) for b in blocks])
 
 
+def encode_positions_block(pos_lists) -> bytes:
+    """Encode one block's per-doc token-position lists as a single varint
+    stream: within each doc the first position is absolute and the rest are
+    strictly-positive deltas (positions are strictly increasing within a
+    doc). Per-doc boundaries are NOT stored — they are recovered from the
+    block's tf values (tf == number of positions for the term in that doc),
+    which the postings row already carries. This mirrors how tantivy/Lucene
+    lay out their positions stream against the doc/freq stream
+    (SURVEY.md §1.1 'Inverted index'; ck's phrase queries resolve against
+    tantivy's positions, ck-engine/src/lib.rs:765-775)."""
+    arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+    if lens.sum() == 0:
+        return b""
+    flat = np.concatenate(arrs)
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    starts = starts[lens > 0]
+    deltas[starts] = flat[starts]  # doc-start positions stored absolute
+    return encode_varint(deltas)
+
+
+def decode_positions_block(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions_block: flat int64 position array for the
+    block's docs, concatenated in doc order; ``tfs`` gives the per-doc
+    lengths (slice with cumsum(tfs) boundaries). Vectorized grouped cumsum —
+    no per-doc Python loop."""
+    deltas = decode_varint(buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    lens = np.asarray(tfs, dtype=np.int64)
+    cs = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # base to subtract per doc: running sum just before the doc's first
+    # element (its stored value is absolute, so everything before cancels)
+    base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+    return cs - np.repeat(base, lens)
+
+
 def block_max_partial(
     tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, k1: float, b: float, block: int
 ) -> np.ndarray:

@@ -56,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ck_spark.codec import encode_posting_blocks
+from ck_spark.codec import encode_posting_blocks, encode_positions_block
 from ck_spark.constants import (
     BLOCK_SIZE,
     BM25_B,
@@ -65,21 +65,25 @@ from ck_spark.constants import (
     DEFAULT_TERM_BUCKETS,
 )
 from ck_spark.index.manifest import Manifest
-from ck_spark.tokenizer import term_freqs_udf
+from ck_spark.tokenizer import term_positions_udf
 
-INDEX_VERSION = 4  # v3: merged doc_map+tfm layout; v4: <40-byte token filter
+# v3: merged doc_map+tfm layout; v4: <40-byte token filter; v5: positions
+# (posm in doc_map, pos_blocks in postings — phrase queries resolve
+# index-only, no corpus adjacency scan)
+INDEX_VERSION = 5
 DOC_ID_MASK = (1 << 62) - 1  # keep xxhash64-derived doc ids non-negative
 
 POSTINGS_SCHEMA = (
     "term string, n_docs int, "
     "ids_blocks array<binary>, tfs_blocks array<binary>, dls_blocks array<binary>, "
+    "pos_blocks array<binary>, "
     "block_max array<float>, block_last array<long>, avgdl_enc double"
 )
 
-# doc_map columns, in write order; tfm last so narrow readers prune it
+# doc_map columns, in write order; tfm/posm last so narrow readers prune them
 DOC_MAP_COLS = [
     "doc_id", "repo", "path", "commit", "lang",
-    "content_sha256", "is_binary", "doc_len", "seg", "tfm",
+    "content_sha256", "is_binary", "doc_len", "seg", "tfm", "posm",
 ]
 
 
@@ -120,15 +124,18 @@ def seg_expr(n_segments: int):
 
 
 def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFrame:
-    tf_udf = term_freqs_udf(mode)
+    pos_udf = term_positions_udf(mode)
     return (
         corpus.withColumn("doc_id", doc_id_expr())
         .withColumn("seg", seg_expr(n_segments))
         .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         .withColumn("content_sha256", F.sha2("content", 256))
-        # binary docs are excluded from the index: null tf map (no posting
-        # storage), doc_len 0 (matches corpus_stats' ~is_binary filter)
-        .withColumn("tfm", F.when(~F.col("is_binary"), tf_udf("content")))
+        # binary docs are excluded from the index: null maps (no posting
+        # storage), doc_len 0 (matches corpus_stats' ~is_binary filter).
+        # ONE tokenize pass emits positions; tf and doc_len are derived
+        # JVM-side (tf == number of positions by construction).
+        .withColumn("posm", F.when(~F.col("is_binary"), pos_udf("content")))
+        .withColumn("tfm", F.transform_values("posm", lambda _, v: F.size(v)))
         .withColumn(
             "doc_len",
             F.coalesce(
@@ -166,15 +173,17 @@ def _write_corpus_stats(spark: SparkSession, paths: IndexPaths) -> None:
 
 
 def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
-    """Explode the per-doc tf map into (term, doc) rows — the postings
-    shuffle input. Runs off the stored doc_map (or a fresh tokenize),
-    never re-tokenizing."""
+    """Explode the per-doc positions map into (term, doc, positions) rows —
+    the postings shuffle input. Runs off the stored doc_map (or a fresh
+    tokenize), never re-tokenizing. tf is derived (size of the positions
+    list), so the shuffle carries each token occurrence exactly once."""
     return (
         docs.where(~F.col("is_binary"))
         .select(
             "doc_id", "seg", F.col("doc_len").alias("dl"),
-            F.explode("tfm").alias("term", "tf"),
+            F.explode("posm").alias("term", "poss"),
         )
+        .withColumn("tf", F.size("poss"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
     )
 
@@ -190,22 +199,30 @@ def _make_batch_encoder(avgdl: float, k1: float, b: float, block: int):
         for pdf in iterator:
             out = {
                 "term": [], "n_docs": [], "ids_blocks": [], "tfs_blocks": [],
-                "dls_blocks": [], "block_max": [], "block_last": [],
-                "avgdl_enc": [], "seg": [], "bucket": [],
+                "dls_blocks": [], "pos_blocks": [], "block_max": [],
+                "block_last": [], "avgdl_enc": [], "seg": [], "bucket": [],
             }
-            for term, seg, bucket, ids, tfs, dls in zip(
+            for term, seg, bucket, ids, tfs, dls, poss in zip(
                 pdf["term"], pdf["seg"], pdf["bucket"],
-                pdf["ids"], pdf["tfs"], pdf["dls"],
+                pdf["ids"], pdf["tfs"], pdf["dls"], pdf["poss"],
             ):
                 ids = np.asarray(ids, dtype=np.int64)
                 blocks = encode_posting_blocks(
                     ids, np.asarray(tfs), np.asarray(dls), avgdl, k1, b, block
                 )
+                # positions blocks align 1:1 with the id blocks (same docs,
+                # same order); per-doc boundaries recover from the tf stream
+                n = ids.size
+                pos_blocks = [
+                    encode_positions_block(poss[lo:min(lo + block, n)])
+                    for lo in range(0, n, block)
+                ]
                 out["term"].append(term)
                 out["n_docs"].append(int(ids.size))
                 out["ids_blocks"].append(blocks["ids_blocks"])
                 out["tfs_blocks"].append(blocks["tfs_blocks"])
                 out["dls_blocks"].append(blocks["dls_blocks"])
+                out["pos_blocks"].append(pos_blocks)
                 out["block_max"].append(blocks["block_max"])
                 out["block_last"].append(blocks["block_last"])
                 out["avgdl_enc"].append(avgdl)
@@ -238,12 +255,13 @@ def _encode_and_write_postings(
         .groupBy("seg", "bucket", "term")
         # sort + deconstruct in the JVM (codegen): the Python side receives
         # three aligned numpy arrays per group, no per-group pandas frame
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("pl"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl", "poss"))).alias("pl"))
         .select(
             "seg", "bucket", "term",
             F.col("pl.doc_id").alias("ids"),
             F.col("pl.tf").alias("tfs"),
             F.col("pl.dl").alias("dls"),
+            F.col("pl.poss").alias("poss"),
         )
     )
     enc = grouped.mapInPandas(
@@ -466,6 +484,7 @@ def build_index(
     man.save_meta(
         {
             "version": INDEX_VERSION,
+            "with_positions": True,
             "tokenizer_mode": mode,
             "n_segments": n_segments,
             "term_buckets": term_buckets,

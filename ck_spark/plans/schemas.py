@@ -41,9 +41,11 @@ DOC_MAP = StructType([
     _f("doc_len", IntegerType()),
     _f("is_binary", BooleanType()),
     _f("seg", IntegerType()),
-    # the per-doc tf map rides in doc_map (single tokenize artifact);
-    # narrow readers column-prune it at the parquet scan
+    # the per-doc tf and positions maps ride in doc_map (single tokenize
+    # artifact); narrow readers column-prune both at the parquet scan.
+    # tf == size(positions) by construction (tfm derived JVM-side).
     _f("tfm", MapType(StringType(), IntegerType())),
+    _f("posm", MapType(StringType(), ArrayType(IntegerType()))),
 ])
 
 POSTINGS = StructType([
@@ -52,6 +54,9 @@ POSTINGS = StructType([
     _f("ids_blocks", ArrayType(BinaryType())),
     _f("tfs_blocks", ArrayType(BinaryType())),
     _f("dls_blocks", ArrayType(BinaryType())),
+    # per-block varint positions stream (phrase queries); pruned by every
+    # non-phrase query's explicit column projection
+    _f("pos_blocks", ArrayType(BinaryType())),
     _f("block_max", ArrayType(FloatType())),
     _f("block_last", ArrayType(LongType())),
     _f("avgdl_enc", DoubleType()),

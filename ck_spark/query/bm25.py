@@ -39,6 +39,13 @@ from ck_spark.tokenizer import tokenize
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
+# explicit postings projection: pos_blocks (the positions stream) is only
+# read by phrase queries — everything else prunes it at the parquet scan
+_POSTING_COLS = [
+    "seg", "bucket", "term", "n_docs", "ids_blocks", "tfs_blocks",
+    "dls_blocks", "block_max", "block_last", "avgdl_enc",
+]
+
 _OR_SCORERS = {
     "exhaustive": _scorer.score_exhaustive_or,
     "wand": _scorer.score_wand_or,
@@ -162,8 +169,10 @@ class BM25Index:
         found_terms = list(ts["term"])
         buckets = sorted(set(int(b) for b in ts["bucket"]))
 
-        post = spark.read.parquet(self.paths.postings).where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(found_terms)
+        post = (
+            spark.read.parquet(self.paths.postings)
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(found_terms))
+            .select(*_POSTING_COLS)
         )
 
         avgdl = float(self.meta["avgdl"])
@@ -227,17 +236,20 @@ class BM25Index:
         exclude_globs: list[str] | None = None,
     ) -> DataFrame:
         """tantivy-QueryParser-style search: bare terms are SHOULD, +term
-        MUST, -term MUST_NOT, "quoted words" phrases, `a AND b` conjunctive
-        (ck passes its query string to tantivy's parser,
-        ck-engine/src/lib.rs:765-768; grammar rebuilt in query/boolean.py).
+        MUST, -term MUST_NOT, "quoted words" phrases, -"quoted words"
+        negative phrases, `a AND b` conjunctive (ck passes its query string
+        to tantivy's parser, ck-engine/src/lib.rs:765-768; grammar rebuilt
+        in query/boolean.py).
 
-        Phrases need `corpus` (the index stores no positions): the phrase's
-        terms are MUST clauses and the candidate set is restricted — via
-        the same exact cogrouped-allowed-set mechanism as path scoping — to
-        docs whose content matches the token-adjacency regex, so the top-k
-        is exact, not a post-filter. The adjacency scan is one codegen
-        regex pass over the corpus (grep-cost; a positions index is the
-        10^12-doc upgrade path and this is its seam)."""
+        Phrases resolve INDEX-ONLY on v5 indexes: token positions are
+        stored per (term, doc) in the postings (pos_blocks), and adjacency
+        is a vectorized positional intersection inside the segment scorer
+        (the tantivy PhraseQuery analogue, ck-engine/src/lib.rs:765-775) —
+        no corpus access, exact top-k. Negative phrases exclude only docs
+        containing the ADJACENT phrase (MustNot(PhraseQuery)). For older
+        position-less indexes the legacy corpus-scan fallback remains:
+        pass `corpus` and candidates are restricted/excluded via a
+        token-adjacency regex / tokenizer UDF pass."""
         from ck_spark.query.boolean import parse_query, phrase_adjacency_regex
 
         pq = parse_query(query, self.meta["tokenizer_mode"])
@@ -245,10 +257,12 @@ class BM25Index:
         empty = spark.createDataFrame([], _RESULT_SCHEMA)
         if not pq.positive_terms:
             return self._finish(empty, k, normalize, threshold, with_paths)
-        if pq.phrases and corpus is None:
+        use_positions = bool(self.meta.get("with_positions"))
+        if (pq.phrases or pq.neg_phrases) and not use_positions and corpus is None:
             raise ValueError(
-                "phrase queries need the corpus DataFrame for adjacency "
-                "verification (the index stores no positions)"
+                "phrase queries on a position-less (pre-v5) index need the "
+                "corpus DataFrame for adjacency verification — rebuild the "
+                "index to resolve phrases index-only"
             )
 
         ts = self.term_stats(pq.all_terms)
@@ -260,21 +274,33 @@ class BM25Index:
             return self._finish(empty, k, normalize, threshold, with_paths)
         should = [t for t in pq.should if t in known]
         must_not = [t for t in pq.must_not if t in known]
-        scan_terms = list(dict.fromkeys(must + should + must_not))
+        # a negative phrase with any unknown term can never match a doc,
+        # so it bans nothing — drop it from the plan entirely
+        neg_phrases = [p for p in pq.neg_phrases if all(t in known for t in p)]
+        neg_terms = [t for p in neg_phrases for t in p] if use_positions else []
+        scan_terms = list(dict.fromkeys(must + should + must_not + neg_terms))
         if not scan_terms:
             return self._finish(empty, k, normalize, threshold, with_paths)
         buckets = sorted(
             {int(b) for t, b in zip(ts["term"], ts["bucket"]) if t in scan_terms}
         )
-        post = spark.read.parquet(self.paths.postings).where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms)
+        post_cols = _POSTING_COLS + (
+            ["pos_blocks"] if use_positions and (pq.phrases or neg_phrases) else []
+        )
+        post = (
+            spark.read.parquet(self.paths.postings)
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
+            .select(*post_cols)
         )
 
         avgdl = float(self.meta["avgdl"])
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         q_k = int(k)
+        block_size = int(self.meta.get("block_size") or 128)
         must_set, should_set, not_set = set(must), set(should), set(must_not)
         n_must = len(must_set)
+        idx_phrases = pq.phrases if use_positions else []
+        idx_neg_phrases = neg_phrases if use_positions else []
 
         def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -285,13 +311,27 @@ class BM25Index:
                 # a must term with no postings in this segment => no doc
                 # here can match (segments partition the doc space)
                 return pd.DataFrame({"doc_id": [], "score": []})
+            banned = None
+            if idx_phrases or idx_neg_phrases:
+                by_term = {r["term"]: r for r in rows}
+                if idx_phrases:
+                    allowed = _scorer.phrase_allowed_ids(
+                        by_term, idx_phrases, block_size, allowed
+                    )
+                    if allowed.size == 0:
+                        return pd.DataFrame({"doc_id": [], "score": []})
+                if idx_neg_phrases:
+                    banned = _scorer.phrase_banned_ids(
+                        by_term, idx_neg_phrases, block_size
+                    )
             ids, scores = _scorer.score_boolean(
-                m, s, n, idfs, avgdl, k1, b, q_k, allowed
+                m, s, n, idfs, avgdl, k1, b, q_k, allowed, banned
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         allowed_df = None
-        if pq.phrases:
+        if (pq.phrases or neg_phrases) and not use_positions:
+            # legacy corpus-scan adjacency (pre-v5 indexes only)
             from ck_spark.index.builder import doc_id_expr, seg_expr
 
             if self.meta["tokenizer_mode"] == "simple":
@@ -300,15 +340,23 @@ class BM25Index:
                 pred = F.lit(True)
                 for p in pq.phrases:
                     pred = pred & F.col("content").rlike(phrase_adjacency_regex(p))
+                for p in neg_phrases:
+                    pred = pred & ~F.col("content").rlike(phrase_adjacency_regex(p))
             else:
                 # code mode splits inside identifiers (camelCase), so
                 # adjacency must be checked under the index's own
                 # tokenizer — Arrow UDF, exact by construction
                 from ck_spark.query.boolean import phrase_match_udf
 
-                pred = phrase_match_udf(pq.phrases, self.meta["tokenizer_mode"])(
-                    F.col("content")
-                )
+                pred = F.lit(True)
+                if pq.phrases:
+                    pred = pred & phrase_match_udf(
+                        pq.phrases, self.meta["tokenizer_mode"]
+                    )(F.col("content"))
+                for p in neg_phrases:
+                    pred = pred & ~phrase_match_udf(
+                        [p], self.meta["tokenizer_mode"]
+                    )(F.col("content"))
             allowed_df = (
                 corpus.where(pred)
                 .withColumn("doc_id", doc_id_expr())
@@ -381,8 +429,10 @@ class BM25Index:
         idfs = self.idfs(sorted(all_terms))
         known = set(ts["term"])
         buckets = sorted(set(int(b) for b in ts["bucket"]))
-        post = spark.read.parquet(self.paths.postings).where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(known))
+        post = (
+            spark.read.parquet(self.paths.postings)
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(sorted(known)))
+            .select(*_POSTING_COLS)
         )
 
         avgdl = float(self.meta["avgdl"])

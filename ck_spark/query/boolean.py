@@ -7,13 +7,18 @@ subset of that grammar over the Spark index:
 - bare terms are SHOULD clauses (tantivy default)
 - ``+term`` / ``-term`` are MUST / MUST_NOT
 - ``"multi word"`` is a phrase: its terms become MUST clauses for
-  candidate generation, then candidates are verified for token ADJACENCY
-  against the corpus content (the index stores no positions; the verify
-  regex encodes exactly the simple-mode tokenizer's boundary rule —
-  tokens are maximal alnum runs, so adjacency means exactly one
-  non-alphanumeric run between them). Scoring deviation, documented: the
-  phrase contributes the BM25 sum of its terms rather than tantivy's
-  phrase-frequency, preserving the candidate SET semantics.
+  candidate generation, then candidates are verified for token ADJACENCY —
+  index-only against the positions postings (v5 indexes, the tantivy
+  PhraseQuery analogue), or against the corpus content for older
+  position-less indexes (the verify regex encodes exactly the simple-mode
+  tokenizer's boundary rule — tokens are maximal alnum runs, so adjacency
+  means exactly one non-alphanumeric run between them). Scoring deviation,
+  documented: the phrase contributes the BM25 sum of its terms rather
+  than tantivy's phrase-frequency, preserving the candidate SET semantics.
+- ``-"multi word"`` is a NEGATIVE phrase: tantivy builds
+  MustNot(PhraseQuery), excluding only docs that contain the ADJACENT
+  phrase — docs containing the terms separately still match. Parsed into
+  `neg_phrases` and resolved with the same adjacency machinery.
 - ``a AND b`` promotes every bare term to MUST (the parser's conjunctive
   shorthand); ``OR`` is the default and is accepted as a no-op keyword.
 
@@ -38,6 +43,7 @@ class ParsedQuery:
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
+    neg_phrases: list[list[str]] = field(default_factory=list)
 
     @property
     def positive_terms(self) -> list[str]:
@@ -48,7 +54,10 @@ class ParsedQuery:
 
     @property
     def all_terms(self) -> list[str]:
-        return list(dict.fromkeys(self.positive_terms + self.must_not))
+        return list(dict.fromkeys(
+            self.positive_terms + self.must_not
+            + [t for p in self.neg_phrases for t in p]
+        ))
 
 
 def parse_query(q: str, mode: str = "code") -> ParsedQuery:
@@ -62,7 +71,13 @@ def parse_query(q: str, mode: str = "code") -> ParsedQuery:
             if not terms:
                 continue
             if sign == "-":
-                pq.must_not.extend(terms)
+                # single-term negative phrase == plain must_not; multi-term
+                # is a MustNot(PhraseQuery): only the ADJACENT occurrence
+                # bans a doc (tantivy QueryParser semantics)
+                if len(terms) == 1:
+                    pq.must_not.extend(terms)
+                else:
+                    pq.neg_phrases.append(terms)
             elif len(terms) == 1:
                 (pq.must if sign == "+" else bare).append(terms[0])
             else:

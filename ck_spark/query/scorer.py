@@ -40,6 +40,7 @@ import numpy as np
 from ck_spark.codec import (
     decode_all_blocks,
     decode_all_u32_blocks,
+    decode_positions_block,
     decode_posting_ids,
     decode_u32s,
 )
@@ -341,6 +342,117 @@ def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
     return _topk(cand_ids, cand_scores, k)
 
 
+_POS_SHIFT = np.int64(32)  # doc-key | position packing (positions < 2^32)
+
+
+def _position_keys(row: dict, ids: np.ndarray, tfs: np.ndarray,
+                   cand: np.ndarray, block_size: int) -> np.ndarray:
+    """Packed (candidate_index << 32 | token_position) keys for the
+    candidate docs' occurrences of this term — sorted ascending by
+    construction (cand is sorted, positions increase within a doc).
+
+    Decodes ONLY the position blocks that contain a candidate (block_last
+    navigation, like MaxScore's completion phase): at 10^12 docs a phrase's
+    rare term shrinks the candidate set first, so the common term's huge
+    positions stream is mostly skipped."""
+    block_last = np.asarray(row["block_last"], dtype=np.int64)
+    n = ids.size
+    doc_block = np.searchsorted(block_last, cand)
+    cand_idx = np.arange(cand.size, dtype=np.int64)
+    parts = []
+    for j in np.unique(doc_block):
+        j = int(j)
+        lo, hi = j * block_size, min((j + 1) * block_size, n)
+        tfs_b = tfs[lo:hi]
+        flat_b = decode_positions_block(row["pos_blocks"][j], tfs_b)
+        starts_b = np.concatenate([[0], np.cumsum(tfs_b)[:-1]])
+        mask = doc_block == j
+        c, ci = cand[mask], cand_idx[mask]
+        sel = np.searchsorted(ids[lo:hi], c)
+        lens = tfs_b[sel]
+        total = int(lens.sum())
+        cum0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum0, lens)
+        pos_sel = flat_b[np.repeat(starts_b[sel], lens) + within]
+        parts.append((np.repeat(ci, lens) << _POS_SHIFT) + pos_sel)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def phrase_match_ids(rows_by_term: dict, phrase: list[str], block_size: int,
+                     restrict: np.ndarray | None = None) -> np.ndarray:
+    """Sorted doc ids in this segment whose token stream contains the
+    phrase's terms ADJACENTLY, resolved purely from the positions index
+    (no corpus access — the rebuild of tantivy PhraseQuery evaluation,
+    ck-engine/src/lib.rs:765-775).
+
+    Algorithm: intersect the phrase terms' doc lists (galloping), then run
+    the classic positional intersection S := (S + 1) ∩ positions(t_i) over
+    packed (doc, position) keys — fully vectorized across all candidate
+    docs at once. `restrict` (sorted ids) pre-narrows the candidates."""
+    rows = [rows_by_term.get(t) for t in phrase]
+    if any(r is None for r in rows):
+        return np.empty(0, dtype=np.int64)
+    decoded = []
+    cache: dict[int, tuple] = {}  # repeated term in a phrase decodes once
+    for r in rows:
+        key = id(r)
+        if key not in cache:
+            ids = decode_all_blocks(r["ids_blocks"]).astype(np.int64)
+            tfs = decode_all_u32_blocks(r["tfs_blocks"])
+            cache[key] = (ids, tfs)
+        decoded.append((r, *cache[key]))
+    cand = decoded[0][1]
+    if restrict is not None:
+        cand, _ = _scope_filter(cand, [], restrict)
+    for _, ids, _ in decoded[1:]:
+        if cand.size == 0:
+            break
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        cand = cand[ids[pos_c] == cand]
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64)
+    s = None
+    for r, ids, tfs in decoded:
+        keys = _position_keys(r, ids, tfs, cand, block_size)
+        if s is None:
+            s = keys
+        else:
+            s = np.intersect1d(s + 1, keys, assume_unique=True)
+            if s.size == 0:
+                return np.empty(0, dtype=np.int64)
+    matched = np.unique(s >> _POS_SHIFT)
+    return cand[matched]
+
+
+def phrase_allowed_ids(rows_by_term: dict, phrases: list[list[str]],
+                       block_size: int,
+                       allowed: np.ndarray | None = None) -> np.ndarray:
+    """Docs matching EVERY phrase (AND across phrases), optionally further
+    restricted to `allowed` — the index-only replacement for the corpus
+    adjacency scan."""
+    res = allowed
+    for p in phrases:
+        res = phrase_match_ids(rows_by_term, p, block_size, restrict=res)
+        if res.size == 0:
+            return res
+    return res if res is not None else np.empty(0, dtype=np.int64)
+
+
+def phrase_banned_ids(rows_by_term: dict, phrases: list[list[str]],
+                      block_size: int) -> np.ndarray:
+    """Union of docs matching ANY of the (negative) phrases — tantivy's
+    MustNot(PhraseQuery) semantics: only docs containing the ADJACENT
+    phrase are excluded, not docs containing the terms separately."""
+    out = [phrase_match_ids(rows_by_term, p, block_size) for p in phrases]
+    out = [o for o in out if o.size]
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 def _decode_union_ids(rows: list[dict]) -> np.ndarray:
     """Sorted unique doc ids across all rows (the must_not exclusion set)."""
     if not rows:
@@ -361,16 +473,21 @@ def _exclude(ids: np.ndarray, extras: list[np.ndarray], banned: np.ndarray):
 def score_boolean(must_rows: list[dict], should_rows: list[dict],
                   not_rows: list[dict], idfs: dict, avgdl: float,
                   k1: float, b: float, k: int,
-                  allowed: np.ndarray | None = None):
+                  allowed: np.ndarray | None = None,
+                  banned: np.ndarray | None = None):
     """tantivy BooleanQuery semantics (the reference's +term / -term /
     bare-term grammar, QueryParser at ck-engine/src/lib.rs:765-768):
     a doc matches iff it contains EVERY must term, NO must_not term, and —
     when no must clauses exist — at least one should term; its score is
     the BM25 sum over the matching must+should clauses (must_not never
-    contributes). Built from the same intersection/union kernels as the
-    and/or strategies, so scores are identical to those paths for pure
-    queries."""
-    banned = _decode_union_ids(not_rows)
+    contributes). `banned` is an extra pre-computed exclusion set (sorted
+    ids) — the negative-phrase match set. Built from the same
+    intersection/union kernels as the and/or strategies, so scores are
+    identical to those paths for pure queries."""
+    term_banned = _decode_union_ids(not_rows)
+    if banned is not None and banned.size:
+        term_banned = np.union1d(term_banned, banned)
+    banned = term_banned
     if must_rows:
         decoded = []
         for row in must_rows:

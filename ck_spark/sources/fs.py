@@ -39,6 +39,8 @@ def read_source_tree(
     include_prefixes: list[str] | None = None,
     exclude_globs: list[str] | None = None,
     use_default_excludes: bool = True,
+    respect_gitignore: bool = True,
+    use_ckignore: bool = True,
     max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
 ) -> DataFrame:
     """Recursive scan of `root` into (repo, path, commit, lang, content).
@@ -46,6 +48,12 @@ def read_source_tree(
     - path is repo-relative with '/' separators
     - default excludes (.git, node_modules, target, …) apply unless
       disabled; extra exclude_globs use globset component semantics
+    - `.gitignore` files in the tree + `.git/info/exclude` are honored
+      when respect_gitignore (hierarchical, with negations, exactly git's
+      documented semantics); `.ckignore` files likewise when use_ckignore
+      and with HIGHER precedence — mirroring ck's WalkBuilder setup
+      (ck-index/src/lib.rs:211-262). Rule files are collected driver-side
+      (tiny); the verdict is an Arrow-batched predicate over relpath only.
     - files larger than max_file_bytes are skipped (size predicate on the
       file-status column — their content is never shipped)
     - content is lossy-UTF-8 decoded; binary detection stays downstream
@@ -62,20 +70,31 @@ def read_source_tree(
         .option("recursiveFileLookup", "true")
         .load(root)
     )
-    # binaryFile yields path as a "file:<abs>" URI: strip the scheme, then
-    # relativize by substring (no regex-escaping pitfalls with odd roots)
-    prefix_len = len(root) + 2  # after scheme strip; +1 past the slash
-    rel = F.substring(
-        F.regexp_replace(F.col("path"), "^file:", ""), prefix_len, 1_000_000
-    )
+    # binaryFile yields a URI whose scheme/authority rendering varies by
+    # store ("file:/abs", "file:///abs", "hdfs://nn/abs", …). Relativize by
+    # LOCATING the literal "<root>/" substring (no scheme assumptions, no
+    # regex-escaping pitfalls with odd roots) and slicing past it; rows
+    # where the root does not appear are dropped defensively.
+    start = F.locate(root + "/", F.col("path"))
+    rel = F.col("path").substr(start + F.lit(len(root) + 1), F.lit(1_000_000))
 
     from ck_spark.ops.pdf import extract_pdf_text_udf
 
     scoped = (
         raw.where(F.col("length") <= F.lit(int(max_file_bytes)))
+        .where(start > 0)
         .withColumn("relpath", rel)
         .where(path_scope_pred(F.col("relpath"), include_prefixes, globs))
     )
+
+    if respect_gitignore or use_ckignore:
+        from ck_spark.sources.ignore import collect_ignore_rules, keep_path_udf
+
+        matcher = collect_ignore_rules(
+            root, respect_gitignore=respect_gitignore, use_ckignore=use_ckignore
+        )
+        if matcher is not None:  # no ignore files -> no extra predicate
+            scoped = scoped.where(keep_path_udf(matcher)(F.col("relpath")))
 
     def as_corpus(df, content_col):
         return df.select(

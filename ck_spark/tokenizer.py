@@ -96,6 +96,21 @@ def term_freqs(tokens: Iterable[str]) -> dict:
     return d
 
 
+def term_positions(tokens: Iterable[str]) -> dict:
+    """term -> strictly-increasing token positions for one document.
+
+    Positions index into the FILTERED token stream (post stoplist/length
+    cut) — the same stream `tokenize` returns — which is exactly the
+    adjacency definition the phrase verifier has always used
+    (query/boolean.py phrase_match_udf), so a positions-index phrase query
+    and a corpus-scan phrase query agree by construction. tf == len(positions).
+    """
+    d: dict = {}
+    for i, t in enumerate(tokens):
+        d.setdefault(t, []).append(i)
+    return d
+
+
 def tokens_udf(mode: str = "code"):
     """Arrow pandas UDF: content -> array<string> tokens."""
 
@@ -118,6 +133,22 @@ def term_freqs_udf(mode: str = "code"):
     @F.pandas_udf(MapType(StringType(), IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
         return tokenize_series(s, mode).map(term_freqs)
+
+    return _udf
+
+
+def term_positions_udf(mode: str = "code"):
+    """Arrow pandas UDF: content -> map<term, array<int> positions>.
+
+    The index build's single tokenize pass (builder._with_doc_columns):
+    tf and doc_len are DERIVED from this map JVM-side (transform_values/
+    aggregate), so storing positions costs no extra tokenize or shuffle
+    pass — the positions simply ride the same doc_map column family.
+    """
+
+    @F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
+    def _udf(s: pd.Series) -> pd.Series:
+        return tokenize_series(s, mode).map(term_positions)
 
     return _udf
 

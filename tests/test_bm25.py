@@ -275,9 +275,18 @@ def test_search_query_phrase(spark, engine):
                          tokenizer_mode="code")
     exp = [(d, s) for d, s in exp_full if d in matching][: len(got)]
     assert [d for d, _ in got] == [d for d, _ in exp]
-    # phrase without corpus raises
+    # v5 index: the phrase resolves INDEX-ONLY — no corpus argument, and
+    # the results are identical to the corpus-verified path
+    got_index_only = _run_sq(idx, q, k=500)
+    assert got_index_only == got
+    # legacy pre-v5 fallback (positions flag off): corpus-scan adjacency
+    # must agree with the positions path, and no-corpus must raise
+    from ck_spark.query.bm25 import BM25Index
+
+    idx_nopos = BM25Index(idx.spark, idx.paths, {**idx.meta, "with_positions": False})
+    assert _run_sq(idx_nopos, q, k=500, corpus=corpus) == got
     with pytest.raises(ValueError, match="corpus"):
-        idx.search_query(q, k=5)
+        idx_nopos.search_query(q, k=5)
 
 
 def test_search_query_phrase_code_mode_camelcase_adjacency(spark, engine):
