@@ -675,13 +675,19 @@ def _merge_small(chunks: list[SymbolChunk], data: bytes, target_tokens: int) -> 
         if len(group) == 1:
             result.append(group[0])
         else:
-            first, last = group[0], group[-1]
-            text = data[first.byte_start:last.byte_end].decode("utf-8")
+            first = group[0]
+            # overlapping members (a markdown section grouped with its own
+            # nested subsection) can END before an earlier member does:
+            # take the MAX end so the merged span never silently truncates
+            # a parent section's tail (ADVICE r2)
+            end = max(c.byte_end for c in group)
+            line_end = max(c.line_end for c in group)
+            text = data[first.byte_start:end].decode("utf-8")
             ctype = first.chunk_type if all(
                 c.chunk_type == first.chunk_type for c in group) else "text"
             result.append(SymbolChunk(
-                chunk_id=-1, byte_start=first.byte_start, byte_end=last.byte_end,
-                line_start=first.line_start, line_end=last.line_end,
+                chunk_id=-1, byte_start=first.byte_start, byte_end=end,
+                line_start=first.line_start, line_end=line_end,
                 text=text, estimated_tokens=estimate_tokens(text),
                 chunk_type=ctype,
             ))

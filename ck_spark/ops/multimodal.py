@@ -76,16 +76,17 @@ def extract_features(
 
     real_decode=True DECODES the payload: PNG images through the built-in
     pure-Python codec (ops/png.py — a real codec round-trip, no third-party
-    libs), other image formats through PIL when installed; statistics are
-    then over actual PIXELS, not payload bytes. Non-image kinds and
-    non-decodable formats raise NotImplementedError (honest gap: no
-    audio/video codecs in this container).
+    libs); WAV audio through the stdlib RIFF/PCM decoder (ops/wav.py —
+    statistics over SAMPLES); other image formats through PIL when
+    installed. Video (and non-WAV audio) raises NotImplementedError —
+    the one remaining honest gap (no video codec in this container).
 
     The default (real_decode=False) derives deterministic statistics from
     the raw payload — exercising the same Arrow batch path decode-free."""
 
     def proc(iterator):
         from ck_spark.ops.png import decode_png
+        from ck_spark.ops.wav import decode_wav
 
         for pdf in iterator:
             out = []
@@ -95,6 +96,8 @@ def extract_features(
                 if real_decode:
                     if kind == "image" and str(fmt).lower() == "png":
                         vals = decode_png(bytes(payload)).astype(np.float64).ravel()
+                    elif kind == "audio" and str(fmt).lower() == "wav":
+                        vals = decode_wav(bytes(payload))[0].ravel()
                     elif kind == "image" and HAVE_IMAGE_CODEC:
                         import io
 
@@ -105,8 +108,8 @@ def extract_features(
                     else:
                         raise NotImplementedError(
                             f"no decoder for kind={kind} format={fmt} "
-                            "(PNG decodes built-in; other formats need PIL/"
-                            "soundfile — not in this container)"
+                            "(PNG and WAV decode built-in; video needs a "
+                            "codec lib — not in this container)"
                         )
                 else:
                     vals = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)

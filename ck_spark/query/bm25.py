@@ -53,6 +53,34 @@ _OR_SCORERS = {
 }
 
 
+def _score_boolean_segment(by_term: dict, plan: dict, idfs: dict,
+                           avgdl: float, k1: float, b: float, k: int,
+                           allowed, block_size: int):
+    """One boolean-query evaluation inside one segment: must/should/not
+    clauses plus (index-only) positive and negative phrases. Shared by
+    search_query and search_many(mode='syntax'). Returns (ids, scores)
+    or None when no doc in this segment can match."""
+    import numpy as np  # noqa: F401  (allowed arrays flow through)
+
+    m = [by_term[t] for t in plan["must"] if t in by_term]
+    if plan["must"] and len(m) < len(plan["must"]):
+        # a must term with no postings in this segment => no doc here can
+        # match (segments partition the doc space)
+        return None
+    s = [by_term[t] for t in plan["should"] if t in by_term]
+    n = [by_term[t] for t in plan["must_not"] if t in by_term]
+    banned = None
+    if plan.get("phrases"):
+        allowed = _scorer.phrase_allowed_ids(
+            by_term, plan["phrases"], block_size, allowed
+        )
+        if allowed.size == 0:
+            return None
+    if plan.get("neg_phrases"):
+        banned = _scorer.phrase_banned_ids(by_term, plan["neg_phrases"], block_size)
+    return _scorer.score_boolean(m, s, n, idfs, avgdl, k1, b, k, allowed, banned)
+
+
 def _pick_or_scorer(strategy: str, total_postings: int, k: int):
     """Strategy selection for disjunctive queries (all are rank-identical;
     only the amount of decoding differs). Measured crossover (120k-doc
@@ -297,36 +325,20 @@ class BM25Index:
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         q_k = int(k)
         block_size = int(self.meta.get("block_size") or 128)
-        must_set, should_set, not_set = set(must), set(should), set(must_not)
-        n_must = len(must_set)
-        idx_phrases = pq.phrases if use_positions else []
-        idx_neg_phrases = neg_phrases if use_positions else []
+        plan = {
+            "must": must, "should": should, "must_not": must_not,
+            "phrases": pq.phrases if use_positions else [],
+            "neg_phrases": neg_phrases if use_positions else [],
+        }
 
         def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
-            rows = pdf.to_dict("records")
-            m = [r for r in rows if r["term"] in must_set]
-            s = [r for r in rows if r["term"] in should_set]
-            n = [r for r in rows if r["term"] in not_set]
-            if n_must and len({r["term"] for r in m}) < n_must:
-                # a must term with no postings in this segment => no doc
-                # here can match (segments partition the doc space)
-                return pd.DataFrame({"doc_id": [], "score": []})
-            banned = None
-            if idx_phrases or idx_neg_phrases:
-                by_term = {r["term"]: r for r in rows}
-                if idx_phrases:
-                    allowed = _scorer.phrase_allowed_ids(
-                        by_term, idx_phrases, block_size, allowed
-                    )
-                    if allowed.size == 0:
-                        return pd.DataFrame({"doc_id": [], "score": []})
-                if idx_neg_phrases:
-                    banned = _scorer.phrase_banned_ids(
-                        by_term, idx_neg_phrases, block_size
-                    )
-            ids, scores = _scorer.score_boolean(
-                m, s, n, idfs, avgdl, k1, b, q_k, allowed, banned
+            by_term = {r["term"]: r for r in pdf.to_dict("records")}
+            res = _score_boolean_segment(
+                by_term, plan, idfs, avgdl, k1, b, q_k, allowed, block_size
             )
+            if res is None:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            ids, scores = res
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         allowed_df = None
@@ -400,8 +412,16 @@ class BM25Index:
         queries: list[tuple[str, str]],
         k: int = LEXICAL_DEFAULT_TOPK,
         strategy: str = "auto",
+        include_prefixes: list[str] | None = None,
+        exclude_globs: list[str] | None = None,
     ) -> DataFrame:
         """Answer a batch of (query, mode) pairs in ONE Spark job.
+
+        mode per query: 'or' | 'and' | 'syntax' (the full tantivy-
+        QueryParser grammar incl. phrases and negative phrases — resolved
+        index-only from the positions postings, same as search_query).
+        include_prefixes/exclude_globs scope ALL queries via the exact
+        cogrouped allowed-set mechanism.
 
         All queries' posting rows are scanned together (single pruned read
         over the union of buckets/terms), scored per segment per query, and
@@ -412,14 +432,29 @@ class BM25Index:
 
         from pyspark.sql.window import Window
 
+        from ck_spark.query.boolean import parse_query
+
         spark = self.spark
+        mode_tok = self.meta["tokenizer_mode"]
+        use_positions = bool(self.meta.get("with_positions"))
         empty = spark.createDataFrame([], "query_id int, doc_id long, score double")
         qinfo = []
         all_terms: set[str] = set()
         for qid, (q, mode) in enumerate(queries):
-            terms = list(dict.fromkeys(tokenize(q, self.meta["tokenizer_mode"])))
-            qinfo.append({"qid": qid, "terms": terms, "mode": mode})
-            all_terms.update(terms)
+            if mode == "syntax":
+                pq = parse_query(q, mode_tok)
+                if (pq.phrases or pq.neg_phrases) and not use_positions:
+                    raise ValueError(
+                        "search_many syntax queries with phrases need a "
+                        "positions (v5) index"
+                    )
+                info = {"qid": qid, "mode": "syntax", "pq": pq}
+                info["terms"] = pq.all_terms
+            else:
+                terms = list(dict.fromkeys(tokenize(q, mode_tok)))
+                info = {"qid": qid, "mode": mode, "terms": terms}
+            qinfo.append(info)
+            all_terms.update(info["terms"])
         if not all_terms:
             return empty
 
@@ -428,42 +463,89 @@ class BM25Index:
             return empty
         idfs = self.idfs(sorted(all_terms))
         known = set(ts["term"])
-        buckets = sorted(set(int(b) for b in ts["bucket"]))
-        post = (
-            spark.read.parquet(self.paths.postings)
-            .where(F.col("bucket").isin(buckets) & F.col("term").isin(sorted(known)))
-            .select(*_POSTING_COLS)
-        )
 
         avgdl = float(self.meta["avgdl"])
         k1, b = float(self.meta["k1"]), float(self.meta["b"])
         q_k, q_strategy = int(k), strategy
+        block_size = int(self.meta.get("block_size") or 128)
         plans = []
+        scan_terms: set[str] = set()
+        any_phrases = False
         for info in qinfo:
-            found = [t for t in info["terms"] if t in known]
-            if not found or (info["mode"] == "and" and len(found) < len(info["terms"])):
-                continue
-            plans.append({"qid": info["qid"], "terms": found, "mode": info["mode"]})
+            if info["mode"] == "syntax":
+                pq = info["pq"]
+                must = list(dict.fromkeys(
+                    pq.must + [t for p in pq.phrases for t in p]
+                ))
+                if any(t not in known for t in must):
+                    continue  # a required term absent: query matches nothing
+                neg_phr = [p for p in pq.neg_phrases if all(t in known for t in p)]
+                plan = {
+                    "qid": info["qid"], "mode": "syntax",
+                    "must": must,
+                    "should": [t for t in pq.should if t in known],
+                    "must_not": [t for t in pq.must_not if t in known],
+                    "phrases": pq.phrases,
+                    "neg_phrases": neg_phr,
+                }
+                terms = set(plan["must"]) | set(plan["should"]) | set(
+                    plan["must_not"]) | {t for p in neg_phr for t in p}
+                if not terms:
+                    continue
+                any_phrases = any_phrases or bool(pq.phrases or neg_phr)
+                scan_terms |= terms
+                plans.append(plan)
+            else:
+                found = [t for t in info["terms"] if t in known]
+                if not found or (
+                    info["mode"] == "and" and len(found) < len(info["terms"])
+                ):
+                    continue
+                scan_terms |= set(found)
+                plans.append({"qid": info["qid"], "terms": found,
+                              "mode": info["mode"]})
         if not plans:
             return empty
 
-        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        buckets = sorted({
+            int(b_) for t, b_ in zip(ts["term"], ts["bucket"]) if t in scan_terms
+        })
+        post_cols = _POSTING_COLS + (["pos_blocks"] if any_phrases else [])
+        post = (
+            spark.read.parquet(self.paths.postings)
+            .where(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(sorted(scan_terms)))
+            .select(*post_cols)
+        )
+
+        def score_segment(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
             by_term: dict[str, dict] = {}
             for rec in pdf.to_dict("records"):
                 by_term[rec["term"]] = rec
             out_q, out_d, out_s = [], [], []
             for plan in plans:
-                rows = [by_term[t] for t in plan["terms"] if t in by_term]
-                if not rows:
-                    continue
-                if plan["mode"] == "and":
-                    if len(rows) < len(plan["terms"]):
+                if plan["mode"] == "syntax":
+                    res = _score_boolean_segment(
+                        by_term, plan, idfs, avgdl, k1, b, q_k, allowed,
+                        block_size,
+                    )
+                    if res is None:
                         continue
-                    ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k)
+                    ids, scores = res
                 else:
-                    total = sum(int(r["n_docs"]) for r in rows)
-                    fn = _pick_or_scorer(q_strategy, total, q_k)
-                    ids, scores = fn(rows, idfs, avgdl, k1, b, q_k)
+                    rows = [by_term[t] for t in plan["terms"] if t in by_term]
+                    if not rows:
+                        continue
+                    if plan["mode"] == "and":
+                        if len(rows) < len(plan["terms"]):
+                            continue
+                        ids, scores = _scorer.score_and(
+                            rows, idfs, avgdl, k1, b, q_k, allowed
+                        )
+                    else:
+                        total = sum(int(r["n_docs"]) for r in rows)
+                        fn = _pick_or_scorer(q_strategy, total, q_k)
+                        ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed)
                 out_q.extend([plan["qid"]] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(scores.tolist())
@@ -473,9 +555,37 @@ class BM25Index:
                  "score": np.array(out_s, dtype=np.float64)}
             )
 
-        seg_top = post.groupBy("seg").applyInPandas(
-            score_segment, "query_id int, doc_id long, score double"
-        )
+        out_schema = "query_id int, doc_id long, score double"
+        if include_prefixes or exclude_globs:
+            from ck_spark.query.scope import path_scope_pred
+
+            allowed_df = (
+                spark.read.parquet(self.paths.doc_map)
+                .where(path_scope_pred(F.col("path"), include_prefixes,
+                                       exclude_globs))
+                .select("seg", "doc_id")
+            )
+
+            def score_cogroup(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+                if len(pl) == 0:
+                    return pd.DataFrame(
+                        {"query_id": [], "doc_id": [], "score": []}
+                    ).astype({"query_id": "int32", "doc_id": "int64",
+                              "score": "float64"})
+                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
+                return score_segment(pl, allowed)
+
+            seg_top = (
+                post.groupBy("seg")
+                .cogroup(allowed_df.groupBy("seg"))
+                .applyInPandas(score_cogroup, out_schema)
+            )
+        else:
+            # single-arg wrapper: a two-parameter callable would receive
+            # (group_key, pdf) from applyInPandas
+            seg_top = post.groupBy("seg").applyInPandas(
+                lambda pdf: score_segment(pdf), out_schema
+            )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             seg_top.withColumn("_rn", F.row_number().over(w))

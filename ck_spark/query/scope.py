@@ -16,26 +16,39 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The spirit of ck's DEFAULT_EXCLUDES (a representative subset; the full
-# reference list covers the same directory families).
+# ck's DEFAULT_EXCLUDES verbatim (ck-core/src/lib.rs:417-453): bare names
+# matched as path COMPONENTS at any depth, exactly should_exclude_path's
+# component loop. The two suffix globs are this engine's additions for
+# generated-artifact noise.
 DEFAULT_EXCLUDE_GLOBS = [
-    ".git/*", "node_modules/*", "target/*", "build/*", "dist/*",
-    "__pycache__/*", "*.min.js", "*.lock", ".venv/*", "vendor/*",
+    ".ck", ".fastembed_cache", ".cache", "__pycache__",
+    ".git", ".svn", ".hg",
+    "target", "build", "dist", "node_modules", ".gradle", ".mvn",
+    "bin", "obj",
+    "venv", ".venv", "env", ".env", "virtualenv",
+    ".vscode", ".idea", ".eclipse",
+    "tmp", "temp", ".tmp",
+    "*.min.js", "*.lock",
 ]
 
 
 def glob_to_regex(glob: str) -> str:
     """Translate a ck-style glob to a Java-compatible regex with globset's
-    component semantics (ck-engine/src/lib.rs:1062-1086):
+    semantics as applied by the reference (should_exclude_path,
+    ck-engine/src/lib.rs:1073-1086 — the globset is matched against the
+    FULL path and against each SINGLE component):
 
     - `*` and `?` match within ONE path component (never cross `/`)
     - `**` crosses separators (zero or more components)
-    - the glob matches any component-aligned subpath, so `build/*`
-      excludes `build/x`, `a/build/x` and `a/build/x/y`, and a bare name
-      like `node_modules` or `*.lock` matches that component at any depth
-      (the reference matches globs against the full path AND each
-      component)."""
+    - `[abc]` / `[!abc]` character classes; `{a,b}` alternation (globset)
+    - a SINGLE-component glob (`node_modules`, `*.lock`) floats: it
+      matches that component at any depth
+    - a MULTI-component glob (`build/cache`, `src/**/gen`) anchors at the
+      path START, like globset's full-path match; matching a directory
+      also excludes everything under it (the walker analogue: an excluded
+      dir is pruned)."""
     out = []
+    brace_depth = 0
     i, n = 0, len(glob)
     while i < n:
         ch = glob[i]
@@ -52,10 +65,39 @@ def glob_to_regex(glob: str) -> str:
             out.append("[^/]*")
         elif ch == "?":
             out.append("[^/]")
+        elif ch == "{":
+            brace_depth += 1
+            out.append("(?:")
+        elif ch == "}" and brace_depth > 0:
+            brace_depth -= 1
+            out.append(")")
+        elif ch == "," and brace_depth > 0:
+            out.append("|")
+        elif ch == "[":
+            j = i + 1
+            neg = j < n and glob[j] in "!^"
+            if neg:
+                j += 1
+            if j < n and glob[j] == "]":  # leading ']' is literal
+                j += 1
+            while j < n and glob[j] != "]":
+                j += 1
+            if j < n:  # well-formed class
+                body = glob[i + 1 : j].replace("\\", "\\\\")
+                if body.startswith(("!", "^")):
+                    body = "^" + body[1:]
+                out.append(f"[{body}]")
+                i = j
+            else:
+                out.append(re.escape(ch))
+        elif ch == "\\" and i + 1 < n:
+            out.append(re.escape(glob[i + 1]))
+            i += 1
         else:
             out.append(re.escape(ch))
         i += 1
-    return "(?:^|/)" + "".join(out) + "(?:/|$)"
+    prefix = "^" if "/" in glob else "(?:^|/)"
+    return prefix + "".join(out) + "(?:/|$)"
 
 
 def path_scope_pred(

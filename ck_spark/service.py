@@ -7,9 +7,10 @@ One module exposing the reference's MCP tool surface
   index_status / reindex / health_check
 
 with the reference's defaults: top_k 10 (DEFAULT_MCP_TOP_K,
-mcp_server.rs:33), page_size 50 capped at 200 (paging.py), offset
-cursors ("next_cursor" in the response, mcp_server.rs:561-565), and a
-build-on-first-use index (L7: auto-index-before-search).
+mcp_server.rs:33), page_size 50 capped at 200 (paging.py), opaque
+"next_cursor" pagination (mcp_server.rs:561-565 — here a KEYSET cursor,
+so deep pages stay bounded-memory), and a build-on-first-use index
+(L7: auto-index-before-search).
 
 Responses are plain dicts shaped like the reference's structured_content:
 {"summary": str, "results": [...], "pagination": {"page_size", "has_more",
@@ -41,32 +42,61 @@ from ck_spark.query.semantic import semantic_search as _semantic_search
 DEFAULT_MCP_TOP_K = 10  # mcp_server.rs:33
 
 
-def _decode_cursor(cursor: str | None) -> int:
+def _decode_cursor(cursor: str | None) -> list | None:
+    """Keyset cursor: JSON-encoded order-column values of the last row of
+    the previous page. None = first page."""
     if not cursor:
-        return 0
+        return None
+    import json
+
     try:
-        off = int(cursor)
-        return max(off, 0)
+        vals = json.loads(cursor)
+        return vals if isinstance(vals, list) else None
     except ValueError:
-        return 0
+        return None
 
 
-def _page(df: DataFrame, order_cols, cursor: str | None, page_size: int | None) -> dict:
-    """Collect one page + has_more/next_cursor. Fetches offset+size+1 rows
-    through a distributed partial top-k (TakeOrderedAndProject) — no
-    count() job, no unbounded window."""
+def _page(df: DataFrame, order_cols: list[tuple[str, str]],
+          cursor: str | None, page_size: int | None) -> dict:
+    """Collect one page + has_more/next_cursor via KEYSET pagination.
+
+    order_cols: [(column, 'asc'|'desc'), ...] — must totally order the
+    rows (include a unique tiebreaker) with non-null values. The cursor
+    encodes the last row's order values; the next page filters
+    strictly-after lexicographically and fetches size+1 rows through a
+    distributed partial top-k (TakeOrderedAndProject). Bounded driver
+    memory (≤ size+1 rows) at ANY cursor depth — the previous offset
+    formulation collected offset+size+1 rows at deep cursors."""
+    import json
+
     size = min(page_size or DEFAULT_PAGE_SIZE, MAX_PAGE_SIZE)
-    offset = _decode_cursor(cursor)
-    rows = df.orderBy(*order_cols).limit(offset + size + 1).collect()
-    window = rows[offset: offset + size]
-    has_more = len(rows) > offset + size
+    last = _decode_cursor(cursor)
+    sort_exprs = [
+        F.desc(c) if d == "desc" else F.asc(c) for c, d in order_cols
+    ]
+    if last is not None and len(last) == len(order_cols):
+        # lexicographic strictly-after predicate over the order columns
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (c, d), v in zip(order_cols, last):
+            col = F.col(c)
+            step = (col < F.lit(v)) if d == "desc" else (col > F.lit(v))
+            pred = pred | (eq & step)
+            eq = eq & (col == F.lit(v))
+        df = df.where(pred)
+    rows = df.orderBy(*sort_exprs).limit(size + 1).collect()
+    window = rows[:size]
+    has_more = len(rows) > size
+    next_cursor = None
+    if has_more:
+        next_cursor = json.dumps([window[-1][c] for c, _ in order_cols])
     return {
         "results": [r.asDict(recursive=True) for r in window],
         "pagination": {
             "page_size": size,
             "returned": len(window),
             "has_more": has_more,
-            "next_cursor": str(offset + size) if has_more else None,
+            "next_cursor": next_cursor,
         },
     }
 
@@ -160,7 +190,7 @@ class CkService:
         res = idx.search(query, k=top_k, mode=mode, with_paths=True,
                          include_prefixes=include_prefixes,
                          exclude_globs=exclude_globs)
-        out = _page(res, [F.desc("score"), F.asc("doc_id")], cursor, page_size)
+        out = _page(res, [("score", "desc"), ("doc_id", "asc")], cursor, page_size)
         out["summary"] = f"lexical top-{top_k} for {query!r}"
         return out
 
@@ -175,10 +205,10 @@ class CkService:
             from ck_spark.query.sections import grep_full_section
 
             hits = grep_full_section(self.corpus, pattern, **grep_kw)
-            order = ["path", "line_no"]
+            order = [("path", "asc"), ("line_no", "asc")]
         else:
             hits = grep(self.corpus, pattern, **grep_kw)
-            order = ["path", "line_no"]
+            order = [("path", "asc"), ("line_no", "asc")]
         out = _page(hits, order, cursor, page_size)
         out["summary"] = f"regex matches for {pattern!r}"
         return out
@@ -192,7 +222,7 @@ class CkService:
             raise RuntimeError("semantic search needs an embeddings table")
         res = _semantic_search(self.embeddings, query_vec, k=top_k,
                                threshold=threshold)
-        out = _page(res, [F.desc("cosine"), F.asc("vec_id")], cursor, page_size)
+        out = _page(res, [("cosine", "desc"), ("vec_id", "asc")], cursor, page_size)
         out["summary"] = f"semantic top-{top_k}"
         return out
 
@@ -208,7 +238,7 @@ class CkService:
         sem = _semantic_search(self.embeddings, query_vec,
                                k=max(top_k * 3, 30), threshold=None)
         fused = hybrid_lexical_semantic(lex, sem, k=top_k)
-        out = _page(fused, [F.desc("rrf_score"), F.asc("doc_id")],
+        out = _page(fused, [("rrf_score", "desc"), ("doc_id", "asc")],
                     cursor, page_size)
         out["summary"] = f"hybrid (RRF k=60) top-{top_k} for {query!r}"
         return out

@@ -154,6 +154,48 @@ def test_search_many_matches_individual(engine):
         )
 
 
+def test_search_many_syntax_mode_matches_search_query(engine):
+    """Batched syntax queries (+must/-not/"phrase"/-"phrase") must be
+    rank- and score-identical to individual search_query calls."""
+    idx, docs = engine
+    batch = [
+        ("parse -buffer", "syntax"),
+        ("+parse +buffer", "syntax"),
+        ('"parse buffer"', "syntax"),
+        ('parse -"parse buffer"', "syntax"),
+        ("parse buffer", "or"),  # mixed batch: plain modes still work
+    ]
+    rows = idx.search_many(batch, k=8).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, (q, m) in enumerate(batch):
+        if m == "syntax":
+            single = _run_sq(idx, q, k=8)
+        else:
+            single = _run(idx, q, k=8, mode=m)
+        got = by_q.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in single], (qid, q)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in single], rtol=1e-12
+        )
+
+
+def test_search_many_scoped(engine):
+    """include_prefixes scoping applies to every query in the batch and
+    matches the individually-scoped search."""
+    idx, docs = engine
+    dm = idx.spark.read.parquet(idx.paths.doc_map).select("path").collect()
+    prefix = sorted({r["path"][:8] for r in dm})[0]
+    rows = idx.search_many(
+        [("parse buffer", "or")], k=8, include_prefixes=[prefix]
+    ).collect()
+    single = idx.search("parse buffer", k=8, include_prefixes=[prefix]).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in single
+    ]
+
+
 def test_duplicate_content_both_ranked(engine):
     idx, docs = engine
     got = _run(idx, "duplicated content", k=10, mode="and")

@@ -42,13 +42,15 @@ def test_glob_component_semantics():
     assert _glob_hits("*.js", "lib/sub/file.js")
     assert not _glob_hits("a*b", "a/x/b")  # * stopped by '/'
     assert _glob_hits("a*b", "src/axxb/y")  # within one component; dir match
-    # dir glob: everything under any build/ component
+    # MULTI-component glob: anchored at the path start, like globset's
+    # full-path match in should_exclude_path (a floating match would
+    # exclude strictly more than the reference — ADVICE r2)
     assert _glob_hits("build/*", "build/x")
-    assert _glob_hits("build/*", "proj/build/x")
-    assert _glob_hits("build/*", "proj/build/x/y")  # component-aligned subpath
+    assert _glob_hits("build/*", "build/x/y")  # matched dir prunes subtree
+    assert not _glob_hits("build/*", "proj/build/x")  # anchored: no mid-path
     assert not _glob_hits("build/*", "rebuild/x")  # 'build' != 'rebuild'
     assert not _glob_hits("build/*", "src/main.rs")
-    # bare component name excludes the whole subtree
+    # bare component name excludes the whole subtree, at any depth
     assert _glob_hits("node_modules", "node_modules/pkg/index.js")
     assert _glob_hits("node_modules", "proj/node_modules/x")
     assert not _glob_hits("node_modules", "my_node_modules/x")
@@ -62,6 +64,16 @@ def test_glob_component_semantics():
     assert not _glob_hits("src/**/test", "src/a/tests/x.py")
     assert _glob_hits("**/*.lock", "a/b/Cargo.lock")
     assert _glob_hits("**/*.lock", "Cargo.lock")
+    # globset extensions: {a,b} alternation and [...] classes
+    assert _glob_hits("*.{png,jpg}", "img/photo.jpg")
+    assert _glob_hits("*.{png,jpg}", "photo.png")
+    assert not _glob_hits("*.{png,jpg}", "photo.jpeg")
+    assert _glob_hits("{build,dist}/*", "dist/x.js")
+    assert not _glob_hits("{build,dist}/*", "src/dist/x.js")  # anchored
+    assert _glob_hits("file[0-9].txt", "a/file3.txt")
+    assert not _glob_hits("file[0-9].txt", "a/fileA.txt")
+    assert _glob_hits("file[!0-9].txt", "a/fileA.txt")
+    assert not _glob_hits("file[!0-9].txt", "a/file3.txt")
 
 
 def test_scoped_search_is_exact(spark, engine):

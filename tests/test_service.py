@@ -44,14 +44,32 @@ def test_lazy_build_and_lexical_defaults(service):
 
 
 def test_pagination_cursor_roundtrip(service):
+    import json
+
     p1 = service.regex_search("def", page_size=7)
     assert p1["pagination"]["page_size"] == 7
     assert p1["pagination"]["has_more"] is True
-    assert p1["pagination"]["next_cursor"] == "7"
+    # keyset cursor: order-column values of the page's last row
+    last = p1["results"][-1]
+    assert json.loads(p1["pagination"]["next_cursor"]) == [last["path"], last["line_no"]]
     p2 = service.regex_search("def", page_size=7, cursor=p1["pagination"]["next_cursor"])
     k1 = {(r["path"], r["line_no"]) for r in p1["results"]}
     k2 = {(r["path"], r["line_no"]) for r in p2["results"]}
     assert not (k1 & k2), "pages must not overlap"
+    # pages are contiguous: walking the cursor visits every row exactly once
+    seen, cursor, pages = set(), None, 0
+    while True:
+        p = service.regex_search("def", page_size=50, cursor=cursor)
+        for r in p["results"]:
+            key = (r["path"], r["line_no"])
+            assert key not in seen
+            seen.add(key)
+        pages += 1
+        cursor = p["pagination"]["next_cursor"]
+        if cursor is None:
+            break
+        assert pages < 100
+    assert k1 <= seen and k2 <= seen
     # page size is capped at 200 like the reference
     big = service.regex_search("def", page_size=999)
     assert big["pagination"]["page_size"] == 200

@@ -485,3 +485,28 @@ def test_zig_dart_elixir():
     assert "@doc" in add.text  # module-attribute trivia attached
     helper = next(c for c in t["function"] if c.name == "helper")
     assert helper.line_start == helper.line_end  # do: one-liner
+
+
+def test_merge_small_overlapping_parent_keeps_tail():
+    """ADVICE r2: a markdown parent section grouped with its own nested
+    subsection must not truncate the parent's tail when the group boundary
+    falls mid-parent — the merged span end is max(byte_end), not the last
+    member's end."""
+    from ck_spark.functions.symbols import SymbolChunk, _merge_small
+
+    data = b"0123456789" * 10  # 100 bytes
+
+    def mk(s, e, tok):
+        return SymbolChunk(
+            chunk_id=-1, byte_start=s, byte_end=e, line_start=1, line_end=1,
+            text=data[s:e].decode(), estimated_tokens=tok, chunk_type="section",
+        )
+
+    parent = mk(0, 100, 30)     # spans the whole doc
+    child = mk(10, 40, 10)      # nested subsection, ends before parent
+    big = mk(40, 100, 10_000)   # oversized sibling forces a flush
+    out = _merge_small([parent, child, big], data, target_tokens=50)
+    merged = out[0]
+    assert merged.byte_end == 100          # parent tail retained
+    assert merged.text == data[0:100].decode()
+    assert merged.line_end == 1
