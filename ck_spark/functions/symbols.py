@@ -246,6 +246,16 @@ _JVM_METHOD = re.compile(
 _JS_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "function",
                 "new", "typeof", "await", "do", "else", "try"}
 
+# function-like macro: '#define NAME(' — object-like '#define NAME v' is Text
+_C_MACRO_FN = re.compile(r"^\s*#\s*define\s+(\w+)\(")
+
+# C/C++ inline member function: type words, then name( — the '{' may be on
+# the same line (one-liner body allowed: '[^;{]*' only constrains the ARG
+# list) or a following line
+_CPP_METHOD = re.compile(
+    r"^\s*(?:[\w:<>,*&~\[\]]+\s+)+([\w~]+|operator\S*)\s*\([^;{]*\)\s*(?:const\s*)?(?:noexcept\s*)?"
+)
+
 _TRIVIA_RES = {
     "rust": re.compile(r"^\s*(///|//!|//|#\[|#!\[)"),
     "go": re.compile(r"^\s*//"),
@@ -333,6 +343,19 @@ def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
         i = lo
         while i <= hi:
             line = lines[i]
+            # function-like macros are Function chunks in the reference's
+            # C/C++ captures (test_chunk_c_corner_cases: '#define MAX(a,b)'
+            # -> Function, '#define VERSION 3' -> Text); ends at the last
+            # backslash-continued line
+            if lang in ("c", "cpp"):
+                m = _C_MACRO_FN.match(line)
+                if m:
+                    end = i
+                    while end < hi and lines[end].rstrip().endswith("\\"):
+                        end += 1
+                    out.append(_Sym("function", m.group(1), i, end, list(ancestry)))
+                    i = end + 1
+                    continue
             matched = False
             for rx, kind, is_container in table:
                 m = rx.match(line)
@@ -340,23 +363,39 @@ def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
                     name = m.group(1) if m.groups() else kind
                     end = min(_brace_block_end(lines, i, table), hi)
                     k = kind
+                    # fn nested in an impl/trait/class is a method; fns in
+                    # a C++/C# NAMESPACE stay plain functions (the
+                    # reference's captures qualify by node kind, and a
+                    # namespace is not a type — test_chunk_cpp_corner_cases
+                    # expects 'T add' inside `namespace math` as Function)
                     if kind == "function" and in_container in ("class", "module"):
-                        k = "method"  # fn in impl / method in class
+                        k = "method"
                     out.append(_Sym(k, name, i, end, list(ancestry)))
                     if is_container and end > i:
-                        walk(i + 1, end, ancestry + [name],
-                             "class" if kind == "class" else "module")
+                        if kind == "class":
+                            child = "class"
+                        elif kind == "module" and lang in ("cpp", "csharp"):
+                            child = "namespace"
+                        else:
+                            child = "module"
+                        walk(i + 1, end, ancestry + [name], child)
                     i = end + 1
                     matched = True
                     break
             if matched:
                 continue
             # methods inside a class body (method_definition /
-            # method_declaration — js/ts/java/csharp share the shape)
+            # method_declaration — js/ts/java/csharp share the shape;
+            # c/cpp inline member functions incl. one-liners)
             if in_container == "class" and lang in (
-                "javascript", "typescript", "java", "csharp"
+                "javascript", "typescript", "java", "csharp", "c", "cpp"
             ):
-                rx_m = _JVM_METHOD if lang in ("java", "csharp") else _JS_METHOD
+                if lang in ("c", "cpp"):
+                    rx_m = _CPP_METHOD
+                elif lang in ("java", "csharp"):
+                    rx_m = _JVM_METHOD
+                else:
+                    rx_m = _JS_METHOD
                 m = rx_m.match(line)
                 if m and m.group(1) not in _JS_KEYWORDS and "{" in line:
                     end = min(_brace_block_end(lines, i), hi)

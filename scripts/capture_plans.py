@@ -52,12 +52,39 @@ def main() -> None:
                 ln,
             ):
                 pruning.append("  " + frag[:220])
+    assert "pos_blocks" not in p, "non-phrase query must prune pos_blocks"
     sections.append((
         "BM25 query — postings scan pruning",
         "The postings FileScan must carry PartitionFilters on `bucket` "
         "(term-hash partition pruning) and data filters on `term`; the "
-        "corpus is never touched at query time.",
+        "corpus is never touched at query time, and the positions column "
+        "(pos_blocks) does NOT appear in the ReadSchema — non-phrase "
+        "queries never deserialize the positions stream.",
         "\n".join(pruning),
+    ))
+
+    # phrase query: INDEX-ONLY — one pruned postings scan (now including
+    # pos_blocks), zero corpus access (round 2's per-query corpus
+    # adjacency scan is gone)
+    pp = plan_of(idx.search_query('"parse buffer"', k=10))
+    n_scans = sum(1 for ln in pp.splitlines() if "FileScan" in ln)
+    assert "pos_blocks" in pp, "phrase plan must read the positions column"
+    phr = []
+    for ln in pp.splitlines():
+        if "FileScan" in ln:
+            phr.append(ln.strip()[:160] + " …")
+            for frag in re.findall(
+                r"(PartitionFilters: \[[^\]]*\]|ReadSchema: [^$]{0,200})", ln
+            ):
+                phr.append("  " + frag[:220])
+    sections.append((
+        "phrase query — index-only (positions postings)",
+        f"'\"parse buffer\"' resolves adjacency from the pos_blocks column "
+        f"inside the segment scorer — the plan contains {n_scans} FileScan"
+        f"(s), ALL on the postings table (bucket-pruned, term-filtered); "
+        "no corpus scan, no second table. Round 2 ran a full corpus "
+        "regex/UDF pass per phrase query; that node is structurally gone.",
+        "\n".join(phr),
     ))
 
     g = plan_of(grep(corpus, "def run", topk=10))
@@ -85,15 +112,15 @@ def main() -> None:
         spark.read.parquet(idx.paths.doc_map).select("doc_id", "path", "doc_len")
     )
     pruned = [ln.strip()[:240] for ln in narrow.splitlines() if "ReadSchema" in ln or "FileScan" in ln][:4]
-    assert all("tfm" not in ln for ln in pruned), "tfm not pruned from narrow read"
+    assert all("tfm" not in ln and "posm" not in ln for ln in pruned), \
+        "tfm/posm not pruned from narrow read"
     sections.append((
-        "doc_map narrow read — tfm column pruned",
-        "doc_map carries the per-doc tf map (the single tokenize artifact); "
-        "a narrow reader's ReadSchema must NOT contain tfm — parquet column "
-        "pruning makes the merged layout free for path/length readers. The "
-        "build also no longer shuffles pairs to recover doc_len (one fewer "
-        "full exchange than round 1: doc_len is written in the tokenize "
-        "pass itself).",
+        "doc_map narrow read — tfm AND posm columns pruned",
+        "doc_map carries the per-doc tf map and positions map (the single "
+        "tokenize artifact); a narrow reader's ReadSchema must contain "
+        "NEITHER — parquet column pruning makes the merged layout free for "
+        "path/length readers. The build also no longer shuffles pairs to "
+        "recover doc_len (doc_len is written in the tokenize pass itself).",
         "\n".join(pruned),
     ))
 
@@ -108,9 +135,10 @@ def main() -> None:
             if "Exchange" in ln or "FileScan" in ln or "Generate" in ln][:6]
     sections.append((
         "postings encode input — single exchange",
-        f"doc_map(seg-pruned scan) → explode(tfm) → one hash exchange on "
-        f"(seg,bucket,term). Exchanges in plan: {n_exchanges} (round 1 had "
-        "an extra pairs.groupBy(doc_id) exchange just to recover doc_len).",
+        f"doc_map(seg-pruned scan) → explode(posm: positions ride the same "
+        f"rows) → one hash exchange on (seg,bucket,term). Exchanges in "
+        f"plan: {n_exchanges} (round 1 had an extra pairs.groupBy(doc_id) "
+        "exchange just to recover doc_len).",
         "\n".join(exch),
     ))
 
