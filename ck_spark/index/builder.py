@@ -313,15 +313,8 @@ def _reencode_segments(
     )
 
 
-def _aside_path(paths: IndexPaths, seg: int) -> str:
-    """Swap-aside location for a doc_map segment: underscore-prefixed so a
-    concurrent reader's partition discovery never sees it (Spark ignores
-    _-/.-prefixed names), and never a 'seg=N.old' dir that would poison
-    the seg partition column's type."""
-    return os.path.join(paths.doc_map, f"_aside_seg={seg}")
-
-
-def repair_index(spark: SparkSession, out_dir: str) -> bool:
+def repair_index(spark: SparkSession, out_dir: str,
+                 store: "SegmentStore | None" = None) -> bool:
     """Crash recovery: if an update-in-progress marker exists, first finish
     or roll forward the doc_map segment swap (the rename-aside protocol
     guarantees every crash point leaves each segment's data in exactly one
@@ -335,25 +328,15 @@ def repair_index(spark: SparkSession, out_dir: str) -> bool:
     marker = man.load_marker("update_inprogress")
     if marker is None:
         return False
+    if store is None:
+        from ck_spark.index.format import ParquetDirStore
+
+        store = ParquetDirStore()
     paths = IndexPaths(out_dir)
     meta = man.load_meta()
     tmp_dm = marker.get("tmp") or os.path.join(out_dir, "_tmp_doc_map")
-    for s in marker["segs"]:
-        real = os.path.join(paths.doc_map, f"seg={s}")
-        cand = os.path.join(tmp_dm, f"seg={s}")
-        old = _aside_path(paths, s)
-        if os.path.exists(cand):
-            # swap never completed for this segment: roll it forward
-            # (cand present => real is pre-update state or absent)
-            if os.path.exists(real):
-                os.rename(real, old)
-            os.rename(cand, real)
-            shutil.rmtree(old, ignore_errors=True)
-        elif not os.path.exists(real) and os.path.exists(old):
-            os.rename(old, real)  # crash between rename-aside and rename-in
-        elif os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)  # swap done, tail cleanup
-    shutil.rmtree(tmp_dm, ignore_errors=True)
+    store.heal(paths.doc_map, marker["segs"], tmp_dm)
+    store.cleanup(tmp_dm)
     _write_corpus_stats(spark, paths)
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
@@ -506,6 +489,7 @@ def update_index(
     corpus: DataFrame,
     out_dir: str,
     full_snapshot: bool = True,
+    store: "SegmentStore | None" = None,
 ) -> dict:
     """Incrementally update an existing index.
 
@@ -530,9 +514,13 @@ def update_index(
     {added, removed, modified, unchanged, affected_segments, build_ms,
     repaired}.
     """
+    if store is None:
+        from ck_spark.index.format import ParquetDirStore
+
+        store = ParquetDirStore()
     paths = IndexPaths(out_dir)
     man = Manifest(out_dir)
-    repaired = repair_index(spark, out_dir)
+    repaired = repair_index(spark, out_dir, store=store)
     meta = man.load_meta()
     n_segments = int(meta["n_segments"])
     mode = meta["tokenizer_mode"]
@@ -597,50 +585,30 @@ def update_index(
     )
     docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
 
-    # Merge carried-over rows with fresh rows; write to a tmp dir FIRST
-    # (the merged plan lazily reads the partitions being replaced), then
-    # swap directories (Iceberg: a single overwritePartitions commit).
-    tmp_dm = os.path.join(paths.root, "_tmp_doc_map")
-    shutil.rmtree(tmp_dm, ignore_errors=True)
-
+    # Merge carried-over rows with fresh rows; STAGE first (the merged
+    # plan lazily reads the partitions being replaced), then swap through
+    # the table-format strategy (parquet dirs: rename-aside protocol;
+    # Iceberg: a single overwritePartitions commit — index/format.py).
     old_dm_kept = (
         spark.read.parquet(paths.doc_map)
         .where(F.col("seg").isin(affected))
         .join(F.broadcast(dead), "doc_id", "left_anti")
         .select(*DOC_MAP_COLS)
     )
-    old_dm_kept.unionByName(docs_new.select(*DOC_MAP_COLS)).repartition(
-        max(len(affected), 1), "seg"
-    ).write.mode("overwrite").partitionBy("seg").parquet(tmp_dm)
+    merged = old_dm_kept.unionByName(docs_new.select(*DOC_MAP_COLS))
+    tmp_dm = store.stage(merged, paths.root, len(affected))
 
     # ---- mutation window: marker first, clear only after postings+stats
     # are consistent again (crash => repair_index restores/completes the
-    # swap from the surviving tmp/.old dirs, then re-derives postings)
+    # swap from the surviving staging/aside state, then re-derives
+    # postings)
     man.save_marker(
         "update_inprogress",
         {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
     )
 
-    for s in affected:
-        real = os.path.join(paths.doc_map, f"seg={s}")
-        cand = os.path.join(tmp_dm, f"seg={s}")
-        old = _aside_path(paths, s)
-        if os.path.exists(cand):
-            # rename-aside, never rmtree-then-rename: every crash point
-            # leaves either real, cand or the aside holding the data (the
-            # aside name is underscore-prefixed so Spark partition
-            # discovery ignores it while it exists)
-            if os.path.exists(real):
-                os.rename(real, old)
-            os.rename(cand, real)
-            shutil.rmtree(old, ignore_errors=True)
-        elif os.path.exists(real):
-            # the update emptied this segment: rename aside FIRST (an
-            # interrupted rmtree would leave a torn partition that repair
-            # would bless), then drop the aside
-            os.rename(real, old)
-            shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp_dm, ignore_errors=True)
+    store.swap(paths.doc_map, affected, tmp_dm)
+    store.cleanup(tmp_dm)
 
     _write_corpus_stats(spark, paths)
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]

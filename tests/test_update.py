@@ -178,7 +178,8 @@ def test_interrupted_swap_windows_are_recovered(spark, tmp_path):
     rmtree-then-rename could permanently lose a segment)."""
     import shutil as _sh
 
-    from ck_spark.index.builder import IndexPaths, _aside_path
+    from ck_spark.index.builder import IndexPaths
+    from ck_spark.index.format import _aside
     from ck_spark.index.manifest import Manifest
 
     base = generate_corpus(80, seed=9)
@@ -199,7 +200,7 @@ def test_interrupted_swap_windows_are_recovered(spark, tmp_path):
             # crash between rename(real, aside) and rename(cand, real):
             # real missing, the _-prefixed aside (invisible to partition
             # discovery) holds the pre-update data
-            os.rename(real, _aside_path(paths, 1))
+            os.rename(real, _aside(paths.doc_map, 1))
         else:
             # crash before the swap started: cand still in tmp, real is
             # pre-update — repair must roll the swap FORWARD
@@ -210,7 +211,7 @@ def test_interrupted_swap_windows_are_recovered(spark, tmp_path):
         healed = BM25Index.load(spark, root, repair=True)
         assert Manifest(root).load_marker("update_inprogress") is None
         assert os.path.isdir(real)
-        assert not os.path.exists(_aside_path(paths, 1))
+        assert not os.path.exists(_aside(paths.doc_map, 1))
         assert not os.path.exists(tmp_dm)
         assert _results(healed, ["parse buffer", "def"]) == ref
 
