@@ -129,6 +129,30 @@ class BM25Index:
 
     _TERM_CACHE_MAX = 2_000_000  # cache the whole term dict when small
 
+    @property
+    def postings_df(self) -> DataFrame:
+        """The postings table as a REUSED DataFrame: `spark.read.parquet`
+        builds an InMemoryFileIndex (partition-dir listing + footer reads)
+        whose cost is per-DataFrame, not per-query — at 1M files this
+        re-listing was ~0.3-0.5 s of every query's dispatch overhead.
+        Filters on the cached frame still prune partitions (the file index
+        serves PartitionFilters). The file index snapshots the table: after
+        update_index, reload the handle (BM25Index.load — every caller
+        already does; the service refreshes on reindex)."""
+        df = self.__dict__.get("_postings_df")
+        if df is None:
+            df = self.spark.read.parquet(self.paths.postings)
+            self.__dict__["_postings_df"] = df
+        return df
+
+    @property
+    def doc_map_df(self) -> DataFrame:
+        df = self.__dict__.get("_doc_map_df")
+        if df is None:
+            df = self.spark.read.parquet(self.paths.doc_map)
+            self.__dict__["_doc_map_df"] = df
+        return df
+
     def term_stats(self, terms: list[str]) -> pd.DataFrame:
         """df/bucket lookup for query terms. For small indexes the whole
         term dictionary is cached driver-side after the first query (the
@@ -198,7 +222,7 @@ class BM25Index:
         buckets = sorted(set(int(b) for b in ts["bucket"]))
 
         post = (
-            spark.read.parquet(self.paths.postings)
+            self.postings_df
             .where(F.col("bucket").isin(buckets) & F.col("term").isin(found_terms))
             .select(*_POSTING_COLS)
         )
@@ -230,7 +254,7 @@ class BM25Index:
             from ck_spark.query.scope import path_scope_pred
 
             allowed_df = (
-                spark.read.parquet(self.paths.doc_map)
+                self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes, exclude_globs))
                 .select("seg", "doc_id")
             )
@@ -316,7 +340,7 @@ class BM25Index:
             ["pos_blocks"] if use_positions and (pq.phrases or neg_phrases) else []
         )
         post = (
-            spark.read.parquet(self.paths.postings)
+            self.postings_df
             .where(F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
             .select(*post_cols)
         )
@@ -379,7 +403,7 @@ class BM25Index:
             from ck_spark.query.scope import path_scope_pred
 
             scoped = (
-                spark.read.parquet(self.paths.doc_map)
+                self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes, exclude_globs))
                 .select("seg", "doc_id")
             )
@@ -512,7 +536,7 @@ class BM25Index:
         })
         post_cols = _POSTING_COLS + (["pos_blocks"] if any_phrases else [])
         post = (
-            spark.read.parquet(self.paths.postings)
+            self.postings_df
             .where(F.col("bucket").isin(buckets)
                    & F.col("term").isin(sorted(scan_terms)))
             .select(*post_cols)
@@ -560,7 +584,7 @@ class BM25Index:
             from ck_spark.query.scope import path_scope_pred
 
             allowed_df = (
-                spark.read.parquet(self.paths.doc_map)
+                self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes,
                                        exclude_globs))
                 .select("seg", "doc_id")
@@ -629,9 +653,7 @@ class BM25Index:
         if threshold is not None:
             out = out.where(F.col("score") >= F.lit(threshold))
         if with_paths:
-            dm = self.spark.read.parquet(self.paths.doc_map).select(
-                "doc_id", "repo", "path", "lang"
-            )
+            dm = self.doc_map_df.select("doc_id", "repo", "path", "lang")
             # broadcast the ≤k results; doc_map stays a shuffle-free
             # columnar scan on the stream side.
             out = dm.join(F.broadcast(out), "doc_id").orderBy(
