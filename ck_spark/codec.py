@@ -212,3 +212,141 @@ def block_max_partial(
     if low.any():
         f32[low] = np.nextafter(f32[low], np.float32(np.inf))
     return f32
+
+# ---------------------------------------------------------------------------
+# Batch-level encoding: one vectorized pass over ALL terms in an Arrow batch
+# ---------------------------------------------------------------------------
+
+
+def encode_varint_stream_slices(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Varint-encode ``values`` in ONE vectorized pass and return the byte
+    slices delimited by value-index ``bounds`` (sorted, len m+1, bounds[0]=0,
+    bounds[-1]=len(values)). Equivalent to
+    ``[encode_varint(values[lo:hi]) for lo, hi in zip(bounds, bounds[1:])]``
+    but the ~10 numpy passes are paid once for the whole batch instead of
+    once per posting block — the per-tiny-array overhead was the index
+    build's encode-stage bottleneck at 1M files."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return [b""] * (len(bounds) - 1)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for i in range(10):
+        mask = nbytes > i
+        if not mask.any():
+            break
+        chunk = (v[mask] >> _U64(7 * i)) & _U64(0x7F)
+        cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
+        out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    # byte offset of value-boundary k = ends[k-1] (0 for k == 0)
+    bt = out.tobytes()
+    b_off = np.concatenate([[0], ends])[np.asarray(bounds, dtype=np.int64)]
+    return [bt[b_off[i]:b_off[i + 1]] for i in range(len(bounds) - 1)]
+
+
+def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.empty(a.size + 1, dtype=np.int64)
+    out[0] = 0
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+def encode_posting_blocks_batch(
+    ids_list, tfs_list, dls_list, poss_flat_list,
+    avgdl: float, k1: float, b: float, block: int,
+) -> dict:
+    """Encode MANY terms' posting lists at once, byte-identical to calling
+    encode_posting_blocks + encode_positions_block per term (property-tested
+    in tests/test_codec.py) but with batch-level vectorization: all numpy
+    work — delta gaps, varint packing, block-max — runs over flat
+    concatenated arrays, and the only per-term Python left is output-list
+    slicing. ``poss_flat_list`` holds ONE flat position array per term (the
+    per-doc lists pre-flattened JVM-side with F.flatten; per-doc boundaries
+    recover from the tf stream), or None to skip positions entirely.
+
+    Returns dict of per-term lists: ids_blocks, tfs_blocks, dls_blocks,
+    pos_blocks, block_max, block_last.
+    """
+    T = len(ids_list)
+    if T == 0:
+        return {k: [] for k in ("ids_blocks", "tfs_blocks", "dls_blocks",
+                                "pos_blocks", "block_max", "block_last")}
+    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+    term_off = _excl_cumsum(lens)          # doc-axis boundaries per term
+    N = int(term_off[-1])
+    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
+    flat_tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_list])
+    flat_dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_list])
+
+    # block structure: per term t, ceil(n_t/block) blocks of width `block`
+    nblocks = (lens + block - 1) // block
+    blk_off = _excl_cumsum(nblocks)        # block-axis boundaries per term
+    B = int(blk_off[-1])
+    blk_term = np.repeat(np.arange(T, dtype=np.int64), nblocks)
+    within = np.arange(B, dtype=np.int64) - blk_off[blk_term]
+    blk_start = term_off[blk_term] + within * block       # sorted ascending
+    blk_end = np.minimum(blk_start + block, term_off[blk_term + 1])
+
+    # doc-id delta gaps; absolute value at every block start (block starts
+    # include term starts, so cross-term wraparound slots are overwritten)
+    gaps = np.empty(N, dtype=_U64)
+    gaps[0] = flat_ids[0]
+    np.subtract(flat_ids[1:], flat_ids[:-1], out=gaps[1:])
+    gaps[blk_start] = flat_ids[blk_start]
+    doc_bounds = np.concatenate([blk_start, [N]])
+    ids_blocks = encode_varint_stream_slices(gaps, doc_bounds)
+    tfs_blocks = encode_varint_stream_slices(flat_tfs.astype(_U64), doc_bounds)
+    dls_blocks = encode_varint_stream_slices(flat_dls.astype(_U64), doc_bounds)
+
+    # per-block max of the idf-independent BM25 factor (float32 round-UP,
+    # same soundness rule as block_max_partial)
+    tfs_f = flat_tfs.astype(np.float64)
+    dls_f = flat_dls.astype(np.float64)
+    denom = tfs_f + k1 * (1.0 - b + b * dls_f / max(avgdl, 1e-12))
+    partial = tfs_f * (k1 + 1.0) / np.maximum(denom, 1e-12)
+    true_max = np.maximum.reduceat(partial, blk_start)
+    bmax32 = true_max.astype(np.float32)
+    low = bmax32.astype(np.float64) < true_max
+    if low.any():
+        bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
+    blk_last = flat_ids[blk_end - 1].astype(np.int64)
+
+    # positions: flatten per-doc lists; delta within doc, absolute at doc
+    # starts; position-space block bounds map through the tf cumsum
+    if poss_flat_list is not None:
+        doc_plens = flat_tfs  # tf == len(positions) by construction
+        pos_off = _excl_cumsum(doc_plens)
+        flat_pos = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in poss_flat_list]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        P = int(pos_off[-1])
+        assert flat_pos.size == P, "tf/positions misalignment"
+        if P:
+            pgaps = np.empty(P, dtype=np.int64)
+            pgaps[0] = flat_pos[0]
+            np.subtract(flat_pos[1:], flat_pos[:-1], out=pgaps[1:])
+            dstarts = pos_off[:-1][doc_plens > 0]
+            pgaps[dstarts] = flat_pos[dstarts]
+            pos_bounds = pos_off[doc_bounds]
+            pos_blocks = encode_varint_stream_slices(pgaps.astype(_U64), pos_bounds)
+        else:
+            pos_blocks = [b""] * B
+    else:
+        pos_blocks = None
+
+    out = {"ids_blocks": [], "tfs_blocks": [], "dls_blocks": [],
+           "pos_blocks": [], "block_max": [], "block_last": []}
+    for t in range(T):
+        lo, hi = int(blk_off[t]), int(blk_off[t + 1])
+        out["ids_blocks"].append(ids_blocks[lo:hi])
+        out["tfs_blocks"].append(tfs_blocks[lo:hi])
+        out["dls_blocks"].append(dls_blocks[lo:hi])
+        out["pos_blocks"].append(pos_blocks[lo:hi] if pos_blocks is not None else None)
+        out["block_max"].append([float(x) for x in bmax32[lo:hi]])
+        out["block_last"].append([int(x) for x in blk_last[lo:hi]])
+    return out

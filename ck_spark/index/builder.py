@@ -56,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ck_spark.codec import encode_posting_blocks, encode_positions_block
+from ck_spark.codec import encode_posting_blocks_batch
 from ck_spark.constants import (
     BLOCK_SIZE,
     BM25_B,
@@ -197,38 +197,27 @@ def _make_batch_encoder(avgdl: float, k1: float, b: float, block: int):
 
     def encode_batches(iterator):
         for pdf in iterator:
-            out = {
-                "term": [], "n_docs": [], "ids_blocks": [], "tfs_blocks": [],
-                "dls_blocks": [], "pos_blocks": [], "block_max": [],
-                "block_last": [], "avgdl_enc": [], "seg": [], "bucket": [],
-            }
-            for term, seg, bucket, ids, tfs, dls, poss in zip(
-                pdf["term"], pdf["seg"], pdf["bucket"],
-                pdf["ids"], pdf["tfs"], pdf["dls"], pdf["poss"],
-            ):
-                ids = np.asarray(ids, dtype=np.int64)
-                blocks = encode_posting_blocks(
-                    ids, np.asarray(tfs), np.asarray(dls), avgdl, k1, b, block
-                )
-                # positions blocks align 1:1 with the id blocks (same docs,
-                # same order); per-doc boundaries recover from the tf stream
-                n = ids.size
-                pos_blocks = [
-                    encode_positions_block(poss[lo:min(lo + block, n)])
-                    for lo in range(0, n, block)
-                ]
-                out["term"].append(term)
-                out["n_docs"].append(int(ids.size))
-                out["ids_blocks"].append(blocks["ids_blocks"])
-                out["tfs_blocks"].append(blocks["tfs_blocks"])
-                out["dls_blocks"].append(blocks["dls_blocks"])
-                out["pos_blocks"].append(pos_blocks)
-                out["block_max"].append(blocks["block_max"])
-                out["block_last"].append(blocks["block_last"])
-                out["avgdl_enc"].append(avgdl)
-                out["seg"].append(int(seg))
-                out["bucket"].append(int(bucket))
-            yield pd.DataFrame(out)
+            # ONE vectorized encode for the whole Arrow batch: positions
+            # arrive pre-flattened per term (JVM F.flatten; per-doc
+            # boundaries recover from the tf stream), so the Python side
+            # pays batch-level numpy cost, not per-term/per-doc cost
+            enc = encode_posting_blocks_batch(
+                list(pdf["ids"]), list(pdf["tfs"]), list(pdf["dls"]),
+                list(pdf["poss"]), avgdl, k1, b, block,
+            )
+            yield pd.DataFrame({
+                "term": pdf["term"],
+                "n_docs": pdf["ids"].map(len).astype("int64"),
+                "ids_blocks": enc["ids_blocks"],
+                "tfs_blocks": enc["tfs_blocks"],
+                "dls_blocks": enc["dls_blocks"],
+                "pos_blocks": enc["pos_blocks"],
+                "block_max": enc["block_max"],
+                "block_last": enc["block_last"],
+                "avgdl_enc": avgdl,
+                "seg": pdf["seg"].astype("int64"),
+                "bucket": pdf["bucket"].astype("int64"),
+            })
 
     return encode_batches
 
@@ -261,7 +250,10 @@ def _encode_and_write_postings(
             F.col("pl.doc_id").alias("ids"),
             F.col("pl.tf").alias("tfs"),
             F.col("pl.dl").alias("dls"),
-            F.col("pl.poss").alias("poss"),
+            # flatten per-doc position lists in the JVM (codegen) — the
+            # encoder recovers per-doc boundaries from the tf stream, and
+            # Python sees ONE flat array per term instead of N tiny lists
+            F.flatten(F.col("pl.poss")).alias("poss"),
         )
     )
     enc = grouped.mapInPandas(

@@ -63,3 +63,58 @@ def test_block_max_partial_bounds_scores():
         seg = partial[blk * 128 : (blk + 1) * 128]
         assert bm[blk] >= seg.max() - 1e-6
         assert abs(bm[blk] - seg.max()) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# batch encoder == per-term encoder, byte for byte
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _term_postings(draw):
+    n = draw(st.integers(1, 300))
+    gaps = draw(st.lists(st.integers(1, 10**7), min_size=n, max_size=n))
+    ids = np.cumsum(np.array(gaps, dtype=np.uint64))
+    tfs = np.array(draw(st.lists(st.integers(1, 12), min_size=n, max_size=n)))
+    dls = np.array(draw(st.lists(st.integers(1, 4000), min_size=n, max_size=n)))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    poss = [np.sort(rng.choice(50_000, size=int(t), replace=False)) for t in tfs]
+    return ids, tfs, dls, poss
+
+
+@given(st.lists(_term_postings(), min_size=1, max_size=8),
+       st.sampled_from([4, 128]))
+@settings(max_examples=25, deadline=None)
+def test_batch_encoder_identical_to_per_term(terms, block):
+    from ck_spark.codec import (
+        encode_posting_blocks, encode_positions_block,
+        encode_posting_blocks_batch,
+    )
+    avgdl, k1, b = 231.7, 1.2, 0.75
+    bat = encode_posting_blocks_batch(
+        [t[0] for t in terms], [t[1] for t in terms], [t[2] for t in terms],
+        [np.concatenate(t[3]) for t in terms],  # JVM-flattened per term
+        avgdl, k1, b, block,
+    )
+    for i, (ids, tfs, dls, poss) in enumerate(terms):
+        ref = encode_posting_blocks(ids, tfs, dls, avgdl, k1, b, block)
+        n = ids.size
+        ref_pos = [encode_positions_block(poss[lo:min(lo + block, n)])
+                   for lo in range(0, n, block)]
+        assert bat["ids_blocks"][i] == ref["ids_blocks"]
+        assert bat["tfs_blocks"][i] == ref["tfs_blocks"]
+        assert bat["dls_blocks"][i] == ref["dls_blocks"]
+        assert bat["pos_blocks"][i] == ref_pos
+        assert bat["block_max"][i] == ref["block_max"]
+        assert bat["block_last"][i] == ref["block_last"]
+
+
+def test_batch_encoder_empty_and_no_positions():
+    from ck_spark.codec import encode_posting_blocks_batch
+    e = encode_posting_blocks_batch([], [], [], None, 100.0, 1.2, 0.75, 128)
+    assert e["ids_blocks"] == []
+    one = encode_posting_blocks_batch(
+        [np.array([5], dtype=np.uint64)], [np.array([1])], [np.array([10])],
+        None, 100.0, 1.2, 0.75, 128,
+    )
+    assert one["pos_blocks"][0] is None
+    assert one["block_last"][0] == [5]
