@@ -279,6 +279,32 @@ def _q_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TRIGRAM_PATTERN = r"window \w+"
+
+
+def _q_grep_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index-accelerated grep (query/trigram.py): required-trigram
+    candidate pruning + exact regex verify on candidates only. The oracle
+    is the PLAIN full-scan regex SQL — the index may only prune, never
+    change answers, so hash-identity here proves pruning soundness."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import (
+        documents_as_corpus,
+        documents_trigram_root,
+        load_documents,
+    )
+    from ck_spark.query.trigram import grep_indexed
+
+    root = documents_trigram_root(spark, sf_dir)
+    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    hits = grep_indexed(spark, corpus, root, TRIGRAM_PATTERN, count_matches=True)
+    return hits.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    ).orderBy("doc_id")
+
+
 def _q_grep_files_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1214,6 +1240,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_stats": _q_doc_len,
         "corpus_stats": _q_corpus_stats,
         "grep_count": _q_grep_count,
+        "grep_trigram": _q_grep_trigram,
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
         "dedup_exact": _q_dedup_exact,
@@ -1283,6 +1310,12 @@ ORDER BY doc_id""",
         "grep_files_without": f"""
 SELECT doc_id FROM documents
 WHERE NOT regexp_matches(text, '{GREP_PATTERN}')
+ORDER BY doc_id""",
+        "grep_trigram": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
 ORDER BY doc_id""",
         "hybrid_rrf": f"""{_bm25_scored_cte(hybrid_terms)},
 bm AS (

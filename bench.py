@@ -103,6 +103,13 @@ def main() -> None:
         timed("grep_regex", lambda: grep(corpus, "row|window", count_matches=True).collect())
         timed("grep_files_without", lambda: files_without_matches(corpus, "row|window").collect())
 
+        from ck_spark.query.trigram import TrigramIndex, build_trigram_index
+
+        timed("trigram_build", lambda: build_trigram_index(spark, corpus, root))
+        tri = TrigramIndex.load(spark, root)
+        timed("grep_trigram", lambda: tri.grep(
+            corpus, r"window \w+", count_matches=True).collect())
+
         def hybrid():
             bm = add_rank(idx.search("spark join", k=100),
                           [F.desc("score"), F.asc("doc_id")], 100)

@@ -123,3 +123,20 @@ def search_documents(
     if len(out) == 0:
         return spark.createDataFrame([], "doc_id long, score double")
     return spark.createDataFrame(out)
+
+
+def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the trigram candidate index (query/trigram.py) exists beside
+    the documents BM25 index; returns the shared index root. Cached on disk
+    like documents_index — the _SUCCESS marker gates reuse so a partial
+    write rebuilds."""
+    idx = documents_index(spark, sf_dir)
+    root = idx.paths.root
+    from ck_spark.query.trigram import TRIGRAM_DIR, build_trigram_index
+
+    if not os.path.exists(os.path.join(root, TRIGRAM_DIR, "_SUCCESS")):
+        docs = load_documents(spark, sf_dir)
+        par = min(spark.sparkContext.defaultParallelism,
+                  max(2, docs.count() // 512))
+        build_trigram_index(spark, documents_as_corpus(docs).repartition(par), root)
+    return root

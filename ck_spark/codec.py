@@ -350,3 +350,104 @@ def encode_posting_blocks_batch(
         out["block_max"].append([float(x) for x in bmax32[lo:hi]])
         out["block_last"].append([int(x) for x in blk_last[lo:hi]])
     return out
+
+
+def encode_id_blocks_batch(ids_list, block: int) -> dict:
+    """ids-only batch encoder (trigram candidate index — no tf/dl/positions
+    streams, no block-max): delta+varint id blocks with the same layout and
+    batch-level vectorization as encode_posting_blocks_batch.
+
+    Returns dict of per-term lists: ids_blocks, block_last.
+    """
+    T = len(ids_list)
+    if T == 0:
+        return {"ids_blocks": [], "block_last": []}
+    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+    term_off = _excl_cumsum(lens)
+    N = int(term_off[-1])
+    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
+    nblocks = (lens + block - 1) // block
+    blk_off = _excl_cumsum(nblocks)
+    B = int(blk_off[-1])
+    blk_term = np.repeat(np.arange(T, dtype=np.int64), nblocks)
+    within = np.arange(B, dtype=np.int64) - blk_off[blk_term]
+    blk_start = term_off[blk_term] + within * block
+    blk_end = np.minimum(blk_start + block, term_off[blk_term + 1])
+    gaps = np.empty(N, dtype=_U64)
+    gaps[0] = flat_ids[0]
+    np.subtract(flat_ids[1:], flat_ids[:-1], out=gaps[1:])
+    gaps[blk_start] = flat_ids[blk_start]
+    ids_blocks = encode_varint_stream_slices(gaps, np.concatenate([blk_start, [N]]))
+    blk_last = flat_ids[blk_end - 1].astype(np.int64)
+    return {
+        "ids_blocks": [ids_blocks[int(blk_off[t]):int(blk_off[t + 1])] for t in range(T)],
+        "block_last": [[int(x) for x in blk_last[int(blk_off[t]):int(blk_off[t + 1])]]
+                       for t in range(T)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# xxHash64 (pure Python) — driver-side parity with Spark's xxhash64()
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 of raw bytes (public algorithm, Cyan4973/xxHash). Seed 42
+    matches Spark's default for the xxhash64() SQL function on a single
+    string/binary argument, letting the driver route terms/grams to their
+    hash buckets without launching a job (parity asserted in
+    tests/test_codec.py against F.xxhash64)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            for _ in range(1):
+                v1 = (_rotl((v1 + int.from_bytes(data[i:i+8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+                v2 = (_rotl((v2 + int.from_bytes(data[i+8:i+16], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+                v3 = (_rotl((v3 + int.from_bytes(data[i+16:i+24], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+                v4 = (_rotl((v4 + int.from_bytes(data[i+24:i+32], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = (_rotl((int.from_bytes(data[i:i+8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i+4], "little") * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_signed(s: str, seed: int = 42) -> int:
+    """Spark-convention signed-long xxhash64 of a string's UTF-8 bytes."""
+    h = xxhash64(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind an import-try (NotImplementedError when a real decode is requested
-and no codec lib exists) with a deterministic fake decoder that derives
-"pixel" statistics from the payload bytes — the Spark-side plumbing
-(schema, partitioning, UDF signature, Arrow batch shape) is real and
-tested; swapping in PIL/soundfile is a one-function change.
+Decode is REAL for PNG images (ops/png.py pure-Python codec), WAV audio
+(ops/wav.py stdlib RIFF/PCM) and uncompressed AVI video (ops/avi.py RIFF
++ DIB frames) — pixel/sample-accurate statistics, no third-party libs.
+Only compressed formats (jpeg/mp3/mp4/...) raise NotImplementedError
+behind an import-try: those genuinely need codec libraries absent from
+this container, and swapping in PIL/soundfile/PyAV is a one-function
+change at the same seam.
 
 Scale design: payloads never pass through Python row-at-a-time — Arrow
 moves each partition's binaries as buffers; heavy decode parallelism is
@@ -77,14 +78,17 @@ def extract_features(
     real_decode=True DECODES the payload: PNG images through the built-in
     pure-Python codec (ops/png.py — a real codec round-trip, no third-party
     libs); WAV audio through the stdlib RIFF/PCM decoder (ops/wav.py —
-    statistics over SAMPLES); other image formats through PIL when
-    installed. Video (and non-WAV audio) raises NotImplementedError —
-    the one remaining honest gap (no video codec in this container).
+    statistics over SAMPLES); uncompressed AVI video through ops/avi.py
+    (statistics over PIXELS of decoded frames); other image formats
+    through PIL when installed. Compressed video/audio formats raise
+    NotImplementedError — those need codec libs absent from this
+    container.
 
     The default (real_decode=False) derives deterministic statistics from
     the raw payload — exercising the same Arrow batch path decode-free."""
 
     def proc(iterator):
+        from ck_spark.ops.avi import decode_avi
         from ck_spark.ops.png import decode_png
         from ck_spark.ops.wav import decode_wav
 
@@ -98,6 +102,8 @@ def extract_features(
                         vals = decode_png(bytes(payload)).astype(np.float64).ravel()
                     elif kind == "audio" and str(fmt).lower() == "wav":
                         vals = decode_wav(bytes(payload))[0].ravel()
+                    elif kind == "video" and str(fmt).lower() == "avi":
+                        vals = decode_avi(bytes(payload)).astype(np.float64).ravel()
                     elif kind == "image" and HAVE_IMAGE_CODEC:
                         import io
 
@@ -108,8 +114,9 @@ def extract_features(
                     else:
                         raise NotImplementedError(
                             f"no decoder for kind={kind} format={fmt} "
-                            "(PNG and WAV decode built-in; video needs a "
-                            "codec lib — not in this container)"
+                            "(PNG, WAV and uncompressed AVI decode are "
+                            "built-in; compressed video needs a codec lib "
+                            "— not in this container)"
                         )
                 else:
                     vals = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
@@ -136,17 +143,39 @@ def extract_features(
     return media.mapInPandas(proc, schema=FEATURE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """'Video' frame sampling: split the payload into n_frames equal spans
-    (stand-in for real keyframe extraction; plumbing and batch shape are
-    what a codec-backed implementation would use)."""
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, real_decode: bool = False
+) -> DataFrame:
+    """Video frame sampling via mapInPandas.
+
+    real_decode=True parses uncompressed AVI payloads (ops/avi.py) and
+    samples n_frames REAL frames evenly across the video (frame_no is the
+    actual frame index; frame_sha256 hashes the decoded RGB pixels). The
+    default splits the payload into byte spans — the decode-free plumbing
+    path for formats without a built-in codec."""
 
     def proc(iterator):
+        from ck_spark.ops.avi import decode_avi
+
         for pdf in iterator:
             out = []
             vids = pdf[pdf["kind"] == "video"]
-            for mid, payload in zip(vids["media_id"], vids["payload"]):
+            for mid, fmt, payload in zip(
+                vids["media_id"], vids["format"], vids["payload"]
+            ):
                 raw = bytes(payload)
+                if real_decode and str(fmt).lower() == "avi":
+                    frames = decode_avi(raw)
+                    take = np.linspace(
+                        0, frames.shape[0] - 1, min(n_frames, frames.shape[0])
+                    ).astype(int)
+                    for f in sorted(set(int(i) for i in take)):
+                        rgb = frames[f].tobytes()
+                        out.append(
+                            (int(mid), f, len(rgb),
+                             hashlib.sha256(rgb).hexdigest())
+                        )
+                    continue
                 step = max(1, len(raw) // n_frames)
                 for f in range(n_frames):
                     chunk = raw[f * step : (f + 1) * step]

@@ -1,0 +1,394 @@
+"""Trigram-accelerated regex grep (index-assisted candidate pruning).
+
+At 10^12 files a per-query full-corpus regex scan is the same
+scale-killer a corpus-scan phrase query was: every grep touches every
+byte. The classic fix — public knowledge from Google Code Search (Russ
+Cox, "Regular Expression Matching with a Trigram Index", 2012) and used
+by Zoekt/Sourcegraph — is to index character trigrams of the content and
+turn the regex into a *necessary* trigram condition: any line that can
+match must contain every required trigram, so posting-list intersection
+yields a candidate doc set and the (unchanged, codegen) regex scan runs
+over candidates only. Results are EXACTLY the full-scan results — the
+index only prunes, never decides (asserted in tests/test_trigram.py).
+
+The reference (ck) greps by scanning, which is the right call for one
+repo on one machine (ck-engine/src/lib.rs:387-450); this module is the
+100 TB-scale complement, same answers.
+
+Soundness rule for case: the index stores trigrams of lower(content) and
+the analyzer lowercases extracted literals — if "Foo" must appear in a
+match then "foo" appears in lower(content), so required-trigram pruning
+is sound for BOTH case-sensitive and (?i) patterns.
+
+Layout mirrors the BM25 postings table (seg=N/bucket=B dirs, delta+varint
+doc-id blocks from ck_spark.codec) so scans prune partitions by bucket
+and the per-segment intersection reuses the galloping-AND design.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if sys.version_info >= (3, 11):
+    import re._parser as _sre_parse
+else:  # pragma: no cover
+    import sre_parse as _sre_parse
+
+# keep the planner's fan-in bounded: each required trigram is individually
+# necessary, so any subset keeps correctness; beyond ~12 the intersection
+# is already tiny and extra terms only add scan width
+MAX_QUERY_TRIGRAMS = 12
+
+
+# ---------------------------------------------------------------------------
+# regex analysis: which literal substrings MUST any match contain?
+# ---------------------------------------------------------------------------
+
+
+def _literal_runs(nodes) -> tuple[list[str], set[str]]:
+    """Walk one concatenation sequence. Returns (runs, extra) where `runs`
+    are maximal consecutive-LITERAL strings in this sequence and `extra`
+    are required substrings contributed by nested nodes. Conservative:
+    literal runs are not merged across group boundaries (under-extraction
+    is sound — it can only widen the candidate set)."""
+    runs: list[str] = []
+    extra: set[str] = set()
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    for op, av in nodes:
+        name = str(op)
+        if name == "LITERAL":
+            cur.append(chr(av))
+        elif name == "SUBPATTERN":
+            flush()
+            extra |= required_substrings(av[3])  # (group, add_f, del_f, body)
+        elif name == "ATOMIC_GROUP":
+            flush()
+            extra |= required_substrings(av)  # av IS the body SubPattern
+        elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            flush()
+            lo, _hi, sub = av
+            if lo >= 1:  # repeated at least once -> body is required
+                extra |= required_substrings(sub)
+        elif name == "BRANCH":
+            flush()
+            _, branches = av
+            # a substring is required only if required by EVERY branch;
+            # for trigram pruning the usable common requirement is the
+            # intersection of each branch's required-trigram sets
+            per_branch = [
+                _trigrams_of(required_substrings(b)) for b in branches
+            ]
+            common = set.intersection(*per_branch) if per_branch else set()
+            extra |= common  # trigrams are substrings too
+        elif name == "ASSERT":
+            flush()
+            direction, sub = av
+            if direction == 1:  # positive lookahead/behind: body must occur
+                extra |= required_substrings(sub)
+        else:
+            # ANY, IN, AT, CATEGORY, GROUPREF, ASSERT_NOT, NOT_LITERAL, ...
+            # contribute nothing and break the current literal run
+            flush()
+    flush()
+    return runs, extra
+
+
+def required_substrings(parsed) -> set[str]:
+    """Set of strings that must appear (lowercased) in any match of the
+    parsed sub-pattern."""
+    runs, extra = _literal_runs(list(parsed))
+    return {r.lower() for r in runs if r} | extra
+
+
+def _trigrams_of(strings) -> set[str]:
+    out: set[str] = set()
+    for s in strings:
+        for i in range(len(s) - 2):
+            out.add(s[i : i + 3])
+    return out
+
+
+def required_trigrams(pattern: str) -> list[str]:
+    """Required (lowercased) trigrams for a regex, or [] when the pattern
+    has no usable literals (e.g. ``a.*b``, pure character classes) — the
+    caller must fall back to a full scan then. Unparseable patterns also
+    yield [] (the scan will surface the real error)."""
+    try:
+        parsed = _sre_parse.parse(pattern)
+    except re.error:
+        return []
+    grams = sorted(_trigrams_of(required_substrings(parsed)))
+    if len(grams) > MAX_QUERY_TRIGRAMS:
+        # spread the subset across the sorted list: adjacent trigrams come
+        # from the same literal and are highly correlated, so sampling
+        # evenly keeps more independent constraints
+        idx = np.linspace(0, len(grams) - 1, MAX_QUERY_TRIGRAMS).astype(int)
+        grams = [grams[i] for i in sorted(set(int(i) for i in idx))]
+    return grams
+
+
+# ---------------------------------------------------------------------------
+# index build
+# ---------------------------------------------------------------------------
+
+TRIGRAM_DIR = "trigrams"
+_TRIGRAM_SCHEMA = "ghash int, n_docs int, ids_blocks array<binary>"
+
+# grams are stored by HASH, not string: ghash = pmod(xxhash64(gram), 2^24).
+# A collision merges two grams' posting lists, which only WIDENS the
+# candidate set (union ⊇ each list) — pruning stays sound, the regex
+# verify removes the extras. In exchange the build shuffle carries
+# (int,long,int) rows instead of strings and the query filter is an int
+# lookup with parquet page skipping (rows sorted by ghash at write).
+GRAM_HASH_SPACE = 1 << 24
+
+
+def gram_hash(gram: str) -> int:
+    """Driver-side gram -> ghash, parity with the build's JVM expression
+    (pure-Python xxhash64, parity-tested in tests/test_codec.py)."""
+    from ck_spark.codec import xxhash64_signed
+
+    return xxhash64_signed(gram) % GRAM_HASH_SPACE
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    n_segments: int | None = None,
+    term_buckets: int | None = None,
+) -> int:
+    """Build the trigram candidate index beside an existing BM25 index at
+    ``root`` (same seg/bucket geometry — read from the manifest so doc ids
+    land in the same segments and bucket pruning works identically).
+    Returns the number of (seg, bucket, ghash) posting rows written."""
+    import os
+
+    from ck_spark.codec import encode_id_blocks_batch
+    from ck_spark.constants import BLOCK_SIZE
+    from ck_spark.index.builder import doc_id_expr, seg_expr
+    from ck_spark.index.manifest import Manifest
+
+    meta = Manifest(root).load_meta()
+    n_segments = n_segments or int(meta["n_segments"])
+    term_buckets = term_buckets or int(meta["term_buckets"])
+
+    low = F.lower(F.col("content"))
+    grams = (
+        corpus.withColumn("doc_id", doc_id_expr())
+        .withColumn("seg", seg_expr(n_segments))
+        .where(~F.contains("content", F.lit("\x00")))
+        .select(
+            "doc_id",
+            "seg",
+            # hash each distinct trigram to its int key INSIDE the array
+            # (codegen), so the explode+shuffle never carries strings
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.length(low) >= 3,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(low) - 2),
+                            lambda i: F.pmod(
+                                F.xxhash64(F.substring(low, i, 3)),
+                                F.lit(GRAM_HASH_SPACE),
+                            ).cast("int"),
+                        ),
+                    ).otherwise(F.array().cast("array<int>"))
+                )
+            ).alias("ghash"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.col("ghash"), F.lit(term_buckets)).cast("int")
+        )
+    )
+    width = max(spark.sparkContext.defaultParallelism * 2, 16)
+
+    def encode(iterator):
+        for pdf in iterator:
+            enc = encode_id_blocks_batch(list(pdf["ids"]), BLOCK_SIZE)
+            yield pd.DataFrame({
+                "ghash": pdf["ghash"].astype("int64"),
+                "n_docs": pdf["ids"].map(len).astype("int64"),
+                "ids_blocks": enc["ids_blocks"],
+                "seg": pdf["seg"].astype("int64"),
+                "bucket": pdf["bucket"].astype("int64"),
+            })
+
+    out_dir = os.path.join(root, TRIGRAM_DIR)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    enc_df = (
+        grams.repartition(width, "seg", "bucket", "ghash")
+        .groupBy("seg", "bucket", "ghash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .mapInPandas(encode, _TRIGRAM_SCHEMA + ", seg int, bucket int")
+    )
+    (
+        enc_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition("seg", "bucket")
+        # ghash-sorted rows give the parquet reader page-level skipping
+        # (column index) for the query's int-key filter
+        .sortWithinPartitions("ghash")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "bucket")
+        .parquet(out_dir)
+    )
+    return int(obs.get["rows"])
+
+
+# ---------------------------------------------------------------------------
+# query: candidate pruning + exact scan
+# ---------------------------------------------------------------------------
+
+
+class TrigramIndex:
+    """Query handle over a built trigram index: caches the table DataFrame
+    (one InMemoryFileIndex — partition-dir listing is paid once, not per
+    query, same rationale as BM25Index.postings_df) and the bucket
+    geometry. Reload after build_trigram_index re-runs."""
+
+    def __init__(self, spark: SparkSession, root: str, cache: bool = False):
+        import os
+
+        from ck_spark.index.manifest import Manifest
+
+        self.spark = spark
+        self.root = root
+        self.term_buckets = int(Manifest(root).load_meta()["term_buckets"])
+        self.df = spark.read.parquet(os.path.join(root, TRIGRAM_DIR))
+        if cache:
+            # hold the (compact, int-keyed) candidate index in executor
+            # memory — the Spark analogue of Zoekt's memory-mapped shards;
+            # at cluster scale each executor caches its slice
+            self.df = self.df.cache()
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, cache: bool = False) -> "TrigramIndex":
+        return cls(spark, root, cache=cache)
+
+    def candidates(self, grams: list[str]) -> DataFrame:
+        return _intersect_candidates(self.df, grams, self.term_buckets)
+
+    def grep(self, corpus: DataFrame, pattern: str, **kw):
+        return _grep_indexed_impl(self, corpus, pattern, **kw)
+
+
+def trigram_candidates(
+    spark: SparkSession, root: str, grams: list[str], term_buckets: int
+) -> DataFrame:
+    """(doc_id) DataFrame of docs containing ALL ``grams``: per-segment
+    sorted-array AND intersection. applyInPandas grouped by seg (not
+    mapInPandas) so a segment's gram rows can never be split across Arrow
+    batches — a partial group would silently drop candidates. Groups are
+    tiny (≤ len(grams) rows of compressed blocks), so the per-group
+    overhead is noise. A gram absent from a segment (or the whole index)
+    empties that segment's candidates by the count check — rarest-first
+    ordering makes the intersection cheap."""
+    import os
+
+    df = spark.read.parquet(os.path.join(root, TRIGRAM_DIR))
+    return _intersect_candidates(df, grams, term_buckets)
+
+
+def _intersect_candidates(
+    trigram_df: DataFrame, grams: list[str], term_buckets: int
+) -> DataFrame:
+    from ck_spark.codec import decode_all_blocks
+
+    # gram -> ghash -> bucket, all DRIVER-SIDE (pure-Python xxhash64,
+    # parity-tested against F.xxhash64) — no Spark job just for routing.
+    # Distinct ghashes only: two query grams colliding into one key are one
+    # (sound) constraint.
+    ghashes = sorted({gram_hash(g) for g in grams})
+    buckets = sorted({h % term_buckets for h in ghashes})
+
+    post = (
+        trigram_df
+        .where(F.col("bucket").isin(buckets) & F.col("ghash").isin(ghashes))
+        .select("seg", "ghash", "n_docs", "ids_blocks")
+    )
+    k = len(ghashes)
+
+    def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["ghash"].nunique() != k:  # some gram absent in this segment
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        acc = None
+        for blocks in pdf.sort_values("n_docs")["ids_blocks"]:
+            ids = decode_all_blocks(blocks)
+            acc = ids if acc is None else np.intersect1d(
+                acc, ids, assume_unique=True
+            )
+            if acc.size == 0:
+                break
+        return pd.DataFrame({
+            "doc_id": acc.astype(np.int64) if acc is not None
+            else np.empty(0, dtype=np.int64)
+        })
+
+    return post.groupBy("seg").applyInPandas(intersect, "doc_id long")
+
+
+def grep_indexed(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    pattern: str,
+    fixed_string: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+    topk: int | None = None,
+    count_matches: bool = False,
+):
+    """grep() with trigram candidate pruning (one-shot handle; reuse a
+    TrigramIndex for repeated queries — it caches the table listing).
+    Answers are identical to ck_spark.query.grep.grep on the same corpus —
+    when the pattern yields no required trigrams this IS a full-scan
+    grep."""
+    return _grep_indexed_impl(
+        TrigramIndex.load(spark, root), corpus, pattern,
+        fixed_string=fixed_string, whole_word=whole_word,
+        ignore_case=ignore_case, topk=topk, count_matches=count_matches,
+    )
+
+
+def _grep_indexed_impl(
+    idx: TrigramIndex,
+    corpus: DataFrame,
+    pattern: str,
+    fixed_string: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+    topk: int | None = None,
+    count_matches: bool = False,
+):
+    from ck_spark.index.builder import doc_id_expr
+    from ck_spark.query.grep import grep, preprocess_pattern
+
+    eff = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
+    grams = required_trigrams(eff)
+    if not grams:
+        return grep(corpus, pattern, fixed_string, whole_word, ignore_case,
+                    topk=topk, count_matches=count_matches)
+    cands = idx.candidates(grams)
+    # join keeps only candidate docs; AQE turns this into a broadcast join
+    # at runtime when the candidate set is small (the common case)
+    scoped = corpus.withColumn("doc_id", doc_id_expr()).join(
+        cands, "doc_id"
+    ).drop("doc_id")
+    return grep(scoped, pattern, fixed_string, whole_word, ignore_case,
+                topk=topk, count_matches=count_matches)

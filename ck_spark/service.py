@@ -121,6 +121,7 @@ class CkService:
         self.mode = mode
         self.build_opts = build_opts or {}
         self._idx: BM25Index | None = None
+        self._tri = None  # TrigramIndex | None, lazy
 
     # -- index lifecycle ----------------------------------------------------
 
@@ -172,7 +173,40 @@ class CkService:
         stats = update_index(self.spark, src, self.root,
                              full_snapshot=full_snapshot)
         self._idx = BM25Index.load(self.spark, self.root, repair=True)  # refresh meta
+        # a stale trigram candidate index would silently MISS matches in
+        # changed docs — drop it; regex falls back to the full scan until
+        # build_trigram() is called again (incremental trigram refresh is
+        # the same segment-swap machinery, future work)
+        import os
+        import shutil
+
+        from ck_spark.query.trigram import TRIGRAM_DIR
+
+        shutil.rmtree(os.path.join(self.root, TRIGRAM_DIR), ignore_errors=True)
+        self._tri = None
         return {"summary": "reindex complete", **stats}
+
+    def build_trigram(self) -> dict:
+        """Build/rebuild the trigram candidate index (query/trigram.py) so
+        regex_search prunes candidates instead of scanning the corpus."""
+        if self.corpus is None:
+            raise RuntimeError("trigram build needs the corpus")
+        from ck_spark.query.trigram import TrigramIndex, build_trigram_index
+
+        self._index()  # geometry comes from the BM25 index manifest
+        rows = build_trigram_index(self.spark, self.corpus, self.root)
+        self._tri = TrigramIndex.load(self.spark, self.root)
+        return {"summary": "trigram index built", "rows": rows}
+
+    def _trigram(self):
+        if self._tri is None:
+            import os
+
+            from ck_spark.query.trigram import TRIGRAM_DIR, TrigramIndex
+
+            if os.path.exists(os.path.join(self.root, TRIGRAM_DIR, "_SUCCESS")):
+                self._tri = TrigramIndex.load(self.spark, self.root)
+        return self._tri
 
     def health_check(self) -> dict:
         return {"status": "healthy", "server": "ck_spark", "protocol": "mcp",
@@ -207,7 +241,12 @@ class CkService:
             hits = grep_full_section(self.corpus, pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
         else:
-            hits = grep(self.corpus, pattern, **grep_kw)
+            tri = self._trigram()
+            if tri is not None:
+                # identical results, candidate-pruned scan (test_trigram.py)
+                hits = tri.grep(self.corpus, pattern, **grep_kw)
+            else:
+                hits = grep(self.corpus, pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
         out = _page(hits, order, cursor, page_size)
         out["summary"] = f"regex matches for {pattern!r}"

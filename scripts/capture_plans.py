@@ -95,6 +95,27 @@ def main() -> None:
         "\n".join(codegen),
     ))
 
+    # trigram-accelerated grep: candidate scan carries bucket partition
+    # filters + gram pushdown; the regex verify runs over the candidate
+    # join, not the whole corpus
+    from ck_spark.query.trigram import TrigramIndex, build_trigram_index
+
+    build_trigram_index(spark, corpus, root)
+    tri = TrigramIndex.load(spark, root)
+    tg = plan_of(tri.grep(corpus, "parse_buffer", topk=10))
+    keep = ("PartitionFilters", "PushedFilters", "trigrams",
+            "FlatMapGroupsInPandas", "Join")
+    tg_lines = [ln.rstrip()[:200] for ln in tg.splitlines()
+                if any(k in ln for k in keep)][:10]
+    assert "trigrams" in tg, "trigram plan must scan the trigram table"
+    sections.append((
+        "trigram-accelerated grep — candidate pruning",
+        "The trigram scan prunes bucket partitions and pushes the gram "
+        "filter; the regex scan joins against the candidate doc_ids "
+        "instead of reading the whole corpus through rlike.",
+        "\n".join(tg_lines),
+    ))
+
     dm = spark.read.parquet(idx.paths.doc_map).select("doc_id", "repo", "path")
     res = idx.search("parse", k=5)
     j = plan_of(dm.join(F.broadcast(res), "doc_id"))

@@ -133,6 +133,47 @@ def main() -> None:
         "executor_crit_s": round(c, 3),
     }
 
+    # trigram-accelerated grep vs full-scan grep on the SAME materialized
+    # corpus parquet (the 100 TB deployment reads an Iceberg table, not a
+    # generator): the trigram index turns a regex query from scan-the-world
+    # into intersect-candidates-then-verify
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import TrigramIndex, build_trigram_index
+
+    corpus_path = os.path.join(root, "corpus_parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    corpus_disk = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    build_trigram_index(spark, corpus_disk, root)
+    tri_build_s = time.time() - t0
+    tri = TrigramIndex.load(spark, root, cache=True)
+    tri.grep(corpus_disk, "zephyrblade", topk=1).collect()  # warm listing+cache
+    grep_cmp = {}
+    for pat in [r"zephyrblade", r"def parse_buffer_\w+\(", r"quixotic|obsidian",
+                r"(zephyr|nebul)[a-z]*(blade|izer)[a-z_0-9]*"]:
+        w_scan, _, cpu_scan = timed(lambda: grep(corpus_disk, pat, topk=100).collect())
+        walls, cpus = [], []
+        for _ in range(3):
+            w_tri, _, cpu_tri = timed(
+                lambda: tri.grep(corpus_disk, pat, topk=100).collect()
+            )
+            walls.append(w_tri)
+            cpus.append(cpu_tri)
+        n_scan = len(grep(corpus_disk, pat, topk=100).collect())
+        n_tri = len(tri.grep(corpus_disk, pat, topk=100).collect())
+        assert n_scan == n_tri, (pat, n_scan, n_tri)
+        grep_cmp[pat] = {
+            "scan_wall_s": round(w_scan, 3),
+            "trigram_wall_s": round(statistics.median(walls), 3),
+            "speedup": round(w_scan / max(statistics.median(walls), 1e-9), 1),
+            # executor task-time = cluster resources actually consumed; at
+            # fleet scale this, not single-query wall, is the cost axis
+            "scan_cpu_s": round(cpu_scan, 3),
+            "trigram_cpu_s": round(statistics.median(cpus), 3),
+            "cpu_saving": round(cpu_scan / max(statistics.median(cpus), 1e-9), 1),
+            "rows": n_tri,
+        }
+
     core_idx = sum(du(os.path.join(root, d))
                    for d in ("postings", "term_stats", "doc_map", "corpus_stats"))
     report = {
@@ -147,6 +188,8 @@ def main() -> None:
         "index_to_source_ratio": round(core_idx / max(src_bytes, 1), 3),
         "latencies_s": latencies,
         "latency_breakdown": breakdown,
+        "trigram_build_s": round(tri_build_s, 1),
+        "grep_scan_vs_trigram": grep_cmp,
         "loadavg_1m": os.getloadavg()[0],
     }
     print(json.dumps(report, indent=1))
@@ -192,8 +235,28 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         "dispatch cost is paid once for the whole set, which is how a "
         "production deployment meets a <0.5 s/query budget on Spark.\n"
         f"\nHost 1-min loadavg at measurement: {os.getloadavg()[0]:.1f}.\n"
-        "\nCommand: `python scripts/scale_demo.py` (SCALE_DEMO_DOCS / SCALE_DEMO_CORES env).\n"
     )
+    md += (
+        f"\n## regex grep: full scan vs trigram index (same parquet corpus)\n\n"
+        f"Trigram index build (one-time): {tri_build_s:.1f} s. Identical "
+        "results asserted per pattern (the index only prunes candidates — "
+        "query/trigram.py).\n\n"
+        "| pattern | scan wall (s) | trigram wall (s) | scan CPU (s) "
+        "| trigram CPU (s) | CPU saving | rows |\n"
+        "|---|---|---|---|---|---|---|\n"
+    )
+    for pat, v in grep_cmp.items():
+        md += (f"| `{pat}` | {v['scan_wall_s']} | {v['trigram_wall_s']} "
+               f"| {v['scan_cpu_s']} | {v['trigram_cpu_s']} "
+               f"| {v['cpu_saving']}x | {v['rows']} |\n")
+    md += (
+        "\nWall time at this corpus size is stage-dispatch-bound for both "
+        "paths; the scale axis is EXECUTOR CPU — the full scan burns "
+        "cores proportional to corpus bytes on every query, the trigram "
+        "path touches the int-keyed posting slices plus candidate docs "
+        "only. At 10^12 files the scan column is off the table entirely.\n"
+    )
+    md += "\nCommand: `python scripts/scale_demo.py` (SCALE_DEMO_DOCS / SCALE_DEMO_CORES env).\n"
     with open(os.path.join(repo, "BENCH", "SCALE_DEMO.md"), "w") as f:
         f.write(md)
     shutil.rmtree(root, ignore_errors=True)

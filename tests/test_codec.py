@@ -118,3 +118,19 @@ def test_batch_encoder_empty_and_no_positions():
     )
     assert one["pos_blocks"][0] is None
     assert one["block_last"][0] == [5]
+
+
+def test_xxhash64_spark_parity(spark):
+    """Driver-side xxhash64 must agree with Spark's xxhash64() so bucket
+    routing never needs a job."""
+    import pyspark.sql.functions as F
+
+    from ck_spark.codec import xxhash64_signed
+
+    vals = ["", "a", "abc", "def", "window w+", "parse_buffer",
+            "ünïcode ☃", "x" * 7, "y" * 100, "0123456789abcdef" * 2 + "XYZ"]
+    rows = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in rows:
+        assert xxhash64_signed(r["s"]) == r["h"], r["s"]

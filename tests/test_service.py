@@ -116,3 +116,31 @@ def test_rerank_seam(service, spark):
     )
     out = rerank(df, lambda s: s.str.len(), k=1).collect()
     assert out[0]["id"] == "b"
+
+
+def test_regex_search_trigram_acceleration(spark, tmp_path):
+    """Service regex results are identical with and without the trigram
+    index; reindex drops the (now stale) trigram index so correctness
+    never depends on a stale candidate set."""
+    import os
+
+    from ck_spark.corpus import generate_corpus
+    from ck_spark.query.trigram import TRIGRAM_DIR
+    from ck_spark.service import CkService
+
+    corpus = spark.createDataFrame(generate_corpus(80, seed=7))
+    svc = CkService(spark, str(tmp_path / "idx"), corpus=corpus, mode="code",
+                    build_opts=dict(n_segments=2, term_buckets=4))
+    plain = svc.regex_search(r"def \w+_ctx\(")["results"]
+    out = svc.build_trigram()
+    assert out["rows"] > 0 and svc._trigram() is not None
+    fast = svc.regex_search(r"def \w+_ctx\(")["results"]
+    assert [(r["path"], r["line_no"]) for r in fast] == [
+        (r["path"], r["line_no"]) for r in plain
+    ] and len(plain) > 0
+    svc.reindex(corpus.limit(5))
+    assert not os.path.exists(os.path.join(svc.root, TRIGRAM_DIR))
+    again = svc.regex_search(r"def \w+_ctx\(")["results"]
+    assert [(r["path"], r["line_no"]) for r in again] == [
+        (r["path"], r["line_no"]) for r in plain
+    ]

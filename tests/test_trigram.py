@@ -1,0 +1,168 @@
+"""Trigram-accelerated grep: analyzer soundness + index-vs-scan identity.
+
+The invariant under test: grep_indexed over (corpus, trigram index) is
+ROW-IDENTICAL to the full-scan grep for every pattern — the index only
+prunes candidates, never decides matches."""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+import pytest
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.query.trigram import (
+    MAX_QUERY_TRIGRAMS,
+    build_trigram_index,
+    grep_indexed,
+    required_trigrams,
+)
+
+
+def _tg(s: str) -> list[str]:
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
+
+
+# ---------------------------------------------------------------------------
+# analyzer (pure python)
+# ---------------------------------------------------------------------------
+
+
+def test_literal_pattern_yields_its_trigrams():
+    assert required_trigrams("parse_buffer") == _tg("parse_buffer")
+
+
+def test_concat_across_wildcard_requires_both_sides():
+    got = set(required_trigrams("parse.*buffer"))
+    assert set(_tg("parse")) <= got and set(_tg("buffer")) <= got
+
+
+def test_unanchorable_patterns_yield_nothing():
+    for pat in [".*", "[abc]+", r"\w+\s\d", "a|bcd", "..", "x?y?z?"]:
+        assert required_trigrams(pat) == []
+
+
+def test_alternation_keeps_only_common_trigrams():
+    assert required_trigrams("abcde|xbcdz") == ["bcd"]
+
+
+def test_optional_group_not_required():
+    assert required_trigrams("(?:skipme)?abc") == ["abc"]
+
+
+def test_repeat_min_one_required():
+    assert "abc" in required_trigrams("(?:abc){1,5}")
+    assert required_trigrams("(?:abc){0,5}") == []
+
+
+def test_cap_is_enforced_and_subset_of_full():
+    long = "abcdefghijklmnopqrstuvwxyz0123456789"
+    got = required_trigrams(long)
+    assert len(got) <= MAX_QUERY_TRIGRAMS
+    assert set(got) <= set(_tg(long))
+
+
+def test_invalid_regex_falls_back_to_empty():
+    assert required_trigrams("a(b") == []
+
+
+@pytest.mark.parametrize(
+    "pat,text",
+    [
+        ("parse.*buffer", "xx parse the big buffer yy"),
+        ("(?i)GetUserName", "call GETUSERNAME now"),
+        (r"fn\s+main\(", "fn  main()"),
+        (r"def\s+\w+\(self", "def foo(self):"),
+        ("abcde|xbcdz", "qqxbcdzqq"),
+        (r"\bword\b", "a word here"),
+        (r"(?=hello)hello world", "say hello world"),
+        ("(?>atomic)x", "an atomicx thing"),
+    ],
+)
+def test_required_trigrams_are_necessary(pat, text):
+    """Every extracted trigram must appear in lower(text) whenever the
+    pattern matches text — the pruning-soundness contract."""
+    assert re.search(pat, text)
+    low = text.lower()
+    for g in required_trigrams(pat):
+        assert g in low, (pat, g)
+
+
+# ---------------------------------------------------------------------------
+# spark: index == scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def indexed(spark):
+    from ck_spark.index.builder import build_index
+
+    pdf = generate_corpus(150, seed=42)
+    corpus = spark.createDataFrame(pdf)
+    root = tempfile.mkdtemp(prefix="ck_trigram_")
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=8, resume=False)
+    n_rows = build_trigram_index(spark, corpus, root)
+    assert n_rows > 0
+    return corpus, root
+
+
+GREP_MATRIX = [
+    dict(pattern="def "),                          # common literal
+    dict(pattern=r"return\s+\w+"),                 # literal + class tail
+    dict(pattern="zzzz_no_such_literal_zzzz"),     # zero candidates
+    dict(pattern=r"for\s.*\sin\s"),                # short literals only -> scan
+    dict(pattern="IMPORT", ignore_case=True),      # case-insensitive
+    dict(pattern="a(b", fixed_string=True),        # -F escapes regex chars
+    dict(pattern="return", whole_word=True),       # -w wrapping
+]
+
+
+@pytest.mark.parametrize("case", GREP_MATRIX, ids=lambda c: c["pattern"])
+def test_grep_indexed_identical_to_scan(spark, indexed, case):
+    from ck_spark.query.grep import grep
+
+    corpus, root = indexed
+    scan = grep(corpus, **case).collect()
+    fast = grep_indexed(spark, corpus, root, **case).collect()
+    key = lambda r: (r["path"], r["line_no"])
+    assert sorted(map(key, fast)) == sorted(map(key, scan))
+    assert len(fast) == len(scan)
+
+
+def test_grep_indexed_count_and_topk_modes(spark, indexed):
+    from ck_spark.query.grep import grep
+
+    corpus, root = indexed
+    scan = grep(corpus, "def ", count_matches=True).collect()
+    fast = grep_indexed(spark, corpus, root, "def ", count_matches=True).collect()
+    assert sorted((r["path"], r["n_matches"]) for r in fast) == sorted(
+        (r["path"], r["n_matches"]) for r in scan
+    )
+    top = grep_indexed(spark, corpus, root, "def ", topk=7).collect()
+    assert [
+        (r["path"], r["line_no"]) for r in top
+    ] == sorted((r["path"], r["line_no"]) for r in grep(corpus, "def ").collect())[:7]
+
+
+def test_candidate_set_is_superset_of_matches(spark, indexed):
+    """Direct soundness probe at the candidate level."""
+    from ck_spark.index.builder import doc_id_expr
+    from ck_spark.index.manifest import Manifest
+    from ck_spark.query.grep import files_with_matches
+    from ck_spark.query.trigram import trigram_candidates
+
+    corpus, root = indexed
+    pat = r"return\s+\w+"
+    cands = trigram_candidates(
+        spark, root, required_trigrams(pat),
+        int(Manifest(root).load_meta()["term_buckets"]),
+    )
+    cand_paths = {
+        r["path"]
+        for r in corpus.withColumn("doc_id", doc_id_expr())
+        .join(cands, "doc_id").select("path").collect()
+    }
+    match_paths = {r["path"] for r in files_with_matches(corpus, pat).collect()}
+    assert match_paths <= cand_paths
