@@ -1,0 +1,80 @@
+"""Load-gated scaling-run harvester for the shared sandbox host.
+
+External tenant load (routinely 5-20 on this 32-core box) poisons
+individual N-vs-4N measurements. This driver waits for quiet windows
+(1-min loadavg below a threshold), fires ONE spark-submit scaling run at
+a time alternating between the two levels, and appends each result (with
+the loadavg bracketing it) to a JSONL. scripts/scaling.py-style
+finalization then takes the best run per level — min filters external
+noise, never our own variance, because every run is the identical
+deterministic job (result hashes must agree).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+
+
+def one_run(cores: int, n_docs: int, zip_path: str) -> dict | None:
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--py-files", zip_path, "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "scripts", "scaling_job.py"),
+        "--cores", str(cores), "--n-docs", str(n_docs),
+    ]
+    load_before = os.getloadavg()[0]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    load_after = os.getloadavg()[0]
+    for ln in out.stdout.splitlines():
+        if ln.startswith("SCALING_RESULT "):
+            rec = json.loads(ln[len("SCALING_RESULT "):])
+            rec["load_before"] = round(load_before, 2)
+            rec["load_after_incl_self"] = round(load_after, 2)
+            rec["ts"] = time.time()
+            return rec
+    sys.stderr.write(out.stderr[-2000:] + "\n")
+    return None
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("HARVEST_DOCS", "240000"))
+    max_minutes = float(os.environ.get("HARVEST_MINUTES", "150"))
+    quiet = float(os.environ.get("HARVEST_QUIET_LOAD", "2.0"))
+    want_per_level = int(os.environ.get("HARVEST_RUNS", "3"))
+    zip_path = os.path.join(REPO, "BENCH", "dist.zip")
+
+    counts = {2: 0, 8: 0}
+    if os.path.exists(OUT):
+        for ln in open(OUT):
+            try:
+                counts[json.loads(ln)["cores"]] += 1
+            except Exception:
+                pass
+    deadline = time.time() + max_minutes * 60
+    while time.time() < deadline and min(counts.values()) < want_per_level:
+        load = os.getloadavg()[0]
+        if load > quiet:
+            time.sleep(60)
+            continue
+        # run the level with fewer samples first; tie -> the big level
+        # (it is the noise-sensitive one)
+        cores = 8 if counts[8] <= counts[2] else 2
+        rec = one_run(cores, n_docs, zip_path)
+        if rec is not None:
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            counts[cores] += 1
+            print(f"harvested cores={cores} build_s={rec['build_s']} "
+                  f"load_before={rec['load_before']}", flush=True)
+    print("harvest done:", counts, flush=True)
+
+
+if __name__ == "__main__":
+    main()
