@@ -132,9 +132,9 @@ def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
     write rebuilds."""
     idx = documents_index(spark, sf_dir)
     root = idx.paths.root
-    from ck_spark.query.trigram import TRIGRAM_DIR, build_trigram_index
+    from ck_spark.query.trigram import build_trigram_index, trigram_index_exists
 
-    if not os.path.exists(os.path.join(root, TRIGRAM_DIR, "_SUCCESS")):
+    if not trigram_index_exists(root):
         docs = load_documents(spark, sf_dir)
         par = min(spark.sparkContext.defaultParallelism,
                   max(2, docs.count() // 512))

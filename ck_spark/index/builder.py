@@ -512,6 +512,12 @@ def update_index(
         store = ParquetDirStore()
     paths = IndexPaths(out_dir)
     man = Manifest(out_dir)
+    # a trigram candidate index beside this root derives from content and
+    # would go silently STALE (missed grep matches) — drop it; rebuild via
+    # build_trigram_index when wanted (service.reindex mirrors this)
+    _tri_dir = os.path.join(out_dir, "trigrams")
+    if os.path.exists(_tri_dir):
+        shutil.rmtree(_tri_dir, ignore_errors=True)
     repaired = repair_index(spark, out_dir, store=store)
     meta = man.load_meta()
     n_segments = int(meta["n_segments"])

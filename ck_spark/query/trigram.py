@@ -144,7 +144,14 @@ def required_trigrams(pattern: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 TRIGRAM_DIR = "trigrams"
+TRIGRAM_MARKER = "_TRIGRAM_COMPLETE"
 _TRIGRAM_SCHEMA = "ghash int, n_docs int, ids_blocks array<binary>"
+
+
+def trigram_index_exists(root: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER))
 
 # grams are stored by HASH, not string: ghash = pmod(xxhash64(gram), 2^24).
 # A collision merges two grams' posting lists, which only WIDENS the
@@ -248,7 +255,21 @@ def build_trigram_index(
         .partitionBy("seg", "bucket")
         .parquet(out_dir)
     )
-    return int(obs.get["rows"])
+    rows = int(obs.get["rows"])
+    # dynamic partition overwrite commits per-partition and writes NO
+    # top-level _SUCCESS; completion is marked explicitly (tmp+rename,
+    # same discipline as the manifest) so presence checks are atomic
+    import json
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"rows": rows, "gram_hash_space": GRAM_HASH_SPACE,
+                   "term_buckets": term_buckets}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, TRIGRAM_MARKER))
+    return rows
 
 
 # ---------------------------------------------------------------------------

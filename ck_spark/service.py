@@ -202,9 +202,9 @@ class CkService:
         if self._tri is None:
             import os
 
-            from ck_spark.query.trigram import TRIGRAM_DIR, TrigramIndex
+            from ck_spark.query.trigram import TrigramIndex, trigram_index_exists
 
-            if os.path.exists(os.path.join(self.root, TRIGRAM_DIR, "_SUCCESS")):
+            if trigram_index_exists(self.root):
                 self._tri = TrigramIndex.load(self.spark, self.root)
         return self._tri
 

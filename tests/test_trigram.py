@@ -166,3 +166,22 @@ def test_candidate_set_is_superset_of_matches(spark, indexed):
     }
     match_paths = {r["path"] for r in files_with_matches(corpus, pat).collect()}
     assert match_paths <= cand_paths
+
+
+def test_update_index_drops_stale_trigram_index(spark, tmp_path):
+    """update_index must not leave a stale trigram candidate index behind
+    (stale candidates silently MISS matches in changed docs)."""
+    import os
+
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.trigram import TRIGRAM_DIR, trigram_index_exists
+
+    pdf = generate_corpus(40, seed=3)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, corpus, root)
+    assert trigram_index_exists(root)
+    update_index(spark, corpus.limit(3), root, full_snapshot=False)
+    assert not os.path.exists(os.path.join(root, TRIGRAM_DIR))
