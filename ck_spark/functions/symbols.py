@@ -216,8 +216,12 @@ _BRACE_TABLES: dict[str, list[tuple[re.Pattern, str, bool]]] = {
         (re.compile(r"^\s*(?:pub\s+)?(?:export\s+)?(?:inline\s+)?fn\s+(\w+)"),
          "function", False),
         (re.compile(r"^\s*test\s+\"([^\"]+)\""), "module", False),
-        (re.compile(r"^\s*(?:pub\s+)?const\s+(\w+)\s*=\s*(?:struct|enum|union|opaque)\b"),
+        # container kinds incl. error sets (error{...} — no space form)
+        (re.compile(r"^\s*(?:pub\s+)?const\s+(\w+)\s*=\s*(?:struct|enum|union|opaque|error)\b"),
          "class", False),
+        (re.compile(r"^\s*(?:pub\s+)?const\s+(\w+)\s*=\s*@import\b"),
+         "module", False),
+        (re.compile(r"^\s*(comptime)\s*\{"), "module", False),
     ],
     "dart": [
         (re.compile(r"^\s*(?:abstract\s+)?class\s+(\w+)"), "class", True),
@@ -397,7 +401,20 @@ def _detect_brace(lines: list[str], lang: str) -> list[_Sym]:
                 else:
                     rx_m = _JS_METHOD
                 m = rx_m.match(line)
-                if m and m.group(1) not in _JS_KEYWORDS and "{" in line:
+                # Allman style (java/csharp convention) puts '{' on the
+                # NEXT line — accept a signature line whose following
+                # non-blank line opens the body
+                opens_next = False
+                if m and "{" not in line and lang in ("java", "csharp"):
+                    for j in range(i + 1, min(i + 3, hi + 1)):
+                        nxt = lines[j].strip()
+                        if not nxt:
+                            continue
+                        opens_next = nxt.startswith("{")
+                        break
+                if m and m.group(1) not in _JS_KEYWORDS and (
+                    "{" in line or opens_next
+                ):
                     end = min(_brace_block_end(lines, i), hi)
                     out.append(_Sym("method", m.group(1), i, end, list(ancestry)))
                     i = end + 1

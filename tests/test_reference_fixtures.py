@@ -175,3 +175,256 @@ def test_byte_coverage_c_cpp():
             if ch not in b" \t\r\n" and not covered[j]
         ]
         assert not missing, (lang, missing[:5])
+
+
+# ---------------------------------------------------------------------------
+# Per-language parity: sources + assertions from the reference's own tests
+# (ck-chunk/src/lib.rs test_chunk_rust:2311, test_chunk_go:2459,
+# test_chunk_ruby:2402, test_chunk_zig:3057, test_chunk_csharp:3175,
+# test_chunk_elixir_basic:3597)
+# ---------------------------------------------------------------------------
+
+
+def _types(code, lang):
+    return [c.chunk_type for c in chunk_code(code, lang)]
+
+
+def test_chunk_rust_reference_case():
+    code = """
+pub struct Calculator {
+    memory: f64,
+}
+
+impl Calculator {
+    pub fn new() -> Self {
+        Calculator { memory: 0.0 }
+    }
+
+    pub fn add(&mut self, a: f64, b: f64) -> f64 {
+        a + b
+    }
+}
+
+fn main() {
+    let calc = Calculator::new();
+}
+
+pub mod utils {
+    pub fn helper() {}
+}
+"""
+    t = _types(code, "rust")
+    assert "class" in t        # struct
+    assert "module" in t       # impl and mod
+    assert "function" in t     # fns
+
+
+def test_chunk_go_reference_case():
+    code = """
+package main
+
+import "fmt"
+
+const Pi = 3.14159
+
+var memory float64
+
+type Calculator struct {
+    memory float64
+}
+
+type Operation interface {
+    Calculate(a, b float64) float64
+}
+
+func NewCalculator() *Calculator {
+    return &Calculator{memory: 0.0}
+}
+
+func (c *Calculator) Add(a, b float64) float64 {
+    return a + b
+}
+
+func main() {
+    calc := NewCalculator()
+}
+"""
+    t = _types(code, "go")
+    assert "module" in t       # const and var
+    assert "class" in t        # struct and interface
+    assert "function" in t
+    assert "method" in t       # receiver func
+
+
+def test_chunk_ruby_reference_case():
+    code = """
+class Calculator
+  def initialize
+    @memory = 0.0
+  end
+
+  def add(a, b)
+    a + b
+  end
+
+  def self.class_method
+    "class method"
+  end
+
+  private
+
+  def private_method
+    "private"
+  end
+end
+
+module Utils
+  def self.helper
+    "helper"
+  end
+end
+
+def main
+  calc = Calculator.new
+end
+"""
+    t = _types(code, "ruby")
+    assert "class" in t
+    assert "module" in t
+    # the reference asserts Function for methods; ours distinguishes
+    # method-in-class, so accept either kind for the def chunks
+    assert ("function" in t) or ("method" in t)
+
+
+def test_chunk_zig_reference_case():
+    code = """
+const std = @import("std");
+
+const Calculator = struct {
+    memory: f64,
+
+    pub fn init() Calculator {
+        return Calculator{ .memory = 0.0 };
+    }
+
+    pub fn add(self: *Calculator, a: f64, b: f64) f64 {
+        const result = a + b;
+        self.memory = result;
+        return result;
+    }
+};
+
+const Color = enum {
+    Red,
+    Green,
+    Blue,
+};
+
+const Value = union(enum) {
+    int: i32,
+    float: f64,
+};
+
+const Handle = opaque {};
+
+const MathError = error{
+    DivisionByZero,
+    Overflow,
+};
+
+pub fn multiply(a: i32, b: i32) i32 {
+    return a * b;
+}
+
+pub fn divide(a: i32, b: i32) MathError!i32 {
+    if (b == 0) return error.DivisionByZero;
+    return @divTrunc(a, b);
+}
+
+comptime {
+    @compileLog("Compile-time validation");
+}
+
+pub fn main() !void {
+    var calc = Calculator.init();
+}
+
+test "calculator addition" {
+    var calc = Calculator.init();
+}
+
+test "multiply function" {
+    const result = multiply(3, 4);
+}
+"""
+    t = _types(code, "zig")
+    # reference: >=5 Class (struct, enum, union, opaque, error set),
+    # >=3 Function (multiply, divide, main), >=4 Module (const std,
+    # comptime, 2 tests)
+    assert t.count("class") >= 5, t
+    assert t.count("function") >= 3, t
+    assert t.count("module") >= 4, t
+
+
+def test_chunk_csharp_reference_case():
+    code = """
+namespace Calculator;
+
+public interface ICalculator
+{
+    double Add(double x, double y);
+}
+
+public class Calculator
+{
+    public static const double PI = 3.14159;
+    private double _memory;
+
+    public Calculator()
+    {
+        _memory = 0.0;
+    }
+
+    public double Add(double x, double y)
+    {
+        return x + y;
+    }
+
+    public static void Main(string[] args)
+    {
+        var calc = new Calculator();
+    }
+}
+"""
+    t = _types(code, "csharp")
+    assert "module" in t       # namespace / interface
+    assert "class" in t
+    assert "method" in t
+
+
+def test_chunk_elixir_reference_cases():
+    basic = """
+defmodule Calculator do
+  @moduledoc "A simple calculator module"
+
+  def add(a, b) do
+    a + b
+  end
+
+  defp multiply(a, b) do
+    a * b
+  end
+end
+"""
+    t = _types(basic, "elixir")
+    assert "module" in t       # defmodule
+    assert ("function" in t) or ("method" in t)  # def/defp
+
+    protocol = """
+defprotocol Stringable do
+  @doc "Converts to string"
+  def to_string(value)
+end
+"""
+    t2 = _types(protocol, "elixir")
+    assert "module" in t2      # defprotocol
