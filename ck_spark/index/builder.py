@@ -188,43 +188,77 @@ def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
     )
 
 
-def _make_batch_encoder(avgdl: float, k1: float, b: float, block: int):
-    """mapInPandas encoder: each input row is one (seg, bucket, term) group
-    with pre-sorted, JVM-deconstructed id/tf/dl arrays (Arrow hands them to
-    pandas as numpy arrays). One pandas frame per Arrow batch instead of
-    one per group — the per-group Python overhead drops ~30x vs
-    applyInPandas."""
+def _make_bucket_encoder(avgdl: float, k1: float, b: float, block: int):
+    """applyInPandas encoder: one call per (seg, bucket) group, whose rows
+    are FLAT (term, doc_id, tf, dl, poss) pairs straight off the shuffle.
 
-    def encode_batches(iterator):
-        for pdf in iterator:
-            # ONE vectorized encode for the whole Arrow batch: positions
-            # arrive pre-flattened per term (JVM F.flatten; per-doc
-            # boundaries recover from the tf stream), so the Python side
-            # pays batch-level numpy cost, not per-term/per-doc cost
-            enc = encode_posting_blocks_batch(
-                list(pdf["ids"]), list(pdf["tfs"]), list(pdf["dls"]),
-                list(pdf["poss"]), avgdl, k1, b, block,
-            )
-            yield pd.DataFrame({
-                "term": pdf["term"],
-                "n_docs": pdf["ids"].map(len).astype("int64"),
-                "ids_blocks": enc["ids_blocks"],
-                "tfs_blocks": enc["tfs_blocks"],
-                "dls_blocks": enc["dls_blocks"],
-                "pos_blocks": enc["pos_blocks"],
-                "block_max": enc["block_max"],
-                "block_last": enc["block_last"],
-                "avgdl_enc": avgdl,
-                "seg": pdf["seg"].astype("int64"),
-                "bucket": pdf["bucket"].astype("int64"),
-            })
+    Why grouped-flat instead of JVM collect_list: aggregating nested
+    (doc_id, tf, dl, positions) structs per term materializes every
+    in-flight group's object graph on the JVM heap — that design hit an
+    execution-memory cliff once segments carried tens of thousands of
+    docs (480k docs × 16 segments OOMed an 8g heap). Here the shuffle
+    carries compact UnsafeRows (sort-based, spillable), the whole bucket
+    arrives as Arrow buffers, and the sort/group work happens in numpy:
+    np.unique over terms + lexsort by (term, doc_id) + boundary slicing,
+    then ONE vectorized encode_posting_blocks_batch call for every term
+    in the bucket. Group count = segments × buckets (thousands), so the
+    ~ms per-group Python overhead is noise while per-task memory stays
+    bounded by one bucket regardless of corpus size."""
 
-    return encode_batches
+    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[
+                "term", "n_docs", "ids_blocks", "tfs_blocks", "dls_blocks",
+                "pos_blocks", "block_max", "block_last", "avgdl_enc",
+                "seg", "bucket",
+            ])
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        uniq, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((doc_ids, codes))  # (term, doc_id) ascending
+        codes_s = codes[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(codes_s)) + 1, [len(codes_s)]]
+        )
+        ids_l = np.split(doc_ids[order], bounds[1:-1])
+        tfs_l = np.split(tfs[order], bounds[1:-1])
+        dls_l = np.split(dls[order], bounds[1:-1])
+        # positions: concatenate per-doc lists in sorted row order once,
+        # slice per term via the tf cumsum (tf == len(positions))
+        poss_rows = pdf["poss"].to_numpy()[order]
+        flat_pos = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in poss_rows])
+            if len(poss_rows) else np.empty(0, dtype=np.int64)
+        )
+        tf_cum = np.cumsum(tfs[order])
+        pos_bounds = np.concatenate([[0], tf_cum])[bounds[1:-1]]
+        poss_l = np.split(flat_pos, pos_bounds)
+        enc = encode_posting_blocks_batch(
+            ids_l, tfs_l, dls_l, poss_l, avgdl, k1, b, block
+        )
+        return pd.DataFrame({
+            "term": uniq,
+            "n_docs": np.diff(bounds).astype("int64"),
+            "ids_blocks": enc["ids_blocks"],
+            "tfs_blocks": enc["tfs_blocks"],
+            "dls_blocks": enc["dls_blocks"],
+            "pos_blocks": enc["pos_blocks"],
+            "block_max": enc["block_max"],
+            "block_last": enc["block_last"],
+            "avgdl_enc": avgdl,
+            "seg": int(pdf["seg"].iloc[0]),
+            "bucket": int(pdf["bucket"].iloc[0]),
+        })
+
+    return encode_bucket
 
 
 def _encode_and_write_postings(
     spark: SparkSession, pairs: DataFrame, out_dir: str,
     avgdl: float, k1: float, b: float, block_size: int,
+    n_groups: int = 0,
 ) -> tuple[int, int]:
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
     with dynamic partition overwrite. Returns (rows, ~terms)."""
@@ -234,30 +268,29 @@ def _encode_and_write_postings(
         # plan that never runs tasks
         return 0, 0
     enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
-    # explicit shuffle width on the exact grouping keys: Catalyst reuses
-    # the partitioning for the groupBy (no second exchange) and AQE never
-    # coalesces an explicit repartition — the encode stage is CPU-bound on
-    # small bytes, so byte-based coalescing would serialize it.
-    enc_width = max(spark.sparkContext.defaultParallelism * 2, 16)
-    grouped = (
-        pairs.repartition(enc_width, "seg", "bucket", "term")
-        .groupBy("seg", "bucket", "term")
-        # sort + deconstruct in the JVM (codegen): the Python side receives
-        # three aligned numpy arrays per group, no per-group pandas frame
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl", "poss"))).alias("pl"))
-        .select(
-            "seg", "bucket", "term",
-            F.col("pl.doc_id").alias("ids"),
-            F.col("pl.tf").alias("tfs"),
-            F.col("pl.dl").alias("dls"),
-            # flatten per-doc position lists in the JVM (codegen) — the
-            # encoder recovers per-doc boundaries from the tf stream, and
-            # Python sees ONE flat array per term instead of N tiny lists
-            F.flatten(F.col("pl.poss")).alias("poss"),
+    # ONE exchange, grouped by (seg, bucket): the shuffle carries compact
+    # flat UnsafeRows (sort-based, spillable — never a JVM object graph of
+    # nested per-term lists, which OOMed once segments carried ~tens of
+    # thousands of docs), and applyInPandas materializes ONE group at a
+    # time per task, so executor memory is bounded by a single bucket
+    # regardless of corpus size. The explicit repartition on the exact
+    # grouping keys is load-bearing: Catalyst reuses it for the groupBy
+    # (no second exchange) and AQE never coalesces an explicit
+    # repartition — byte-based coalescing would serialize this CPU-bound
+    # stage at small inputs.
+    #
+    # Width scales with the GEOMETRY (caller passes n_groups = #segs in
+    # this pass × term_buckets): ~one (seg, bucket) group per partition
+    # keeps the pre-apply sort to one bucket's worth of rows per task —
+    # a width fixed by core count alone made the sort exhaust execution
+    # memory at 480k docs × 16 partitions (observed UNABLE_TO_ACQUIRE).
+    enc_width = max(spark.sparkContext.defaultParallelism * 2, 16, n_groups)
+    enc = (
+        pairs.repartition(enc_width, "seg", "bucket")
+        .groupBy("seg", "bucket")
+        .applyInPandas(
+            _make_bucket_encoder(float(avgdl), k1, b, block_size), enc_schema
         )
-    )
-    enc = grouped.mapInPandas(
-        _make_batch_encoder(float(avgdl), k1, b, block_size), enc_schema
     )
     obs = Observation()
     (
@@ -302,6 +335,7 @@ def _reencode_segments(
     _encode_and_write_postings(
         spark, pairs_aff, paths.postings, avgdl,
         float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+        n_groups=len(segs) * int(meta["term_buckets"]),
     )
 
 
@@ -435,7 +469,8 @@ def build_index(
         docs_g = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(segs))
         pairs = _pairs_df(docs_g, term_buckets)
         nrows, nterms = _encode_and_write_postings(
-            spark, pairs, paths.postings, avgdl, k1, b, block_size
+            spark, pairs, paths.postings, avgdl, k1, b, block_size,
+            n_groups=len(segs) * term_buckets,
         )
         man.complete(
             "postings", g, snapshot, nrows, nterms,

@@ -37,6 +37,7 @@ def run_level(zip_path: str, cores: int, n_docs: int, repeats: int,
         cmd = [
             "spark-submit",
             "--master", f"local[{cores}]",
+            "--driver-memory", f"{2 * cores}g",
             "--py-files", zip_path,
             "--conf", "spark.ui.enabled=false",
             os.path.join(REPO, "scripts", "scaling_job.py"),

@@ -25,6 +25,7 @@ OUT = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 def one_run(cores: int, n_docs: int, zip_path: str) -> dict | None:
     cmd = [
         "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", f"{2 * cores}g",
         "--py-files", zip_path, "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "scripts", "scaling_job.py"),
         "--cores", str(cores), "--n-docs", str(n_docs),

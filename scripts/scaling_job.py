@@ -40,7 +40,10 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # NOTE: driver memory is set by the LAUNCHER (scripts/scaling.py /
+        # scaling_harvest.py pass --driver-memory 2g*cores): memory scales
+        # WITH the level, as on a real cluster where N executors bring
+        # N x memory. An in-process config here would be ignored.
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
