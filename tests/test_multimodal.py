@@ -38,10 +38,12 @@ def test_feature_extraction_plumbing(spark, media):
 
 
 def test_real_decode_rejects_invalid_payloads(spark, media):
-    """real_decode is no longer a stub: PNG payloads decode through the
-    built-in codec, and a payload that ISN'T a valid PNG fails loudly at
-    decode time (never a silent fake)."""
-    with pytest.raises(Exception, match="not a PNG|no decoder"):
+    """real_decode is no longer a stub: payloads route to real codecs and
+    an invalid payload fails LOUDLY at decode time (never a silent fake).
+    Which row's error surfaces first depends on task ordering: a fake PNG
+    ("not a PNG"), a fake WAV (wave.Error "...RIFF id"), or an mp4 with no
+    built-in codec ("no decoder")."""
+    with pytest.raises(Exception, match="not a PNG|no decoder|RIFF"):
         extract_features(media, real_decode=True).collect()
 
 
