@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--gen-partitions", type=int, default=64)
     ap.add_argument("--n-segments", type=int, default=16)
     ap.add_argument("--body-scale", type=int, default=3)
+    ap.add_argument("--corpus-path", default=None,
+                    help="pre-materialized corpus parquet: the production "
+                         "input is a STORED table (north rule: 'over an "
+                         "Iceberg table'), so when set, generation is "
+                         "excluded from the timed build at both levels")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,10 +61,13 @@ def main() -> None:
     wc.select(tokens_udf("code")("content")).count()
 
     # fixed generation partitioning -> byte-identical corpus at any core count
-    corpus = generate_corpus_spark(
-        spark, args.n_docs, seed=42, partitions=args.gen_partitions,
-        body_scale=args.body_scale,
-    )
+    if args.corpus_path:
+        corpus = spark.read.parquet(args.corpus_path)
+    else:
+        corpus = generate_corpus_spark(
+            spark, args.n_docs, seed=42, partitions=args.gen_partitions,
+            body_scale=args.body_scale,
+        )
 
     root = tempfile.mkdtemp(prefix=f"ck_scale_{args.cores}_")
     t0 = time.time()
