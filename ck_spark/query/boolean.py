@@ -8,11 +8,14 @@ subset of that grammar over the Spark index:
 - ``+term`` / ``-term`` are MUST / MUST_NOT
 - ``"multi word"`` is a phrase: its terms become MUST clauses for
   candidate generation, then candidates are verified for token ADJACENCY —
-  index-only against the positions postings (v5 indexes, the tantivy
+  index-only against the positions postings (v5+ indexes, the tantivy
   PhraseQuery analogue), or against the corpus content for older
-  position-less indexes (the verify regex encodes exactly the simple-mode
-  tokenizer's boundary rule — tokens are maximal alnum runs, so adjacency
-  means exactly one non-alphanumeric run between them). Scoring deviation,
+  position-less indexes. Adjacency means consecutive POSITIONS under the
+  index's gap numbering (tokenizer.term_positions_text): a filtered-out
+  token between two words breaks the phrase, matching both tantivy's
+  position counter and the simple-mode separator regex (tokens are maximal
+  alnum runs, so adjacency = exactly one non-alphanumeric run between
+  them). Scoring deviation,
   documented: the phrase contributes the BM25 sum of its terms rather
   than tantivy's phrase-frequency, preserving the candidate SET semantics.
 - ``-"multi word"`` is a NEGATIVE phrase: tantivy builds
@@ -116,32 +119,37 @@ def phrase_adjacency_regex(terms: list[str]) -> str:
     return f"(?i)(^|[^a-z0-9]){body}($|[^a-z0-9])"
 
 
-def _contains_subsequence(toks: list[str], p: list[str]) -> bool:
-    n, m = len(toks), len(p)
-    if m == 0:
-        return True
-    first = p[0]
-    for i in range(n - m + 1):
-        if toks[i] == first and toks[i:i + m] == p:
-            return True
-    return False
+def phrases_match_text(text: str, phrases: list[list[str]], mode: str) -> bool:
+    """True iff EVERY phrase's terms appear at CONSECUTIVE POSITIONS under
+    the index's position numbering (tokenizer.term_positions_text — gap
+    numbering: a stoplisted or ≥40-byte token between two words breaks
+    adjacency, exactly as tantivy's position counter and the raw-text
+    separator regex both do). Shared by the corpus-verify UDF and the
+    pure-python test oracles so every phrase path agrees by definition."""
+    from ck_spark.tokenizer import term_positions_text
+
+    pos = term_positions_text(text or "", mode)
+    posmap = {p: t for t, ps in pos.items() for p in ps}
+    for ph in phrases:
+        starts = pos.get(ph[0], ())
+        if not any(
+            all(posmap.get(q + j) == ph[j] for j in range(1, len(ph)))
+            for q in starts
+        ):
+            return False
+    return True
 
 
 def phrase_match_udf(phrases: list[list[str]], mode: str):
-    """Arrow pandas UDF: content -> True iff EVERY phrase's terms appear
-    consecutively under the index's OWN tokenizer. This is the exact
-    adjacency check for non-simple modes (code mode splits camelCase, so
-    'parseBuffer' contains the adjacent tokens [parse, buffer] — a
-    separator regex can't see that); simple-mode callers use the codegen
-    regex instead."""
+    """Arrow pandas UDF: content -> True iff EVERY phrase matches under
+    ``phrases_match_text``. This is the exact adjacency check for
+    non-simple modes (code mode splits camelCase, so 'parseBuffer'
+    contains the adjacent tokens [parse, buffer] — a separator regex
+    can't see that); simple-mode callers use the codegen regex instead."""
     from pyspark.sql import functions as F
 
     @F.pandas_udf("boolean")
     def _udf(content: pd.Series) -> pd.Series:
-        def ok(text):
-            toks = tokenize(text or "", mode)
-            return all(_contains_subsequence(toks, p) for p in phrases)
-
-        return content.map(ok)
+        return content.map(lambda t: phrases_match_text(t, phrases, mode))
 
     return _udf

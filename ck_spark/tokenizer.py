@@ -52,20 +52,30 @@ CODE_STOPWORDS = frozenset(
 _SIMPLE_SQL_SPLIT = "[^a-z0-9]+"  # applied after lower() in SQL oracles
 
 
-def tokenize(text: str, mode: str = "code") -> List[str]:
-    """Tokenize one string. Deterministic, pure."""
+def raw_tokens(text: str, mode: str = "code") -> List[str]:
+    """Post-split, PRE-filter token stream (lowercased): every maximal
+    alphanumeric run, including tokens the filters will drop. This stream
+    defines position numbering — see ``term_positions_text``."""
     if not text:
         return []
     if mode == "code":
         text = _CAMEL_RE.sub(" ", text)
-    toks = _TOKEN_RE.findall(text.lower())
-    # tantivy's RemoveLongFilter measures BYTES (token.text.len() in Rust).
-    if mode == "code":
-        return [
-            t for t in toks
-            if len(t.encode("utf-8")) < MAX_TOKEN_LEN and t not in CODE_STOPWORDS
-        ]
-    return [t for t in toks if len(t.encode("utf-8")) < MAX_TOKEN_LEN]
+    return _TOKEN_RE.findall(text.lower())
+
+
+def keep_token(t: str, mode: str = "code") -> bool:
+    """The index filter: tantivy's RemoveLongFilter measures BYTES
+    (token.text.len() in Rust) and keeps len < limit; `code` mode adds the
+    stoplist."""
+    if len(t.encode("utf-8")) >= MAX_TOKEN_LEN:
+        return False
+    return mode != "code" or t not in CODE_STOPWORDS
+
+
+def tokenize(text: str, mode: str = "code") -> List[str]:
+    """Tokenize one string (filtered stream — the tf/df token list).
+    Deterministic, pure."""
+    return [t for t in raw_tokens(text, mode) if keep_token(t, mode)]
 
 
 def tokenize_series(s: pd.Series, mode: str = "code") -> pd.Series:
@@ -97,18 +107,43 @@ def term_freqs(tokens: Iterable[str]) -> dict:
 
 
 def term_positions(tokens: Iterable[str]) -> dict:
-    """term -> strictly-increasing token positions for one document.
-
-    Positions index into the FILTERED token stream (post stoplist/length
-    cut) — the same stream `tokenize` returns — which is exactly the
-    adjacency definition the phrase verifier has always used
-    (query/boolean.py phrase_match_udf), so a positions-index phrase query
-    and a corpus-scan phrase query agree by construction. tf == len(positions).
-    """
+    """term -> strictly-increasing token positions for ONE token list as
+    given (no filtering applied here). Used by in-memory posting-kernel
+    tests; the index build uses ``term_positions_text``."""
     d: dict = {}
     for i, t in enumerate(tokens):
         d.setdefault(t, []).append(i)
     return d
+
+
+def _positions_from_raw(raw: List[str], mode: str) -> dict:
+    d: dict = {}
+    if mode == "code":
+        for i, t in enumerate(raw):
+            if len(t.encode("utf-8")) < MAX_TOKEN_LEN and t not in CODE_STOPWORDS:
+                d.setdefault(t, []).append(i)
+    else:
+        for i, t in enumerate(raw):
+            if len(t.encode("utf-8")) < MAX_TOKEN_LEN:
+                d.setdefault(t, []).append(i)
+    return d
+
+
+def term_positions_text(text: str, mode: str = "code") -> dict:
+    """term -> token positions for one document — THE index's position
+    semantics (v6): positions index into the RAW (pre-filter) token
+    stream, so a token removed by the length cut or stoplist leaves a GAP.
+
+    This is tantivy's behavior: SimpleTokenizer assigns Token.position
+    while tokenizing and RemoveLongFilter merely skips tokens, so the
+    surviving tokens keep their original numbering — a ≥40-byte token
+    between two phrase words breaks phrase adjacency. It also matches the
+    raw-text separator-regex oracle (boolean.phrase_adjacency_regex): a
+    dropped long token is still an alphanumeric run in the text, so the
+    regex does not see the words as adjacent either. Only kept terms are
+    stored: tf == len(positions) still holds.
+    """
+    return _positions_from_raw(raw_tokens(text, mode), mode)
 
 
 def tokens_udf(mode: str = "code"):
@@ -137,8 +172,18 @@ def term_freqs_udf(mode: str = "code"):
     return _udf
 
 
+def positions_series(s: pd.Series, mode: str = "code") -> pd.Series:
+    """Vectorized equivalent of ``term_positions_text`` over a Series."""
+    s = s.fillna("")
+    if mode == "code":
+        s = s.str.replace(_CAMEL_RE, " ", regex=True)
+    raw = s.str.lower().str.findall(_TOKEN_RE)
+    return raw.map(lambda ts: _positions_from_raw(ts, mode))
+
+
 def term_positions_udf(mode: str = "code"):
-    """Arrow pandas UDF: content -> map<term, array<int> positions>.
+    """Arrow pandas UDF: content -> map<term, array<int> positions>
+    (gap numbering — see ``term_positions_text``).
 
     The index build's single tokenize pass (builder._with_doc_columns):
     tf and doc_len are DERIVED from this map JVM-side (transform_values/
@@ -148,7 +193,7 @@ def term_positions_udf(mode: str = "code"):
 
     @F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
     def _udf(s: pd.Series) -> pd.Series:
-        return tokenize_series(s, mode).map(term_positions)
+        return positions_series(s, mode)
 
     return _udf
 

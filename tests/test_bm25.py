@@ -285,15 +285,16 @@ def test_search_query_phrase(spark, engine):
     """Phrase: candidates must contain the tokens ADJACENTLY under the
     index's tokenizer (code mode here: camelCase splits count as
     adjacency); scores are the BM25 sum of the phrase terms."""
+    from ck_spark.query.boolean import phrases_match_text
     from ck_spark.tokenizer import tokenize
 
     idx, docs = engine
     corpus = _corpus_df(spark, docs)
 
     def adjacent(c, p):
-        ts = tokenize(c, "code")
-        m = len(p)
-        return any(ts[i:i + m] == p for i in range(len(ts) - m + 1))
+        # gap-numbering oracle: consecutive POSITIONS, not consecutive
+        # filtered tokens (a stopword between the words breaks the phrase)
+        return phrases_match_text(c, [p], "code")
 
     # find a token bigram adjacent in a nonempty strict subset of docs
     phrase = None
@@ -336,7 +337,7 @@ def test_search_query_phrase_code_mode_camelcase_adjacency(spark, engine):
     '"batch buffer ctx"' must match docs whose only occurrence is the
     identifier batchBufferCtx (the separator-regex approach would miss
     them)."""
-    from ck_spark.tokenizer import tokenize
+    from ck_spark.query.boolean import phrases_match_text
 
     idx, docs = engine
     corpus = _corpus_df(spark, docs)
@@ -346,9 +347,7 @@ def test_search_query_phrase_code_mode_camelcase_adjacency(spark, engine):
     got = {d for d, _ in _run_sq(idx, '"batch buffer ctx"', k=500, corpus=corpus)}
 
     def adjacent(c):
-        ts = tokenize(c, "code")
-        return any(ts[i:i + 3] == ["batch", "buffer", "ctx"]
-                   for i in range(len(ts) - 2))
+        return phrases_match_text(c, [["batch", "buffer", "ctx"]], "code")
 
     expected = {d for d, c in docs.items() if adjacent(c)}
     assert got == expected

@@ -50,6 +50,42 @@ def test_term_positions_matches_tokenize():
     assert sum(len(ps) for ps in pos.values()) == len(toks)
 
 
+def test_gap_numbering_long_token_breaks_phrase():
+    """v6 position semantics: a ≥40-byte token between two words leaves a
+    position GAP (tantivy RemoveLongFilter keeps the inner tokenizer's
+    numbering), so the words are NOT phrase-adjacent — which also matches
+    the raw-text separator-regex oracle (the long token is an alnum run)."""
+    from ck_spark.query.boolean import phrases_match_text
+    from ck_spark.tokenizer import term_positions_text
+
+    long_tok = "x" * 45
+    text = f"alpha {long_tok} beta"
+    pos = term_positions_text(text, "simple")
+    assert pos["alpha"] == [0] and pos["beta"] == [2]
+    assert long_tok not in pos  # filtered out, but its position slot remains
+    assert not phrases_match_text(text, [["alpha", "beta"]], "simple")
+    assert phrases_match_text("alpha beta", [["alpha", "beta"]], "simple")
+    # tf/doc_len still count only KEPT tokens
+    assert sum(len(ps) for ps in pos.values()) == len(tokenize(text, "simple")) == 2
+
+
+def test_gap_numbering_stopword_breaks_phrase_code_mode():
+    """code mode: a stoplisted word between two terms breaks adjacency
+    (Lucene StopFilter-with-position-increments behavior); in simple mode
+    the same word is a real token and the 3-term phrase matches."""
+    from ck_spark.query.boolean import phrases_match_text
+    from ck_spark.tokenizer import term_positions_text
+
+    text = "foo the bar"
+    pos = term_positions_text(text, "code")
+    assert pos == {"foo": [0], "bar": [2]}
+    assert not phrases_match_text(text, [["foo", "bar"]], "code")
+    assert phrases_match_text("foo bar", [["foo", "bar"]], "code")
+    assert phrases_match_text(text, [["foo", "the", "bar"]], "simple")
+    # camelCase split parts remain adjacent
+    assert phrases_match_text("call fooBar here", [["foo", "bar"]], "code")
+
+
 def _make_rows(seg_docs: dict[int, list[str]], block: int = 4):
     """Build in-memory posting rows (one per term) from doc_id -> tokens,
     exactly as the index encoder would."""
@@ -149,6 +185,10 @@ def phrase_engine(spark, tmp_path_factory):
         # only one term
         "d5": "the table scan reads every row",
         "d6": "a rolling hash fingerprints each window",
+        # both terms separated by a ≥40-byte token: the long token is
+        # dropped by RemoveLongFilter but HOLDS its position, so the words
+        # are not adjacent — the phrase must not match (gap numbering)
+        "d7": f"rebuild the hash {'q' * 45} table tonight",
     }
     rows = [("r", k, "c0", "text", v) for k, v in docs.items()]
     corpus = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
@@ -168,6 +208,7 @@ def _paths(idx, path2id, q, **kw):
 
 def test_phrase_index_only_positive(phrase_engine):
     idx, p2i = phrase_engine
+    # d7 contains "hash <40+ byte token> table" and must NOT match
     assert _paths(idx, p2i, '"hash table"') == ["d1", "d2"]
     # reversed phrase matches nothing
     assert _paths(idx, p2i, '"table hash"') == []
@@ -178,10 +219,10 @@ def test_negative_phrase_excludes_only_adjacent(phrase_engine):
     MustNot(PhraseQuery)) — d3/d4 contain both terms separately and stay."""
     idx, p2i = phrase_engine
     got = _paths(idx, p2i, 'table -"hash table"')
-    assert got == ["d3", "d4", "d5"]
+    assert got == ["d3", "d4", "d5", "d7"]
     # old (over-excluding) behavior would have dropped d3/d4 too
     got2 = _paths(idx, p2i, 'hash -"hash table"')
-    assert got2 == ["d3", "d4", "d6"]
+    assert got2 == ["d3", "d4", "d6", "d7"]
 
 
 def test_negative_phrase_with_unknown_term_bans_nothing(phrase_engine):
