@@ -69,8 +69,13 @@ from ck_spark.tokenizer import term_positions_udf
 
 # v3: merged doc_map+tfm layout; v4: <40-byte token filter; v5: positions
 # (posm in doc_map, pos_blocks in postings — phrase queries resolve
-# index-only, no corpus adjacency scan)
-INDEX_VERSION = 5
+# index-only, no corpus adjacency scan); v6: gap position numbering
+# (tokenizer.term_positions_text) + stored content in doc_map
+# (store_content=True): the Zoekt-style stored-content design — candidate
+# fetch for trigram grep and all service-side scans become seg-pruned,
+# doc_id-sorted narrow reads of the index's own table instead of a
+# full-corpus pass, and the service no longer needs a caller-held corpus.
+INDEX_VERSION = 6
 DOC_ID_MASK = (1 << 62) - 1  # keep xxhash64-derived doc ids non-negative
 
 POSTINGS_SCHEMA = (
@@ -80,11 +85,18 @@ POSTINGS_SCHEMA = (
     "block_max array<float>, block_last array<long>, avgdl_enc double"
 )
 
-# doc_map columns, in write order; tfm/posm last so narrow readers prune them
+# doc_map columns, in write order; tfm/posm/content last so narrow readers
+# prune them (parquet scans read only selected columns either way — the
+# order just documents the access classes: identity, stats, token maps,
+# raw bytes)
 DOC_MAP_COLS = [
     "doc_id", "repo", "path", "commit", "lang",
     "content_sha256", "is_binary", "doc_len", "seg", "tfm", "posm",
 ]
+
+
+def doc_map_cols(store_content: bool) -> list[str]:
+    return DOC_MAP_COLS + ["content"] if store_content else list(DOC_MAP_COLS)
 
 
 @dataclass
@@ -367,6 +379,18 @@ def repair_index(spark: SparkSession, out_dir: str,
     srow = spark.read.parquet(paths.corpus_stats).collect()[0]
     avgdl = float(srow["avgdl"] or 0.0)
     _reencode_segments(spark, paths, meta, marker["segs"], avgdl)
+    # a trigram index is the same pure function of doc_map content: re-run
+    # the interrupted refresh for the flagged segments (the marker was
+    # dropped at the start of the update window, so until this completes
+    # readers fall back to full-scan grep — never a silent stale miss)
+    from ck_spark.query.trigram import TRIGRAM_DIR, refresh_trigram_segments
+
+    _tri_dir = os.path.join(out_dir, TRIGRAM_DIR)
+    if os.path.exists(_tri_dir):
+        if meta.get("store_content"):
+            refresh_trigram_segments(spark, out_dir, marker["segs"])
+        else:
+            shutil.rmtree(_tri_dir, ignore_errors=True)
     n_terms = _write_term_stats(spark, paths)
     _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
     meta.update({
@@ -393,6 +417,7 @@ def build_index(
     b: float = BM25_B,
     block_size: int = BLOCK_SIZE,
     snapshot_id: str = "input",
+    store_content: bool = True,
 ) -> IndexPaths:
     """Build (or resume building) the inverted index under out_dir.
 
@@ -401,7 +426,14 @@ def build_index(
     DIFFERENT data into the same out_dir rebuilds instead of reusing stale
     tokenization (ck's mtime/size fast path analogue,
     ck-index/src/lib.rs:851-906). The default constant keeps same-corpus
-    resume (kill/rerun) working when no snapshot token is available."""
+    resume (kill/rerun) working when no snapshot token is available.
+
+    store_content=True (v6 default) stores the raw content in doc_map —
+    Zoekt's stored-content trade: index size grows by ~1× source (still
+    within the reference's ≤2× budget), and in exchange every grep/section
+    fetch is a seg-pruned, doc_id-sorted narrow read of the index instead
+    of a join against a full corpus scan, trigram refresh after updates is
+    segment-local, and the query service needs no caller-held corpus."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest(out_dir)
@@ -416,10 +448,14 @@ def build_index(
     if fresh_doc_map:
         docs = _with_doc_columns(corpus, mode, n_segments)
         (
-            docs.select(*DOC_MAP_COLS)
+            docs.select(*doc_map_cols(store_content))
             # bound output files: ~1 writer task per segment dir instead of
             # (input tasks × segments) small files
             .repartition(n_segments, "seg")
+            # doc_id-sorted rows per file: parquet row-group/page min-max
+            # stats make candidate fetches (literal doc_id IN (...) after
+            # trigram intersection) skip row groups instead of scanning
+            .sortWithinPartitions("seg", "doc_id")
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(paths.doc_map)
@@ -495,6 +531,7 @@ def build_index(
         {
             "version": INDEX_VERSION,
             "with_positions": True,
+            "store_content": store_content,
             "tokenizer_mode": mode,
             "n_segments": n_segments,
             "term_buckets": term_buckets,
@@ -547,14 +584,17 @@ def update_index(
         store = ParquetDirStore()
     paths = IndexPaths(out_dir)
     man = Manifest(out_dir)
-    # a trigram candidate index beside this root derives from content and
-    # would go silently STALE (missed grep matches) — drop it; rebuild via
-    # build_trigram_index when wanted (service.reindex mirrors this)
-    _tri_dir = os.path.join(out_dir, "trigrams")
-    if os.path.exists(_tri_dir):
-        shutil.rmtree(_tri_dir, ignore_errors=True)
     repaired = repair_index(spark, out_dir, store=store)
     meta = man.load_meta()
+    if int(meta.get("version", 0)) < 5 or not meta.get("with_positions"):
+        # pre-v5 layouts have no posm column: the merge below would die in
+        # an opaque AnalysisException — fail with the actionable message
+        raise ValueError(
+            f"index at {out_dir} is v{meta.get('version')} and predates the "
+            "positions layout (v5) — incremental update cannot migrate it; "
+            "rebuild with build_index"
+        )
+    store_content = bool(meta.get("store_content", False))
     n_segments = int(meta["n_segments"])
     mode = meta["tokenizer_mode"]
     term_buckets = int(meta["term_buckets"])
@@ -622,14 +662,28 @@ def update_index(
     # plan lazily reads the partitions being replaced), then swap through
     # the table-format strategy (parquet dirs: rename-aside protocol;
     # Iceberg: a single overwritePartitions commit — index/format.py).
+    cols = doc_map_cols(store_content)
     old_dm_kept = (
         spark.read.parquet(paths.doc_map)
         .where(F.col("seg").isin(affected))
         .join(F.broadcast(dead), "doc_id", "left_anti")
-        .select(*DOC_MAP_COLS)
+        .select(*cols)
     )
-    merged = old_dm_kept.unionByName(docs_new.select(*DOC_MAP_COLS))
+    merged = old_dm_kept.unionByName(docs_new.select(*cols))
     tmp_dm = store.stage(merged, paths.root, len(affected))
+
+    # a trigram candidate index beside this root derives from content and
+    # would go silently STALE (missed grep matches). With stored content
+    # it is refreshed segment-granularly below (same swap unit as the
+    # postings); without, it must be dropped and rebuilt by the caller.
+    from ck_spark.query.trigram import (
+        TRIGRAM_DIR, invalidate_trigram_marker, refresh_trigram_segments,
+    )
+
+    _tri_dir = os.path.join(out_dir, TRIGRAM_DIR)
+    tri_refresh = os.path.exists(_tri_dir) and store_content
+    if os.path.exists(_tri_dir) and not store_content:
+        shutil.rmtree(_tri_dir, ignore_errors=True)
 
     # ---- mutation window: marker first, clear only after postings+stats
     # are consistent again (crash => repair_index restores/completes the
@@ -639,6 +693,12 @@ def update_index(
         "update_inprogress",
         {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
     )
+    if tri_refresh:
+        # drop the completion marker for the whole window: a crash before
+        # the refresh finishes leaves the trigram index LOUDLY invalid
+        # (readers fall back to full-scan grep) instead of silently stale;
+        # repair_index re-runs the refresh from the update marker's segs
+        invalidate_trigram_marker(out_dir)
 
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
@@ -648,6 +708,8 @@ def update_index(
     avgdl = float(srow["avgdl"] or 0.0)
 
     _reencode_segments(spark, paths, meta, affected, avgdl)
+    if tri_refresh:
+        refresh_trigram_segments(spark, out_dir, affected)
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 

@@ -71,9 +71,11 @@ class ParquetDirStore(SegmentStore):
     def stage(self, df: DataFrame, root: str, n_segments: int) -> str:
         tmp = os.path.join(root, "_tmp_doc_map")
         shutil.rmtree(tmp, ignore_errors=True)
-        df.repartition(max(n_segments, 1), "seg").write.mode(
-            "overwrite"
-        ).partitionBy("seg").parquet(tmp)
+        # keep the build's doc_id sort so replaced segments retain parquet
+        # row-group skipping for literal doc_id candidate fetches
+        df.repartition(max(n_segments, 1), "seg").sortWithinPartitions(
+            "seg", "doc_id"
+        ).write.mode("overwrite").partitionBy("seg").parquet(tmp)
         return tmp
 
     def swap(self, doc_map_dir: str, segs: list[int], staging: str) -> None:

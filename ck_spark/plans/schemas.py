@@ -46,6 +46,12 @@ DOC_MAP = StructType([
     # tf == size(positions) by construction (tfm derived JVM-side).
     _f("tfm", MapType(StringType(), IntegerType())),
     _f("posm", MapType(StringType(), ArrayType(IntegerType()))),
+    # v6 stored content (build_index(store_content=True), the default):
+    # Zoekt-style — candidate fetch and service scans read the index's
+    # own seg-partitioned, doc_id-sorted copy instead of a corpus pass.
+    # Narrow readers prune it like tfm/posm; store_content=False builds
+    # omit the column entirely.
+    _f("content", StringType()),
 ])
 
 POSTINGS = StructType([

@@ -146,12 +146,46 @@ def required_trigrams(pattern: str) -> list[str]:
 TRIGRAM_DIR = "trigrams"
 TRIGRAM_MARKER = "_TRIGRAM_COMPLETE"
 _TRIGRAM_SCHEMA = "ghash int, n_docs int, ids_blocks array<binary>"
+# full on-disk schema incl. partition cols: reading with an explicit
+# schema keeps an empty index (all-binary corpus / all docs removed)
+# a valid empty DataFrame instead of a schema-inference failure
+_TRIGRAM_TABLE_SCHEMA = _TRIGRAM_SCHEMA + ", seg int, bucket int"
+
+
+def _read_trigram_table(spark: SparkSession, root: str) -> DataFrame:
+    import os
+
+    return spark.read.schema(_TRIGRAM_TABLE_SCHEMA).parquet(
+        os.path.join(root, TRIGRAM_DIR)
+    )
 
 
 def trigram_index_exists(root: str) -> bool:
     import os
 
     return os.path.exists(os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER))
+
+
+def invalidate_trigram_marker(root: str) -> None:
+    """Drop the completion marker — readers then refuse the index (loud
+    full-scan fallback). Called at the start of an incremental update's
+    mutation window so a crash mid-refresh can never leave a silently
+    stale candidate index."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER))
+
+
+# collect the candidate (seg, doc_id) set driver-side when it is at most
+# this many rows: a literal seg IN (...) AND doc_id IN (...) filter on the
+# seg-partitioned, doc_id-sorted doc_map gives partition pruning PLUS
+# parquet row-group/page skipping — content bytes read scale with the
+# candidate set, not the corpus. Above the cap (pattern matches a large
+# fraction of docs, where a scan is IO-bound regardless) fall back to a
+# distributed join.
+CANDIDATE_COLLECT_MAX = 20_000
 
 # grams are stored by HASH, not string: ghash = pmod(xxhash64(gram), 2^24).
 # A collision merges two grams' posting lists, which only WIDENS the
@@ -170,33 +204,15 @@ def gram_hash(gram: str) -> int:
     return xxhash64_signed(gram) % GRAM_HASH_SPACE
 
 
-def build_trigram_index(
-    spark: SparkSession,
-    corpus: DataFrame,
-    root: str,
-    n_segments: int | None = None,
-    term_buckets: int | None = None,
-) -> int:
-    """Build the trigram candidate index beside an existing BM25 index at
-    ``root`` (same seg/bucket geometry — read from the manifest so doc ids
-    land in the same segments and bucket pruning works identically).
-    Returns the number of (seg, bucket, ghash) posting rows written."""
-    import os
-
-    from ck_spark.codec import encode_id_blocks_batch
-    from ck_spark.constants import BLOCK_SIZE
-    from ck_spark.index.builder import doc_id_expr, seg_expr
-    from ck_spark.index.manifest import Manifest
-
-    meta = Manifest(root).load_meta()
-    n_segments = n_segments or int(meta["n_segments"])
-    term_buckets = term_buckets or int(meta["term_buckets"])
-
+def _grams_df(docs: DataFrame, term_buckets: int) -> DataFrame:
+    """(doc_id, seg, ghash, bucket) rows from a frame carrying doc_id, seg
+    and content. Binary (NUL-containing) docs are excluded from the index
+    and instead UNIONED unpruned into every indexed grep's scan — so
+    grep_indexed stays exactly result-identical to the full scan, which
+    has no binary filter (matching the reference's regex_search)."""
     low = F.lower(F.col("content"))
-    grams = (
-        corpus.withColumn("doc_id", doc_id_expr())
-        .withColumn("seg", seg_expr(n_segments))
-        .where(~F.contains("content", F.lit("\x00")))
+    return (
+        docs.where(~F.contains("content", F.lit("\x00")))
         .select(
             "doc_id",
             "seg",
@@ -221,6 +237,17 @@ def build_trigram_index(
             "bucket", F.pmod(F.col("ghash"), F.lit(term_buckets)).cast("int")
         )
     )
+
+
+def _encode_and_write_grams(
+    spark: SparkSession, grams: DataFrame, out_dir: str
+) -> None:
+    """Shuffle by (seg, bucket, ghash), block-encode the doc-id lists,
+    dynamic-overwrite the seg=/bucket= partition dirs (rows ghash-sorted
+    per file for parquet page skipping on the query's int-key filter)."""
+    from ck_spark.codec import encode_id_blocks_batch
+    from ck_spark.constants import BLOCK_SIZE
+
     width = max(spark.sparkContext.defaultParallelism * 2, 16)
 
     def encode(iterator):
@@ -234,10 +261,6 @@ def build_trigram_index(
                 "bucket": pdf["bucket"].astype("int64"),
             })
 
-    out_dir = os.path.join(root, TRIGRAM_DIR)
-    from pyspark.sql import Observation
-
-    obs = Observation()
     enc_df = (
         grams.repartition(width, "seg", "bucket", "ghash")
         .groupBy("seg", "bucket", "ghash")
@@ -245,21 +268,21 @@ def build_trigram_index(
         .mapInPandas(encode, _TRIGRAM_SCHEMA + ", seg int, bucket int")
     )
     (
-        enc_df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        .repartition("seg", "bucket")
-        # ghash-sorted rows give the parquet reader page-level skipping
-        # (column index) for the query's int-key filter
+        enc_df.repartition("seg", "bucket")
         .sortWithinPartitions("ghash")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("seg", "bucket")
         .parquet(out_dir)
     )
-    rows = int(obs.get["rows"])
+
+
+def _write_trigram_marker(out_dir: str, rows: int, term_buckets: int) -> None:
     # dynamic partition overwrite commits per-partition and writes NO
     # top-level _SUCCESS; completion is marked explicitly (tmp+rename,
     # same discipline as the manifest) so presence checks are atomic
     import json
+    import os
     import tempfile
 
     fd, tmp = tempfile.mkstemp(dir=out_dir)
@@ -269,6 +292,91 @@ def build_trigram_index(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_dir, TRIGRAM_MARKER))
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    corpus: DataFrame | None,
+    root: str,
+    n_segments: int | None = None,
+    term_buckets: int | None = None,
+) -> int:
+    """Build the trigram candidate index beside an existing BM25 index at
+    ``root`` (same seg/bucket geometry — read from the manifest so doc ids
+    land in the same segments and bucket pruning works identically).
+
+    corpus=None (v6 stored-content indexes) derives the grams from the
+    index's own doc_map — no external corpus needed, stored doc_id/seg
+    reused instead of rehashing. Returns the number of (seg, bucket,
+    ghash) posting rows written."""
+    import os
+
+    from ck_spark.index.builder import doc_id_expr, seg_expr
+    from ck_spark.index.manifest import Manifest
+
+    meta = Manifest(root).load_meta()
+    n_segments = n_segments or int(meta["n_segments"])
+    term_buckets = term_buckets or int(meta["term_buckets"])
+
+    if corpus is None:
+        if not meta.get("store_content"):
+            raise ValueError(
+                "build_trigram_index without a corpus needs a stored-content "
+                "(v6 store_content=True) index — pass the corpus DataFrame "
+                "or rebuild the index with store_content=True"
+            )
+        docs = spark.read.parquet(
+            os.path.join(root, "doc_map")
+        ).select("doc_id", "seg", "content")
+    else:
+        docs = corpus.withColumn("doc_id", doc_id_expr()).withColumn(
+            "seg", seg_expr(n_segments)
+        )
+
+    out_dir = os.path.join(root, TRIGRAM_DIR)
+    invalidate_trigram_marker(root)
+    os.makedirs(out_dir, exist_ok=True)
+    _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
+    rows = int(_read_trigram_table(spark, root).count())  # footer-only count
+    _write_trigram_marker(out_dir, rows, term_buckets)
+    return rows
+
+
+def refresh_trigram_segments(
+    spark: SparkSession, root: str, segs: list[int]
+) -> int:
+    """Segment-granular incremental refresh (the update_index hook): the
+    trigram postings are a pure per-segment function of doc_map content,
+    so after an update only the affected seg partitions are re-derived
+    and swapped — a 2% doc update no longer costs a full trigram rebuild.
+
+    Caller protocol (builder.update_index / repair_index): the completion
+    marker was invalidated at the start of the mutation window; this
+    re-derives the given segments from the (already swapped) doc_map,
+    then re-marks complete. Crash anywhere => marker absent => readers
+    fall back to full-scan grep; rerunning converges (dynamic overwrite
+    per (seg,bucket) dir after an explicit rmtree of the seg dirs, so
+    vanished buckets cannot survive stale)."""
+    import os
+    import shutil
+
+    from ck_spark.index.manifest import Manifest
+
+    meta = Manifest(root).load_meta()
+    term_buckets = int(meta["term_buckets"])
+    out_dir = os.path.join(root, TRIGRAM_DIR)
+    invalidate_trigram_marker(root)
+    for s in segs:
+        shutil.rmtree(os.path.join(out_dir, f"seg={s}"), ignore_errors=True)
+    docs = (
+        spark.read.parquet(os.path.join(root, "doc_map"))
+        .where(F.col("seg").isin(list(segs)))
+        .select("doc_id", "seg", "content")
+    )
+    if not docs.isEmpty():
+        _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
+    rows = int(_read_trigram_table(spark, root).count())
+    _write_trigram_marker(out_dir, rows, term_buckets)
     return rows
 
 
@@ -281,38 +389,63 @@ class TrigramIndex:
     """Query handle over a built trigram index: caches the table DataFrame
     (one InMemoryFileIndex — partition-dir listing is paid once, not per
     query, same rationale as BM25Index.postings_df) and the bucket
-    geometry. Reload after build_trigram_index re-runs."""
+    geometry. Reload after build_trigram_index re-runs.
+
+    Refuses to load without the _TRIGRAM_COMPLETE marker: after a crash
+    mid-build/mid-refresh a partial index would silently miss matches —
+    callers must fall back to the full-scan grep instead (grep_indexed
+    and service.regex_search do exactly that)."""
 
     def __init__(self, spark: SparkSession, root: str, cache: bool = False):
-        import os
-
         from ck_spark.index.manifest import Manifest
 
+        if not trigram_index_exists(root):
+            raise FileNotFoundError(
+                f"no complete trigram index at {root} (missing "
+                f"{TRIGRAM_DIR}/{TRIGRAM_MARKER}) — run build_trigram_index, "
+                "or use the full-scan grep"
+            )
         self.spark = spark
         self.root = root
-        self.term_buckets = int(Manifest(root).load_meta()["term_buckets"])
-        self.df = spark.read.parquet(os.path.join(root, TRIGRAM_DIR))
+        self.meta = Manifest(root).load_meta()
+        self.term_buckets = int(self.meta["term_buckets"])
+        self.store_content = bool(self.meta.get("store_content"))
+        self.df = _read_trigram_table(spark, root)
         if cache:
             # hold the (compact, int-keyed) candidate index in executor
             # memory — the Spark analogue of Zoekt's memory-mapped shards;
             # at cluster scale each executor caches its slice
             self.df = self.df.cache()
+        self._doc_map_df: DataFrame | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, root: str, cache: bool = False) -> "TrigramIndex":
         return cls(spark, root, cache=cache)
 
+    @property
+    def doc_map_df(self) -> DataFrame:
+        if self._doc_map_df is None:
+            import os
+
+            self._doc_map_df = self.spark.read.parquet(
+                os.path.join(self.root, "doc_map")
+            )
+        return self._doc_map_df
+
     def candidates(self, grams: list[str]) -> DataFrame:
         return _intersect_candidates(self.df, grams, self.term_buckets)
 
-    def grep(self, corpus: DataFrame, pattern: str, **kw):
+    def grep(self, corpus: DataFrame | None = None, pattern: str | None = None, **kw):
+        """corpus may be None on stored-content (v6) indexes — the scan
+        then runs over doc_map's own content column."""
+        assert pattern is not None, "pattern is required"
         return _grep_indexed_impl(self, corpus, pattern, **kw)
 
 
 def trigram_candidates(
     spark: SparkSession, root: str, grams: list[str], term_buckets: int
 ) -> DataFrame:
-    """(doc_id) DataFrame of docs containing ALL ``grams``: per-segment
+    """(seg, doc_id) DataFrame of docs containing ALL ``grams``: per-segment
     sorted-array AND intersection. applyInPandas grouped by seg (not
     mapInPandas) so a segment's gram rows can never be split across Arrow
     batches — a partial group would silently drop candidates. Groups are
@@ -320,10 +453,9 @@ def trigram_candidates(
     overhead is noise. A gram absent from a segment (or the whole index)
     empties that segment's candidates by the count check — rarest-first
     ordering makes the intersection cheap."""
-    import os
-
-    df = spark.read.parquet(os.path.join(root, TRIGRAM_DIR))
-    return _intersect_candidates(df, grams, term_buckets)
+    return _intersect_candidates(
+        _read_trigram_table(spark, root), grams, term_buckets
+    )
 
 
 def _intersect_candidates(
@@ -344,10 +476,14 @@ def _intersect_candidates(
         .select("seg", "ghash", "n_docs", "ids_blocks")
     )
     k = len(ghashes)
+    empty = pd.DataFrame({
+        "seg": np.empty(0, dtype=np.int32),
+        "doc_id": np.empty(0, dtype=np.int64),
+    })
 
     def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["ghash"].nunique() != k:  # some gram absent in this segment
-            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+            return empty
         acc = None
         for blocks in pdf.sort_values("n_docs")["ids_blocks"]:
             ids = decode_all_blocks(blocks)
@@ -355,18 +491,20 @@ def _intersect_candidates(
                 acc, ids, assume_unique=True
             )
             if acc.size == 0:
-                break
+                return empty
         return pd.DataFrame({
-            "doc_id": acc.astype(np.int64) if acc is not None
-            else np.empty(0, dtype=np.int64)
+            "seg": np.full(acc.size, pdf["seg"].iloc[0], dtype=np.int32),
+            "doc_id": acc.astype(np.int64),
         })
 
-    return post.groupBy("seg").applyInPandas(intersect, "doc_id long")
+    # seg rides along so a stored-content fetch can prune doc_map's seg
+    # partitions without recomputing the hash
+    return post.groupBy("seg").applyInPandas(intersect, "seg int, doc_id long")
 
 
 def grep_indexed(
     spark: SparkSession,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     root: str,
     pattern: str,
     fixed_string: bool = False,
@@ -378,10 +516,30 @@ def grep_indexed(
     """grep() with trigram candidate pruning (one-shot handle; reuse a
     TrigramIndex for repeated queries — it caches the table listing).
     Answers are identical to ck_spark.query.grep.grep on the same corpus —
-    when the pattern yields no required trigrams this IS a full-scan
-    grep."""
+    when the pattern yields no required trigrams this IS a full-scan grep.
+    corpus=None needs a stored-content (v6) index: the scan source is then
+    doc_map's own content. If the trigram index is absent or incomplete
+    (no completion marker — e.g. a crash mid-build) this falls back to the
+    full scan rather than silently missing matches."""
+    try:
+        idx = TrigramIndex.load(spark, root)
+    except FileNotFoundError:
+        from ck_spark.index.manifest import Manifest
+        from ck_spark.query.grep import grep
+
+        if corpus is None:
+            import os
+
+            meta = Manifest(root).load_meta()
+            if not meta.get("store_content"):
+                raise ValueError(
+                    "grep without a corpus needs a stored-content index"
+                )
+            corpus = spark.read.parquet(os.path.join(root, "doc_map"))
+        return grep(corpus, pattern, fixed_string, whole_word, ignore_case,
+                    topk=topk, count_matches=count_matches)
     return _grep_indexed_impl(
-        TrigramIndex.load(spark, root), corpus, pattern,
+        idx, corpus, pattern,
         fixed_string=fixed_string, whole_word=whole_word,
         ignore_case=ignore_case, topk=topk, count_matches=count_matches,
     )
@@ -389,7 +547,7 @@ def grep_indexed(
 
 def _grep_indexed_impl(
     idx: TrigramIndex,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     pattern: str,
     fixed_string: bool = False,
     whole_word: bool = False,
@@ -400,16 +558,64 @@ def _grep_indexed_impl(
     from ck_spark.index.builder import doc_id_expr
     from ck_spark.query.grep import grep, preprocess_pattern
 
+    use_stored = corpus is None
+    if use_stored and not idx.store_content:
+        raise ValueError(
+            "grep without a corpus needs a stored-content (v6 "
+            "store_content=True) index — pass the corpus DataFrame"
+        )
     eff = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
     grams = required_trigrams(eff)
     if not grams:
-        return grep(corpus, pattern, fixed_string, whole_word, ignore_case,
+        src = idx.doc_map_df if use_stored else corpus
+        return grep(src, pattern, fixed_string, whole_word, ignore_case,
                     topk=topk, count_matches=count_matches)
     cands = idx.candidates(grams)
-    # join keeps only candidate docs; AQE turns this into a broadcast join
-    # at runtime when the candidate set is small (the common case)
-    scoped = corpus.withColumn("doc_id", doc_id_expr()).join(
-        cands, "doc_id"
-    ).drop("doc_id")
+
+    if use_stored or idx.store_content:
+        # Zoekt-style candidate-only content fetch (even when the caller
+        # passed a corpus: the stored copy is the same rows by the build's
+        # sha256 invariant, and it is the pruned path). The index excludes
+        # binary (NUL) docs, whose rows are unioned back unpruned so the
+        # result is EXACTLY the full scan's (which has no binary filter).
+        dm = idx.doc_map_df
+        scoped = _fetch_candidates(dm, cands).unionByName(
+            dm.where(F.col("is_binary")).select("repo", "path", "content")
+        )
+    else:
+        # no stored content: prune the caller's corpus by joining; AQE
+        # turns this into a broadcast join when the candidate set is small.
+        # The content bytes of ALL docs are still read (the filter cannot
+        # reach the corpus row groups) — that is exactly the IO gap the
+        # stored-content layout removes.
+        scoped = corpus.withColumn("doc_id", doc_id_expr()).join(
+            cands.drop("seg"), "doc_id"
+        ).drop("doc_id").unionByName(
+            corpus.where(F.contains("content", F.lit("\x00")))
+            .select(*corpus.columns)
+        )
     return grep(scoped, pattern, fixed_string, whole_word, ignore_case,
                 topk=topk, count_matches=count_matches)
+
+
+def _fetch_candidates(dm: DataFrame, cands: DataFrame) -> DataFrame:
+    """Content rows for the candidate (seg, doc_id) set, reading bytes
+    proportional to the CANDIDATES, not the corpus.
+
+    Small sets (the common case — selective literals) collect driver-side
+    (bounded by CANDIDATE_COLLECT_MAX) and become literal pushed-down
+    filters: seg IN (...) prunes doc_map partitions, doc_id IN (...)
+    skips parquet row groups/pages because the build wrote rows
+    doc_id-sorted. Large sets fall back to a distributed semi-join (the
+    scan is candidate-bound anyway at that size)."""
+    rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
+    narrow = ["repo", "path", "content"]
+    if len(rows) <= CANDIDATE_COLLECT_MAX:
+        if not rows:
+            return dm.select(*narrow).limit(0)
+        segs = sorted({r["seg"] for r in rows})
+        ids = sorted(r["doc_id"] for r in rows)
+        return dm.where(
+            F.col("seg").isin(segs) & F.col("doc_id").isin(ids)
+        ).select(*narrow)
+    return dm.join(cands, ["seg", "doc_id"], "left_semi").select(*narrow)

@@ -165,7 +165,11 @@ class CkService:
     def reindex(self, corpus: DataFrame | None = None,
                 full_snapshot: bool = False) -> dict:
         """Tool: reindex — incremental upsert of the given corpus batch
-        (or the service's corpus) into the index."""
+        (or the service's corpus) into the index. A trigram candidate
+        index beside the root is refreshed segment-granularly by
+        update_index itself (stored-content indexes); position-less
+        legacy layouts have it dropped there instead — either way regex
+        results can never go silently stale."""
         src = corpus if corpus is not None else self.corpus
         if src is None:
             raise RuntimeError("reindex needs a corpus")
@@ -173,24 +177,14 @@ class CkService:
         stats = update_index(self.spark, src, self.root,
                              full_snapshot=full_snapshot)
         self._idx = BM25Index.load(self.spark, self.root, repair=True)  # refresh meta
-        # a stale trigram candidate index would silently MISS matches in
-        # changed docs — drop it; regex falls back to the full scan until
-        # build_trigram() is called again (incremental trigram refresh is
-        # the same segment-swap machinery, future work)
-        import os
-        import shutil
-
-        from ck_spark.query.trigram import TRIGRAM_DIR
-
-        shutil.rmtree(os.path.join(self.root, TRIGRAM_DIR), ignore_errors=True)
-        self._tri = None
+        self._tri = None  # lazy reload picks up the refreshed index
         return {"summary": "reindex complete", **stats}
 
     def build_trigram(self) -> dict:
         """Build/rebuild the trigram candidate index (query/trigram.py) so
-        regex_search prunes candidates instead of scanning the corpus."""
-        if self.corpus is None:
-            raise RuntimeError("trigram build needs the corpus")
+        regex_search prunes candidates instead of scanning the corpus.
+        Stored-content (v6) indexes need no corpus — the grams derive from
+        doc_map itself."""
         from ck_spark.query.trigram import TrigramIndex, build_trigram_index
 
         self._index()  # geometry comes from the BM25 index manifest
@@ -228,17 +222,29 @@ class CkService:
         out["summary"] = f"lexical top-{top_k} for {query!r}"
         return out
 
+    def _scan_source(self) -> DataFrame:
+        """The regex/section scan source: the caller-held corpus when one
+        was given, else the index's own stored content (v6) — the service
+        no longer needs a corpus for any scan once the index exists."""
+        if self.corpus is not None:
+            return self.corpus
+        idx = self._index()
+        if idx.meta.get("store_content"):
+            return idx.doc_map_df
+        raise RuntimeError(
+            "regex search needs a corpus (index has no stored content — "
+            "rebuild with store_content=True or pass corpus=)"
+        )
+
     def regex_search(
         self, pattern: str, cursor: str | None = None,
         page_size: int | None = None, full_section: bool = False,
         **grep_kw,
     ) -> dict:
-        if self.corpus is None:
-            raise RuntimeError("regex search needs the corpus")
         if full_section:
             from ck_spark.query.sections import grep_full_section
 
-            hits = grep_full_section(self.corpus, pattern, **grep_kw)
+            hits = grep_full_section(self._scan_source(), pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
         else:
             tri = self._trigram()
@@ -246,7 +252,7 @@ class CkService:
                 # identical results, candidate-pruned scan (test_trigram.py)
                 hits = tri.grep(self.corpus, pattern, **grep_kw)
             else:
-                hits = grep(self.corpus, pattern, **grep_kw)
+                hits = grep(self._scan_source(), pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
         out = _page(hits, order, cursor, page_size)
         out["summary"] = f"regex matches for {pattern!r}"

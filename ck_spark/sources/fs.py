@@ -59,8 +59,15 @@ def read_source_tree(
     - content is lossy-UTF-8 decoded; binary detection stays downstream
       (build_index flags NUL bytes, which survive the cast)
     """
-    root = os.path.abspath(root)
-    repo = repo or os.path.basename(root.rstrip("/")) or "repo"
+    # normalize BEFORE building the locate key: a trailing slash would make
+    # the key "<root>//" (never present), silently dropping every row
+    root = os.path.abspath(root).rstrip("/")
+    if not root:
+        # scanning "/" would make the relativization key ambiguous (any
+        # "/" matches inside the scheme rendering) — and is never what a
+        # code-search user means
+        raise ValueError("refusing to scan the filesystem root '/'")
+    repo = repo or os.path.basename(root) or "repo"
     globs = list(exclude_globs or [])
     if use_default_excludes:
         globs = list(DEFAULT_EXCLUDE_GLOBS) + globs
@@ -73,16 +80,38 @@ def read_source_tree(
     # binaryFile yields a URI whose scheme/authority rendering varies by
     # store ("file:/abs", "file:///abs", "hdfs://nn/abs", …). Relativize by
     # LOCATING the literal "<root>/" substring (no scheme assumptions, no
-    # regex-escaping pitfalls with odd roots) and slicing past it; rows
-    # where the root does not appear are dropped defensively.
-    start = F.locate(root + "/", F.col("path"))
-    rel = F.col("path").substr(start + F.lit(len(root) + 1), F.lit(1_000_000))
+    # regex-escaping pitfalls with odd roots) and slicing past it; stores
+    # that percent-encode path characters are matched via the quoted
+    # rendering of the same key. Rows matching neither are dropped — but
+    # LOUDLY (the emptiness check below), never silently.
+    from urllib.parse import quote
+
+    key = root + "/"
+    qkey = quote(key)
+    start = F.locate(key, F.col("path"))
+    rel = F.col("path").substr(start + F.lit(len(key)), F.lit(1_000_000))
+    if qkey != key:
+        qstart = F.locate(qkey, F.col("path"))
+        rel = F.when(start > 0, rel).otherwise(
+            F.url_decode(F.col("path").substr(qstart + F.lit(len(qkey)), F.lit(1_000_000)))
+        )
+        start = F.greatest(start, qstart)
 
     from ck_spark.ops.pdf import extract_pdf_text_udf
 
+    located = raw.where(start > 0)
+    # relativization failing on EVERY row of a non-empty listing means the
+    # key never matched (unexpected URI rendering) — fail loudly instead
+    # of returning a silently empty corpus
+    if located.isEmpty() and not raw.isEmpty():
+        sample = raw.select("path").limit(1).collect()[0]["path"]
+        raise RuntimeError(
+            f"could not relativize any scanned path against root {root!r} "
+            f"(sample URI: {sample!r}) — unexpected path rendering from "
+            "this filesystem/store"
+        )
     scoped = (
-        raw.where(F.col("length") <= F.lit(int(max_file_bytes)))
-        .where(start > 0)
+        located.where(F.col("length") <= F.lit(int(max_file_bytes)))
         .withColumn("relpath", rel)
         .where(path_scope_pred(F.col("relpath"), include_prefixes, globs))
     )
@@ -91,7 +120,14 @@ def read_source_tree(
         from ck_spark.sources.ignore import collect_ignore_rules, keep_path_udf
 
         matcher = collect_ignore_rules(
-            root, respect_gitignore=respect_gitignore, use_ckignore=use_ckignore
+            root, respect_gitignore=respect_gitignore, use_ckignore=use_ckignore,
+            # plain-name exclude globs (node_modules, target, …) match whole
+            # path components, so their subtrees never reach the scan —
+            # don't walk them for ignore files either
+            prune_dir_names=frozenset(
+                g for g in globs if "*" not in g and "?" not in g
+                and "[" not in g and "/" not in g
+            ),
         )
         if matcher is not None:  # no ignore files -> no extra predicate
             scoped = scoped.where(keep_path_udf(matcher)(F.col("relpath")))

@@ -203,15 +203,27 @@ def collect_ignore_rules(
     root: str,
     respect_gitignore: bool = True,
     use_ckignore: bool = True,
+    prune_dir_names: frozenset[str] | None = None,
 ) -> IgnoreMatcher | None:
     """Driver-side sweep for ignore files under ``root`` (they are tiny:
     this reads only the ignore files themselves, never content). Returns
     None when the tree carries no ignore rules — the connector then skips
-    the predicate entirely."""
+    the predicate entirely.
+
+    The walk PRUNES directories already decided ignored by the rules
+    collected so far (git's own read order: git never reads .gitignore
+    files inside ignored subtrees, and an unpruned walk over node_modules
+    and friends can dominate connector startup on large roots). The
+    pruning can only be exact because os.walk is top-down — every
+    ancestor's rules exist before we descend. ``prune_dir_names`` adds
+    the connector's default-exclude directory names to the prune set
+    (their contents are dropped by the scan predicate anyway)."""
     if not (respect_gitignore or use_ckignore):
         return None
     rules: list[IgnoreRule] = []
     root = os.path.abspath(root)
+    matcher: IgnoreMatcher | None = None
+    n_rules_built = 0
     for base_abs, dirs, files in os.walk(root):
         rel = os.path.relpath(base_abs, root).replace(os.sep, "/")
         rel = "" if rel == "." else rel
@@ -239,6 +251,18 @@ def collect_ignore_rules(
                 except OSError:
                     pass
         dirs[:] = [d for d in dirs if d != ".git"]  # never walk .git bodies
+        if prune_dir_names:
+            dirs[:] = [d for d in dirs if d not in prune_dir_names]
+        if rules:
+            if len(rules) != n_rules_built:
+                matcher = IgnoreMatcher(rules)  # rebuild incl. fresh memo
+                n_rules_built = len(rules)
+            keep = []
+            for d in dirs:
+                sub = f"{rel}/{d}" if rel else d
+                if not matcher._dir_ignored(sub):
+                    keep.append(d)
+            dirs[:] = keep
     return IgnoreMatcher(rules) if rules else None
 
 

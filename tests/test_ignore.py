@@ -161,6 +161,28 @@ def test_collect_and_git_exclude(tmp_path):
     assert collect_ignore_rules(root, respect_gitignore=False) is None
 
 
+def test_collect_prunes_ignored_subtrees(tmp_path):
+    """git never reads ignore files inside ignored subtrees — the walk
+    must prune them (both for parity and so node_modules-sized ignored
+    dirs don't dominate connector startup)."""
+    root = str(tmp_path)
+    _write(f"{root}/.gitignore", "blocked/\n")
+    _write(f"{root}/blocked/.gitignore", "!never-collected\n")
+    _write(f"{root}/blocked/deep/file.txt", "x")
+    _write(f"{root}/ok/.gitignore", "*.tmp\n")
+    _write(f"{root}/ok/file.tmp", "t")
+    m = collect_ignore_rules(root)
+    bases = {r.base for r in m.rules}
+    assert "blocked" not in bases  # its .gitignore was never read
+    assert "ok" in bases
+    assert m.ignored("blocked/deep/file.txt")
+    assert m.ignored("ok/file.tmp")
+    # prune_dir_names: default-excluded dir names are not walked either
+    _write(f"{root}/node_modules/.gitignore", "!x\n")
+    m2 = collect_ignore_rules(root, prune_dir_names=frozenset({"node_modules"}))
+    assert "node_modules" not in {r.base for r in m2.rules}
+
+
 def test_collect_ckignore_without_gitignore(tmp_path):
     """Mirrors test_ckignore_works_without_gitignore."""
     root = str(tmp_path)

@@ -120,12 +120,11 @@ def test_rerank_seam(service, spark):
 
 def test_regex_search_trigram_acceleration(spark, tmp_path):
     """Service regex results are identical with and without the trigram
-    index; reindex drops the (now stale) trigram index so correctness
-    never depends on a stale candidate set."""
-    import os
-
+    index; reindex REFRESHES the trigram index segment-granularly
+    (stored-content v6 layout) so it survives updates without ever going
+    stale; and once the index exists the service needs no corpus at all."""
     from ck_spark.corpus import generate_corpus
-    from ck_spark.query.trigram import TRIGRAM_DIR
+    from ck_spark.query.trigram import trigram_index_exists
     from ck_spark.service import CkService
 
     corpus = spark.createDataFrame(generate_corpus(80, seed=7))
@@ -139,8 +138,19 @@ def test_regex_search_trigram_acceleration(spark, tmp_path):
         (r["path"], r["line_no"]) for r in plain
     ] and len(plain) > 0
     svc.reindex(corpus.limit(5))
-    assert not os.path.exists(os.path.join(svc.root, TRIGRAM_DIR))
+    # stored-content index: trigram acceleration survives the reindex
+    assert trigram_index_exists(svc.root) and svc._trigram() is not None
     again = svc.regex_search(r"def \w+_ctx\(")["results"]
     assert [(r["path"], r["line_no"]) for r in again] == [
         (r["path"], r["line_no"]) for r in plain
     ]
+    # corpus-free service over the same root: scans run off stored content
+    svc2 = CkService(spark, svc.root)
+    free = svc2.regex_search(r"def \w+_ctx\(")["results"]
+    assert [(r["path"], r["line_no"]) for r in free] == [
+        (r["path"], r["line_no"]) for r in plain
+    ]
+    free_fs = svc2.regex_search("def", full_section=True, page_size=5)
+    assert free_fs["results"]
+    # build_trigram without a corpus (grams derive from doc_map)
+    assert svc2.build_trigram()["rows"] > 0

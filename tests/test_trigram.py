@@ -125,10 +125,12 @@ def test_grep_indexed_identical_to_scan(spark, indexed, case):
 
     corpus, root = indexed
     scan = grep(corpus, **case).collect()
-    fast = grep_indexed(spark, corpus, root, **case).collect()
     key = lambda r: (r["path"], r["line_no"])
-    assert sorted(map(key, fast)) == sorted(map(key, scan))
-    assert len(fast) == len(scan)
+    # caller-corpus path AND corpus-free stored-content path (v6)
+    for src in (corpus, None):
+        fast = grep_indexed(spark, src, root, **case).collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan))
+        assert len(fast) == len(scan)
 
 
 def test_grep_indexed_count_and_topk_modes(spark, indexed):
@@ -168,20 +170,149 @@ def test_candidate_set_is_superset_of_matches(spark, indexed):
     assert match_paths <= cand_paths
 
 
-def test_update_index_drops_stale_trigram_index(spark, tmp_path):
-    """update_index must not leave a stale trigram candidate index behind
-    (stale candidates silently MISS matches in changed docs)."""
+def test_update_index_refreshes_trigram_segments(spark, tmp_path):
+    """Incremental update must leave the trigram index CORRECT without a
+    full rebuild: only the affected segments' partitions are re-derived
+    (segment-granular refresh — the update analogue of the doc_map swap).
+    Old content stops matching, new content starts matching, and
+    grep_indexed stays row-identical to the full scan."""
     import os
 
     from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.grep import grep
     from ck_spark.query.trigram import TRIGRAM_DIR, trigram_index_exists
 
     pdf = generate_corpus(40, seed=3)
     corpus = spark.createDataFrame(pdf)
     root = str(tmp_path / "idx")
-    build_index(spark, corpus, root, mode="code", n_segments=2,
+    build_index(spark, corpus, root, mode="code", n_segments=4,
                 term_buckets=4, resume=False)
     build_trigram_index(spark, corpus, root)
     assert trigram_index_exists(root)
-    update_index(spark, corpus.limit(3), root, full_snapshot=False)
+
+    # record per-seg partition mtimes to prove untouched segs stay as-is
+    tri_dir = os.path.join(root, TRIGRAM_DIR)
+    def seg_mtimes():
+        out = {}
+        for d in os.listdir(tri_dir):
+            if d.startswith("seg="):
+                p = os.path.join(tri_dir, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(p) for f in fs
+                )
+        return out
+    before = seg_mtimes()
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:5], "content"] = (
+        pdf2.loc[pdf2.index[:5], "content"] + "\nzephyr_gadget_marker()\n"
+    )
+    corpus2 = spark.createDataFrame(pdf2)
+    stats = update_index(spark, corpus2, root)
+    affected = set(stats["affected_segments"])
+    assert affected and len(affected) < 4  # partial update, not all segs
+
+    # still complete, and untouched seg partitions were not rewritten
+    assert trigram_index_exists(root)
+    after = seg_mtimes()
+    untouched = [d for d in before if int(d.split("=")[1]) not in affected]
+    assert untouched and all(before[d] == after[d] for d in untouched)
+
+    # correctness: indexed grep == full scan on the UPDATED corpus, and
+    # the new literal is found (stale candidates would miss it)
+    key = lambda r: (r["path"], r["line_no"])
+    for pat in ["zephyr_gadget_marker", "def "]:
+        scan = grep(corpus2, pat).collect()
+        fast = grep_indexed(spark, corpus2, root, pat).collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
+    assert grep_indexed(spark, None, root, "zephyr_gadget_marker").count() == 5
+
+
+def test_update_index_drops_trigrams_without_stored_content(spark, tmp_path):
+    """Legacy store_content=False indexes can't refresh segment-locally —
+    the update must DROP the trigram dir rather than leave it stale."""
+    import os
+
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.trigram import TRIGRAM_DIR
+
+    pdf = generate_corpus(30, seed=7)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False, store_content=False)
+    build_trigram_index(spark, corpus, root)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:3], "content"] = pdf2.loc[pdf2.index[:3], "content"] + " changed"
+    update_index(spark, spark.createDataFrame(pdf2), root)
     assert not os.path.exists(os.path.join(root, TRIGRAM_DIR))
+
+
+def test_grep_indexed_includes_binary_nul_docs(spark, tmp_path):
+    """Binary (NUL-containing) docs are excluded from the trigram index
+    but must still be GREPPED (the full scan has no binary filter): the
+    indexed path unions them back unpruned, keeping exact row identity."""
+    import pandas as pd
+
+    from ck_spark.index.builder import build_index
+    from ck_spark.query.grep import grep
+
+    pdf = generate_corpus(20, seed=11)
+    extra = pd.DataFrame([
+        {"repo": "r0", "path": "bin/blob.dat", "commit": "c0", "lang": "bin",
+         "content": "prefix\x00middle needle_in_binary tail\nneedle_in_binary again"},
+        {"repo": "r0", "path": "src/plain.py", "commit": "c0", "lang": "python",
+         "content": "needle_in_binary appears in text too\n"},
+    ])
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, corpus, root)
+
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus, "needle_in_binary").collect()
+    assert {r["path"] for r in scan} == {"bin/blob.dat", "src/plain.py"}
+    for src in (corpus, None):  # caller corpus and stored-content paths
+        fast = grep_indexed(spark, src, root, "needle_in_binary").collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan))
+
+
+def test_grep_indexed_large_candidate_set_join_path(spark, indexed, monkeypatch):
+    """Above CANDIDATE_COLLECT_MAX the fetch switches from literal IN
+    filters to a distributed semi-join — same rows either way."""
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.query.grep import grep
+
+    corpus, root = indexed
+    monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 2)
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus, "def ").collect()
+    fast = grep_indexed(spark, corpus, root, "def ").collect()
+    assert sorted(map(key, fast)) == sorted(map(key, scan))
+
+
+def test_grep_indexed_falls_back_without_marker(spark, indexed, tmp_path):
+    """A trigram dir without the completion marker (crash mid-build) must
+    never be read: grep_indexed falls back to the full scan and a direct
+    TrigramIndex.load raises."""
+    import os
+    import shutil
+
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import (
+        TRIGRAM_DIR, TRIGRAM_MARKER, TrigramIndex,
+    )
+
+    corpus, root = indexed
+    root2 = str(tmp_path / "idx_copy")
+    shutil.copytree(root, root2)
+    os.remove(os.path.join(root2, TRIGRAM_DIR, TRIGRAM_MARKER))
+    with pytest.raises(FileNotFoundError):
+        TrigramIndex.load(spark, root2)
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus, "def ").collect()
+    fast = grep_indexed(spark, corpus, root2, "def ").collect()
+    assert sorted(map(key, fast)) == sorted(map(key, scan))
