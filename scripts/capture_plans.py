@@ -100,19 +100,52 @@ def main() -> None:
     # join, not the whole corpus
     from ck_spark.query.trigram import TrigramIndex, build_trigram_index
 
-    build_trigram_index(spark, corpus, root)
+    build_trigram_index(spark, None, root)  # grams derive from doc_map (v6)
     tri = TrigramIndex.load(spark, root)
-    tg = plan_of(tri.grep(corpus, "parse_buffer", topk=10))
+    from ck_spark.query.trigram import required_trigrams
+
+    # stage 1 (runs eagerly at query time): trigram-table intersection —
+    # bucket PartitionFilters + int ghash pushed filter
+    cp = plan_of(tri.candidates(required_trigrams("parse_buffer")))
+    assert "trigrams" in cp, "candidate plan must scan the trigram table"
+    # stage 2: the returned grep frame — candidate-only doc_map fetch
+    tg = plan_of(tri.grep(pattern="parse_buffer", topk=10))
     keep = ("PartitionFilters", "PushedFilters", "trigrams",
-            "FlatMapGroupsInPandas", "Join")
-    tg_lines = [ln.rstrip()[:200] for ln in tg.splitlines()
-                if any(k in ln for k in keep)][:10]
-    assert "trigrams" in tg, "trigram plan must scan the trigram table"
+            "FlatMapGroupsInPandas", "doc_map")
+    tg_lines = []
+    for src in (cp, tg):
+        for ln in src.splitlines():
+            if not any(k in ln for k in keep):
+                continue
+            tg_lines.append(ln.rstrip()[:160] + " …")
+            for frag in re.findall(
+                r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])", ln
+            ):
+                tg_lines.append("  " + frag[:220])
+        tg_lines.append("---")
+    tg_lines = tg_lines[:16]
+    # the candidate-only content fetch: doc_map scan carries literal seg
+    # PartitionFilters AND a doc_id In(...) pushed filter (row-group/page
+    # skipping over the doc_id-sorted files) — content bytes read scale
+    # with candidates, not corpus
+    dm_scan = [ln for ln in tg.splitlines()
+               if "doc_map" in ln and "FileScan" in ln]
+    assert dm_scan and any(
+        "PartitionFilters: [seg" in ln.replace("#", "").replace(" ", "")
+        or "seg" in ln.split("PartitionFilters")[-1][:80]
+        for ln in dm_scan
+    ), "candidate fetch must prune doc_map seg partitions"
+    assert any("doc_id" in ln.split("PushedFilters")[-1][:200]
+               for ln in dm_scan if "PushedFilters" in ln), \
+        "candidate fetch must push the doc_id IN filter"
     sections.append((
-        "trigram-accelerated grep — candidate pruning",
+        "trigram-accelerated grep — candidate-only content fetch",
         "The trigram scan prunes bucket partitions and pushes the gram "
-        "filter; the regex scan joins against the candidate doc_ids "
-        "instead of reading the whole corpus through rlike.",
+        "filter; the content fetch is a doc_map scan with literal seg "
+        "PartitionFilters and a doc_id In(...) PushedFilter over "
+        "doc_id-sorted row groups — bytes read scale with the candidate "
+        "set, not the corpus (binary docs union back via an is_binary "
+        "pushed filter).",
         "\n".join(tg_lines),
     ))
 
@@ -133,8 +166,9 @@ def main() -> None:
         spark.read.parquet(idx.paths.doc_map).select("doc_id", "path", "doc_len")
     )
     pruned = [ln.strip()[:240] for ln in narrow.splitlines() if "ReadSchema" in ln or "FileScan" in ln][:4]
-    assert all("tfm" not in ln and "posm" not in ln for ln in pruned), \
-        "tfm/posm not pruned from narrow read"
+    assert all("tfm" not in ln and "posm" not in ln and "content" not in ln
+               for ln in pruned), \
+        "tfm/posm/content not pruned from narrow read"
     sections.append((
         "doc_map narrow read — tfm AND posm columns pruned",
         "doc_map carries the per-doc tf map and positions map (the single "

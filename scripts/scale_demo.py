@@ -79,13 +79,15 @@ def main() -> None:
             return {}
 
     def timed(fn):
-        """(wall_s, executor_critical_path_s, executor_task_sum_s).
+        """(wall_s, executor_critical_path_s, executor_task_sum_s, input_mb).
 
         critical path = per new stage, executorRunTime/numTasks-weighted
         isn't available; approximate with the stage's executorRunTime
         divided by the achieved parallelism (min(numCompleteTasks, cores))
         summed over stages — the time the cluster actually computed,
-        excluding driver/dispatch. task_sum = raw Σ task time."""
+        excluding driver/dispatch. task_sum = raw Σ task time. input_mb =
+        Σ stage inputBytes — the bytes the scans actually read, the direct
+        witness for candidate-only content fetch."""
         before = stages()
         t0 = time.time()
         fn()
@@ -97,7 +99,8 @@ def main() -> None:
             / max(1, min(s.get("numCompleteTasks", 1), cores))
             for s in new
         ) / 1000.0
-        return wall, crit, task_sum
+        input_mb = sum(s.get("inputBytes", 0) for s in new) / 1e6
+        return wall, crit, task_sum, input_mb
 
     latencies = {}
     breakdown = {}
@@ -106,7 +109,7 @@ def main() -> None:
                        ("getUserName", "or", 100)]:
         walls, crits, sums = [], [], []
         for _ in range(5):
-            w, c, ts = timed(lambda: idx.search(q, k=k, mode=mode).collect())
+            w, c, ts, _ib = timed(lambda: idx.search(q, k=k, mode=mode).collect())
             walls.append(w)
             crits.append(c)
             sums.append(ts)
@@ -125,7 +128,7 @@ def main() -> None:
              ("merge split cache", "and"), ("read write", "or"),
              ("getUserName", "or"), ("hash table", "or"), ("span file ctx", "and"),
              ("stream search conf", "or"), ("cache rank", "or")]
-    w, c, ts = timed(lambda: idx.search_many(batch, k=10).collect())
+    w, c, ts, _ib = timed(lambda: idx.search_many(batch, k=10).collect())
     latencies[f"batch of {len(batch)} (one job)"] = round(w, 2)
     breakdown["batch"] = {
         "n_queries": len(batch), "wall_s": round(w, 3),
@@ -148,20 +151,26 @@ def main() -> None:
     tri_build_s = time.time() - t0
     tri = TrigramIndex.load(spark, root, cache=True)
     tri.grep(corpus_disk, "zephyrblade", topk=1).collect()  # warm listing+cache
+    from ck_spark.query.trigram import required_trigrams
+
     grep_cmp = {}
     for pat in [r"zephyrblade", r"def parse_buffer_\w+\(", r"quixotic|obsidian",
                 r"(zephyr|nebul)[a-z]*(blade|izer)[a-z_0-9]*"]:
-        w_scan, _, cpu_scan = timed(lambda: grep(corpus_disk, pat, topk=100).collect())
-        walls, cpus = [], []
+        w_scan, _, cpu_scan, mb_scan = timed(
+            lambda: grep(corpus_disk, pat, topk=100).collect()
+        )
+        walls, cpus, mbs = [], [], []
         for _ in range(3):
-            w_tri, _, cpu_tri = timed(
+            w_tri, _, cpu_tri, mb_tri = timed(
                 lambda: tri.grep(corpus_disk, pat, topk=100).collect()
             )
             walls.append(w_tri)
             cpus.append(cpu_tri)
+            mbs.append(mb_tri)
         n_scan = len(grep(corpus_disk, pat, topk=100).collect())
         n_tri = len(tri.grep(corpus_disk, pat, topk=100).collect())
         assert n_scan == n_tri, (pat, n_scan, n_tri)
+        n_cand = tri.candidates(required_trigrams(pat)).count()
         grep_cmp[pat] = {
             "scan_wall_s": round(w_scan, 3),
             "trigram_wall_s": round(statistics.median(walls), 3),
@@ -171,6 +180,13 @@ def main() -> None:
             "scan_cpu_s": round(cpu_scan, 3),
             "trigram_cpu_s": round(statistics.median(cpus), 3),
             "cpu_saving": round(cpu_scan / max(statistics.median(cpus), 1e-9), 1),
+            # the candidate-only-fetch witness: the scan reads the whole
+            # corpus; the trigram path reads bytes ~ proportional to its
+            # candidate count (stored-content doc_map, literal pushdown)
+            "scan_input_mb": round(mb_scan, 1),
+            "trigram_input_mb": round(statistics.median(mbs), 1),
+            "candidates": int(n_cand),
+            "candidate_frac": round(n_cand / max(n_docs, 1), 5),
             "rows": n_tri,
         }
 
@@ -242,19 +258,24 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         "results asserted per pattern (the index only prunes candidates — "
         "query/trigram.py).\n\n"
         "| pattern | scan wall (s) | trigram wall (s) | scan CPU (s) "
-        "| trigram CPU (s) | CPU saving | rows |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "| trigram CPU (s) | CPU saving | scan read (MB) "
+        "| trigram read (MB) | candidates | rows |\n"
+        "|---|---|---|---|---|---|---|---|---|---|\n"
     )
     for pat, v in grep_cmp.items():
         md += (f"| `{pat}` | {v['scan_wall_s']} | {v['trigram_wall_s']} "
                f"| {v['scan_cpu_s']} | {v['trigram_cpu_s']} "
-               f"| {v['cpu_saving']}x | {v['rows']} |\n")
+               f"| {v['cpu_saving']}x | {v['scan_input_mb']} "
+               f"| {v['trigram_input_mb']} | {v['candidates']} "
+               f"| {v['rows']} |\n")
     md += (
-        "\nWall time at this corpus size is stage-dispatch-bound for both "
-        "paths; the scale axis is EXECUTOR CPU — the full scan burns "
-        "cores proportional to corpus bytes on every query, the trigram "
-        "path touches the int-keyed posting slices plus candidate docs "
-        "only. At 10^12 files the scan column is off the table entirely.\n"
+        "\nThe read columns are the candidate-only-fetch witness (v6 "
+        "stored-content doc_map): the full scan reads every corpus byte "
+        "on every query; the trigram path reads the int-keyed posting "
+        "slices plus content bytes proportional to its CANDIDATE set "
+        "(literal seg/doc_id pushdown onto the doc_id-sorted doc_map — "
+        "row-group/page skipping). At 10^12 files the scan column is off "
+        "the table entirely.\n"
     )
     md += "\nCommand: `python scripts/scale_demo.py` (SCALE_DEMO_DOCS / SCALE_DEMO_CORES env).\n"
     with open(os.path.join(repo, "BENCH", "SCALE_DEMO.md"), "w") as f:
