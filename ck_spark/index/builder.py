@@ -677,13 +677,38 @@ def update_index(
     # it is refreshed segment-granularly below (same swap unit as the
     # postings); without, it must be dropped and rebuilt by the caller.
     from ck_spark.query.trigram import (
-        TRIGRAM_DIR, invalidate_trigram_marker, refresh_trigram_segments,
+        TRIGRAM_DIR, maybe_compact_trigram, refresh_trigram_append,
     )
 
     _tri_dir = os.path.join(out_dir, TRIGRAM_DIR)
     tri_refresh = os.path.exists(_tri_dir) and store_content
     if os.path.exists(_tri_dir) and not store_content:
         shutil.rmtree(_tri_dir, ignore_errors=True)
+
+    if tri_refresh:
+        # LSM delta append, BEFORE the doc_map swap (its plan joins the
+        # caller corpus against the pre-swap doc_map diff — evaluating it
+        # after the swap would read replaced files): grams for ONLY the
+        # added/modified docs. Sound because the trigram index is a
+        # candidate over-approximation — extra entries (old versions of
+        # changed docs, or this append replayed after a crash) are
+        # dropped by the doc_map fetch/regex verify; only MISSING entries
+        # would be a bug, and the append restores cover for all new
+        # content. Under hash-scattered segments a per-segment rebuild
+        # would touch every segment on any spread-out update; the append
+        # touches 2% of content for a 2% update. Compaction is deferred
+        # to after the swap (the rebuilt base must see NEW content).
+        # Crash anywhere inside leaves the completion marker absent —
+        # readers fall back to the full scan, never a silent stale miss.
+        refresh_trigram_append(
+            spark, out_dir,
+            corpus.withColumn("doc_id", doc_id_expr())
+            .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+            .withColumn("seg", seg_expr(n_segments))
+            .select("doc_id", "seg", "content"),
+            n_fresh=stats["added"] + stats["modified"],
+            allow_compact=False,
+        )
 
     # ---- mutation window: marker first, clear only after postings+stats
     # are consistent again (crash => repair_index restores/completes the
@@ -693,12 +718,6 @@ def update_index(
         "update_inprogress",
         {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
     )
-    if tri_refresh:
-        # drop the completion marker for the whole window: a crash before
-        # the refresh finishes leaves the trigram index LOUDLY invalid
-        # (readers fall back to full-scan grep) instead of silently stale;
-        # repair_index re-runs the refresh from the update marker's segs
-        invalidate_trigram_marker(out_dir)
 
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
@@ -709,7 +728,7 @@ def update_index(
 
     _reencode_segments(spark, paths, meta, affected, avgdl)
     if tri_refresh:
-        refresh_trigram_segments(spark, out_dir, affected)
+        maybe_compact_trigram(spark, out_dir)
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 

@@ -69,37 +69,124 @@ def main() -> int:
         "doc_id", "repo", "path").toPandas()
     key2id = {(r.repo, r.path): int(r.doc_id) for r in dm.itertuples()}
 
-    body = pdf[~pdf["content"].str.contains("\x00") & (pdf["content"].str.len() > 80)]
+    # near-duplicate competitors: duplicate ~10% of docs with a tiny
+    # perturbation BEFORE indexing — the gold doc must outrank its dup
+    dup_idx = rng.choice(len(pdf), size=max(len(pdf) // 10, 5), replace=False)
+    dups = pdf.iloc[dup_idx].copy()
+    dups["path"] = dups["path"] + "_neardup"
+    dups["content"] = dups["content"] + "\n# nd pad line\n"
+    import pandas as _pd
+
+    pdf = _pd.concat([pdf, dups], ignore_index=True)
+    # rebuild over the dup-augmented corpus
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)
+    build_index(spark, spark.createDataFrame(pdf), root, mode="code",
+                n_segments=4, term_buckets=16, build_groups=1)
+    idx = BM25Index.load(spark, root)
+    ts = spark.read.parquet(idx.paths.term_stats).select("term", "df").toPandas()
+    df_map = dict(zip(ts["term"], ts["df"]))
+    dm = spark.read.parquet(idx.paths.doc_map).select(
+        "doc_id", "repo", "path").toPandas()
+    key2id = {(r.repo, r.path): int(r.doc_id) for r in dm.itertuples()}
+
+    from ck_spark.tokenizer import term_positions_text
+
+    body = pdf[~pdf["content"].str.contains("\x00")
+               & (pdf["content"].str.len() > 80)
+               & ~pdf["path"].str.endswith("_neardup")]
     picked = rng.choice(len(body), size=min(args.n, len(body)), replace=False)
-    queries, gold = [], []
+    dup_paths = set(dups["path"])
+
+    # query classes (VERDICT r3 ask #6 — the harness needs headroom):
+    #   rare        4 rarest df>=2 tokens (the round-3 ceiling class)
+    #   distractor  2 rare tokens + 2 HIGH-df tokens — noise terms must
+    #               not drown the signal
+    #   mid_df      4 mid-frequency tokens (df 5..60) — weakly
+    #               discriminative, ranking carries all the weight
+    #   phrase      a distinctive adjacent bigram as a "syntax" phrase
+    #   near_dup    rare-token query for a doc whose near-duplicate is in
+    #               the index — gold must beat its own copy
+    queries, gold, qclass = [], [], []
+
+    def add(cls, q, mode, gid):
+        queries.append((q, mode))
+        gold.append(gid)
+        qclass.append(cls)
+
     for i in picked:
         row = body.iloc[int(i)]
+        gid = key2id[(row["repo"], row["path"])]
         toks = list(dict.fromkeys(tokenize(row["content"], "code")))
-        # rarest terms with df >= 2: discriminative, but shared with other
-        # docs so the ranking (not just candidate membership) is exercised
-        cand = sorted(
-            (t for t in toks if df_map.get(t, 0) >= 2),
-            key=lambda t: (df_map[t], t),
-        )
-        if len(cand) < 3:
+        rare = sorted((t for t in toks if df_map.get(t, 0) >= 2),
+                      key=lambda t: (df_map[t], t))
+        common = sorted((t for t in toks if df_map.get(t, 0) >= 2),
+                        key=lambda t: (-df_map[t], t))
+        mid = [t for t in rare if 5 <= df_map[t] <= 150]
+        if len(rare) >= 3:
+            add("rare", " ".join(rare[:4]), "or", gid)
+        if len(rare) >= 2 and len(common) >= 2 and df_map[common[0]] >= 50:
+            add("distractor", " ".join(rare[:2] + common[:2]), "or", gid)
+        if len(mid) >= 3:
+            add("mid_df", " ".join(mid[:4]), "or", gid)
+        pos = term_positions_text(row["content"], "code")
+        posmap = {p: t for t, ps in pos.items() for p in ps}
+        big = None
+        for p, t in sorted(posmap.items()):
+            nxt = posmap.get(p + 1)
+            if nxt and t != nxt and 2 <= df_map.get(t, 9e9) <= 30 \
+                    and df_map.get(nxt, 0) >= 2:
+                big = (t, nxt)
+                break
+        if big:
+            add("phrase", f'"{big[0]} {big[1]}"', "syntax", gid)
+        if row["path"] + "_neardup" in dup_paths and len(rare) >= 3:
+            add("near_dup", " ".join(rare[:4]), "or", gid)
+
+    # top up the near_dup class from the dup'd originals directly (the
+    # random picked-sample intersection alone is a handful of queries)
+    nd_have = sum(1 for c in qclass if c == "near_dup")
+    for _, row in pdf.iloc[dup_idx].iterrows():
+        if nd_have >= 40:
+            break
+        if "\x00" in row["content"] or row["path"].endswith("_neardup"):
             continue
-        queries.append((" ".join(cand[:4]), "or"))
-        gold.append(key2id[(row["repo"], row["path"])])
+        gid = key2id[(row["repo"], row["path"])]
+        if gid in {g for g, c in zip(gold, qclass) if c == "near_dup"}:
+            continue
+        toks = list(dict.fromkeys(tokenize(row["content"], "code")))
+        rare = sorted((t for t in toks if df_map.get(t, 0) >= 2),
+                      key=lambda t: (df_map[t], t))
+        if len(rare) >= 3:
+            add("near_dup", " ".join(rare[:4]), "or", gid)
+            nd_have += 1
     assert queries, "no queries synthesized"
 
     t0 = time.time()
     res = idx.search_many(queries, k=args.k).toPandas()
     wall = time.time() - t0
 
-    hits, rr = 0, 0.0
-    for qid, g in enumerate(gold):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: {"n": 0, "hits": 0, "rr": 0.0})
+    for qid, (g, cls) in enumerate(zip(gold, qclass)):
         ranked = res[res["query_id"] == qid]["doc_id"].tolist()
-        if g in ranked:
-            hits += 1
-            rr += 1.0 / (ranked.index(g) + 1)
-    n = len(gold)
-    recall = hits / n
-    mrr = rr / n
+        for key in (cls, "ALL"):
+            a = agg[key]
+            a["n"] += 1
+            if g in ranked:
+                a["hits"] += 1
+                a["rr"] += 1.0 / (ranked.index(g) + 1)
+
+    per_class = {
+        cls: {"n": a["n"], "recall_at_k": round(a["hits"] / a["n"], 4),
+              "mrr": round(a["rr"] / a["n"], 4)}
+        for cls, a in sorted(agg.items())
+    }
+    n = agg["ALL"]["n"]
+    recall = agg["ALL"]["hits"] / n
+    mrr = agg["ALL"]["rr"] / n
 
     out = {
         "metric": "retrieval_quality",
@@ -107,6 +194,7 @@ def main() -> int:
         "mrr": round(mrr, 4),
         "k": args.k,
         "n_queries": n,
+        "per_class": per_class,
         "batch_wall_sec": round(wall, 3),
         "per_query_ms": round(1000 * wall / n, 1),
         "corpus_docs": args.docs,
@@ -130,10 +218,32 @@ def main() -> int:
             f.write(header)
     with open(md, "a") as f:
         f.write(
-            f"| {args.tag or 'r?'} | gen{args.docs} | {n} "
+            f"| {args.tag or 'r?'} | gen{args.docs}+dups | {n} "
             f"| {recall:.3f} | {mrr:.3f} | {wall:.2f} "
             f"| {1000 * wall / n:.1f} |\n"
         )
+    sect = "## per-class breakdown (round 4+: harder query classes)"
+    with open(md) as f:
+        have_sect = sect in f.read()
+    with open(md, "a") as f:
+        if not have_sect:
+            f.write(
+                f"\n{sect}\n\n"
+                "rare = rarest-token queries (the old ceiling class); "
+                "distractor = 2 rare + 2 ubiquitous noise terms; mid_df = "
+                "only mid-frequency terms; phrase = adjacent-bigram syntax "
+                "query; near_dup = gold must outrank its own near-duplicate."
+                "\n\n"
+                "| round | class | n | Recall@10 | MRR |\n"
+                "|---|---|---|---|---|\n"
+            )
+        for cls, v in per_class.items():
+            if cls == "ALL":
+                continue
+            f.write(f"| {args.tag or 'r?'} | {cls} | {v['n']} "
+                    f"| {v['recall_at_k']:.3f} | {v['mrr']:.3f} |\n")
+        f.write(f"| {args.tag or 'r?'} | **ALL** | {n} "
+                f"| {recall:.3f} | {mrr:.3f} |\n")
     spark.stop()
     return 0
 

@@ -172,15 +172,20 @@ def test_candidate_set_is_superset_of_matches(spark, indexed):
 
 def test_update_index_refreshes_trigram_segments(spark, tmp_path):
     """Incremental update must leave the trigram index CORRECT without a
-    full rebuild: only the affected segments' partitions are re-derived
-    (segment-granular refresh — the update analogue of the doc_map swap).
-    Old content stops matching, new content starts matching, and
-    grep_indexed stays row-identical to the full scan."""
+    full rebuild: an LSM-style delta append covering only the added/
+    modified docs (sound because the index is a candidate
+    over-approximation — stale entries of changed docs are dropped by the
+    doc_map fetch and regex verify; only MISSING entries would be a bug).
+    New content starts matching, untouched segment partitions keep their
+    files byte-identical, and grep_indexed stays row-identical to the
+    full scan."""
     import os
 
     from ck_spark.index.builder import build_index, update_index
     from ck_spark.query.grep import grep
-    from ck_spark.query.trigram import TRIGRAM_DIR, trigram_index_exists
+    from ck_spark.query.trigram import (
+        TRIGRAM_DIR, _read_trigram_marker, trigram_index_exists,
+    )
 
     pdf = generate_corpus(40, seed=3)
     corpus = spark.createDataFrame(pdf)
@@ -219,6 +224,10 @@ def test_update_index_refreshes_trigram_segments(spark, tmp_path):
     untouched = [d for d in before if int(d.split("=")[1]) not in affected]
     assert untouched and all(before[d] == after[d] for d in untouched)
 
+    # delta accounting recorded in the marker
+    marker = _read_trigram_marker(root)
+    assert marker.get("delta_docs", 0) > 0
+
     # correctness: indexed grep == full scan on the UPDATED corpus, and
     # the new literal is found (stale candidates would miss it)
     key = lambda r: (r["path"], r["line_no"])
@@ -227,6 +236,36 @@ def test_update_index_refreshes_trigram_segments(spark, tmp_path):
         fast = grep_indexed(spark, corpus2, root, pat).collect()
         assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
     assert grep_indexed(spark, None, root, "zephyr_gadget_marker").count() == 5
+
+
+def test_trigram_delta_compaction(spark, tmp_path, monkeypatch):
+    """Accumulated delta appends trigger a compaction (full rebuild from
+    doc_map) once the delta fraction passes the threshold; results stay
+    identical and the delta counter resets."""
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import _read_trigram_marker
+
+    pdf = generate_corpus(40, seed=5)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, corpus, root)
+    monkeypatch.setattr(tri_mod, "DELTA_COMPACT_FRACTION", 0.01)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:8], "content"] = (
+        pdf2.loc[pdf2.index[:8], "content"] + "\ncompaction_probe_token\n"
+    )
+    corpus2 = spark.createDataFrame(pdf2)
+    update_index(spark, corpus2, root)
+    marker = _read_trigram_marker(root)
+    assert marker.get("delta_docs") == 0  # compacted back to pure base
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus2, "compaction_probe_token").collect()
+    fast = grep_indexed(spark, None, root, "compaction_probe_token").collect()
+    assert sorted(map(key, fast)) == sorted(map(key, scan)) and len(scan) == 8
 
 
 def test_update_index_drops_trigrams_without_stored_content(spark, tmp_path):
