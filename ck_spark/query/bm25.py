@@ -535,22 +535,42 @@ class BM25Index:
             int(b_) for t, b_ in zip(ts["term"], ts["bucket"]) if t in scan_terms
         })
         post_cols = _POSTING_COLS + (["pos_blocks"] if any_phrases else [])
+        # SQL-text IN for the term filter: Column.isin builds one py4j
+        # literal per term (~1 ms each — minutes at 10k-query batches);
+        # the parsed predicate is the same pushed In/InSet filter.
+        # Tokenizer output is [a-z0-9]+ but escape defensively.
+        terms_sql = ",".join(
+            "'" + t.replace("'", "''") + "'" for t in sorted(scan_terms)
+        )
         post = (
             self.postings_df
-            .where(F.col("bucket").isin(buckets)
-                   & F.col("term").isin(sorted(scan_terms)))
+            .where(F.col("bucket").isin(buckets))
+            .where(f"term IN ({terms_sql})")
             .select(*post_cols)
         )
 
+        # ship large plan sets via a broadcast variable instead of the
+        # task closure: every task deserializes the closure, so a 10k-query
+        # batch's plans+idfs would otherwise be re-shipped per task
+        # (VERDICT r3 ask #8)
+        if len(plans) >= 512:
+            _bc = spark.sparkContext.broadcast((plans, idfs))
+            _plans_ref, _idfs_ref = None, None
+        else:
+            _bc, _plans_ref, _idfs_ref = None, plans, idfs
+
         def score_segment(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
+            plans_l, idfs_l = (
+                _bc.value if _bc is not None else (_plans_ref, _idfs_ref)
+            )
             by_term: dict[str, dict] = {}
             for rec in pdf.to_dict("records"):
                 by_term[rec["term"]] = rec
             out_q, out_d, out_s = [], [], []
-            for plan in plans:
+            for plan in plans_l:
                 if plan["mode"] == "syntax":
                     res = _score_boolean_segment(
-                        by_term, plan, idfs, avgdl, k1, b, q_k, allowed,
+                        by_term, plan, idfs_l, avgdl, k1, b, q_k, allowed,
                         block_size,
                     )
                     if res is None:
@@ -564,12 +584,12 @@ class BM25Index:
                         if len(rows) < len(plan["terms"]):
                             continue
                         ids, scores = _scorer.score_and(
-                            rows, idfs, avgdl, k1, b, q_k, allowed
+                            rows, idfs_l, avgdl, k1, b, q_k, allowed
                         )
                     else:
                         total = sum(int(r["n_docs"]) for r in rows)
                         fn = _pick_or_scorer(q_strategy, total, q_k)
-                        ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed)
+                        ids, scores = fn(rows, idfs_l, avgdl, k1, b, q_k, allowed)
                 out_q.extend([plan["qid"]] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(scores.tolist())
