@@ -305,6 +305,25 @@ def _q_grep_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_grep_trigram_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-FREE indexed grep (v6 stored content): the scan source is
+    the index's own doc_map — candidate fetch via literal seg/doc_id
+    pushdown, binary docs unioned back. Same full-scan oracle as
+    grep_trigram: identical answers prove both pruning soundness AND that
+    the stored copy is faithful (sha256 ingest invariant)."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_trigram_root
+    from ck_spark.query.trigram import grep_indexed
+
+    root = documents_trigram_root(spark, sf_dir)
+    hits = grep_indexed(spark, None, root, TRIGRAM_PATTERN, count_matches=True)
+    return hits.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    ).orderBy("doc_id")
+
+
 def _q_grep_files_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1241,6 +1260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "grep_count": _q_grep_count,
         "grep_trigram": _q_grep_trigram,
+        "grep_trigram_stored": _q_grep_trigram_stored,
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
         "dedup_exact": _q_dedup_exact,
@@ -1312,6 +1332,12 @@ SELECT doc_id FROM documents
 WHERE NOT regexp_matches(text, '{GREP_PATTERN}')
 ORDER BY doc_id""",
         "grep_trigram": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+ORDER BY doc_id""",
+        "grep_trigram_stored": f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
 FROM documents
