@@ -30,6 +30,12 @@ def one_run(cores: int, n_docs: int, zip_path: str) -> dict | None:
         os.path.join(REPO, "scripts", "scaling_job.py"),
         "--cores", str(cores), "--n-docs", str(n_docs),
     ]
+    corpus_path = os.environ.get("HARVEST_CORPUS")
+    if corpus_path:
+        # stored-table protocol (round-3 finding): the north-rule input is
+        # a STORED Iceberg table, so corpus generation is excluded from
+        # the timed build at both levels
+        cmd += ["--corpus-path", corpus_path]
     load_before = os.getloadavg()[0]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     load_after = os.getloadavg()[0]
