@@ -41,9 +41,12 @@ else:  # pragma: no cover
     import sre_parse as _sre_parse
 
 # keep the planner's fan-in bounded: each required trigram is individually
-# necessary, so any subset keeps correctness; beyond ~12 the intersection
-# is already tiny and extra terms only add scan width
-MAX_QUERY_TRIGRAMS = 12
+# necessary, so any subset keeps correctness; beyond ~10 the intersection
+# is already tiny and extra terms only add scan width. 10 also keeps the
+# ghash IN (...) filter within parquet's In-pushdown threshold
+# (spark.sql.parquet.pushdown.inFilterThreshold default 10), so direct
+# candidates() scans page-skip instead of reading whole buckets.
+MAX_QUERY_TRIGRAMS = 10
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +189,21 @@ def invalidate_trigram_marker(root: str) -> None:
 # fraction of docs, where a scan is IO-bound regardless) fall back to a
 # distributed semi-join. The cap bounds driver memory AND the SQL-text
 # predicate size (~0.15 ms/id driver-side to build+parse).
-CANDIDATE_COLLECT_MAX = 8192
+CANDIDATE_COLLECT_MAX = 20_000
+
+# gram triage (TrigramIndex.triage_grams): intersect only the
+# SELECTIVE_GRAM_LIMIT rarest grams whose global df is at most
+# SELECTIVE_DF_FRACTION of the corpus; if none qualifies — or the RAREST
+# gram still matches more than TRIAGE_SCAN_FRACTION of the corpus (the
+# candidate superset would be a large slice whose fetch costs what the
+# scan costs, plus intersection work) — the grep falls back to the scan
+SELECTIVE_GRAM_LIMIT = 3
+SELECTIVE_DF_FRACTION = 0.5
+TRIAGE_SCAN_FRACTION = 0.05
+# executor-side early stop: once the accumulated intersection is this
+# small, further gram decodes cost more than the false positives they
+# would remove (the regex verify removes them anyway)
+PRUNE_STOP = 2048
 
 # grams are stored by HASH, not string: ghash = pmod(xxhash64(gram), 2^24).
 # A collision merges two grams' posting lists, which only WIDENS the
@@ -290,6 +307,39 @@ def _encode_and_write_grams(
     return int(obs.get["rows"])
 
 
+GRAM_STATS_DIR = "_gram_stats"  # _-prefixed: invisible to partition discovery
+
+
+def _write_gram_stats(spark: SparkSession, root: str) -> None:
+    """Persist global per-gram document frequencies beside the postings
+    (the BM25 term_stats analogue): ONE aggregation at build/compact/
+    repair time so query-time gram triage is a driver-side dict lookup —
+    zero Spark jobs per grep (the previous per-query metadata aggregation
+    cost more CPU than the candidate intersection it was optimizing)."""
+    import os
+
+    out = os.path.join(root, TRIGRAM_DIR, GRAM_STATS_DIR)
+    (
+        _read_trigram_table(spark, root)
+        .groupBy("ghash").agg(F.sum("n_docs").alias("df"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    )
+
+
+def _read_gram_stats(root: str) -> dict:
+    """Driver-side load (pyarrow, no Spark job); {} when absent."""
+    import os
+
+    import pandas as _pd
+
+    path = os.path.join(root, TRIGRAM_DIR, GRAM_STATS_DIR)
+    try:
+        pdf = _pd.read_parquet(path)
+    except (OSError, ValueError):
+        return {}
+    return dict(zip(pdf["ghash"].astype(int), pdf["df"].astype(int)))
+
+
 def _write_trigram_marker(
     out_dir: str, rows: int, term_buckets: int, delta_docs: int = 0
 ) -> None:
@@ -368,6 +418,7 @@ def build_trigram_index(
     invalidate_trigram_marker(root)
     os.makedirs(out_dir, exist_ok=True)
     rows = _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
+    _write_gram_stats(spark, root)
     _write_trigram_marker(out_dir, rows, term_buckets)
     return rows
 
@@ -482,8 +533,11 @@ def refresh_trigram_segments(
     if not docs.isEmpty():
         _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
     rows = int(_read_trigram_table(spark, root).count())
-    _write_trigram_marker(out_dir, rows, term_buckets,
-                          delta_docs=int(old.get("delta_docs", 0)))
+    # stats must be re-derived: the repaired segments may carry grams the
+    # build-time stats never saw, and the EMPTY triage verdict is only
+    # sound against fresh stats when delta_docs is 0
+    _write_gram_stats(spark, root)
+    _write_trigram_marker(out_dir, rows, term_buckets, delta_docs=0)
     return rows
 
 
@@ -524,10 +578,21 @@ class TrigramIndex:
             # at cluster scale each executor caches its slice
             self.df = self.df.cache()
         self._doc_map_df: DataFrame | None = None
+        self._gram_stats: dict | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, root: str, cache: bool = False) -> "TrigramIndex":
         return cls(spark, root, cache=cache)
+
+    @property
+    def gram_stats(self) -> dict:
+        """ghash -> global df, loaded once driver-side (pyarrow, no Spark
+        job). Missing file (pre-stats index) => {} — triage then treats
+        every gram as possibly-present and ranks nothing, degrading to
+        SCAN; rebuild the trigram index to restore pruning."""
+        if self._gram_stats is None:
+            self._gram_stats = _read_gram_stats(self.root)
+        return self._gram_stats
 
     @property
     def doc_map_df(self) -> DataFrame:
@@ -541,6 +606,70 @@ class TrigramIndex:
 
     def candidates(self, grams: list[str]) -> DataFrame:
         return _intersect_candidates(self.df, grams, self.term_buckets)
+
+    def triage_grams(self, grams: list[str]) -> list[str] | str:
+        """Zoekt-style gram selection BEFORE any posting decode: rank the
+        query's grams by global df (the _gram_stats side table, loaded
+        once driver-side — ZERO Spark jobs here) and keep the few RAREST
+        selective ones.
+
+        Why: every required gram is individually sufficient for sound
+        pruning, so intersecting a subset only widens the candidate set
+        (regex verify removes the extras — free), while each SKIPPED
+        common gram avoids decoding a near-corpus-sized posting list
+        (measured at 1M docs: a 'def'-class gram decodes ~N ids per
+        segment for almost no extra pruning). Zoekt ships the same
+        heuristic (rarest ngrams per substring).
+
+        Delta soundness: stats are rebuilt at build/compact/repair but NOT
+        at delta appends, so with pending deltas (marker delta_docs > 0) a
+        gram missing from stats may still exist in the delta — its df is
+        then estimated as delta_docs (an upper bound), never declared
+        EMPTY. The real intersection decides from actual postings; stats
+        only order and select.
+
+        Returns the selected gram subset; "EMPTY" when some gram is
+        absent index-wide (no doc can match); "SCAN" when no gram is
+        selective (pruning would cost more than the scan it saves)."""
+        stats = self.gram_stats
+        if not stats:
+            # no stats side table (legacy index): cannot rank or prove
+            # absence — keep ALL grams (the original exhaustive
+            # intersection, still sound and still pruning)
+            return list(dict.fromkeys(grams))
+        delta_docs = int(_read_trigram_marker(self.root).get("delta_docs", 0))
+        ghashes = sorted({gram_hash(g) for g in grams})
+        df_map: dict[int, int] = {}
+        for h in ghashes:
+            df = stats.get(h)
+            if df is None:
+                if delta_docs == 0:
+                    return "EMPTY"
+                df = 0  # could only exist in the delta
+            df_map[h] = int(df) + delta_docs  # stale-low correction
+        n_total = max(int(self.meta.get("n_docs") or 1), 1)
+        selective = sorted(
+            (df, h) for h, df in df_map.items()
+            if df <= n_total * SELECTIVE_DF_FRACTION
+        )[:SELECTIVE_GRAM_LIMIT]
+        # the scan wins only when the candidate superset is BOTH a large
+        # fraction of the corpus (fetch bytes ~ scan bytes) AND large in
+        # absolute terms (the literal-IN fetch of ≤10k docs is cheap no
+        # matter the corpus, so small corpora never lose pruning)
+        scan_floor = max(n_total * TRIAGE_SCAN_FRACTION,
+                         CANDIDATE_COLLECT_MAX // 2)
+        if not selective or selective[0][0] > scan_floor:
+            return "SCAN"
+        chosen = {h for _, h in selective}
+        # map back to gram strings (collisions: any representative works —
+        # same posting list either way)
+        out, seen = [], set()
+        for g in grams:
+            h = gram_hash(g)
+            if h in chosen and h not in seen:
+                out.append(g)
+                seen.add(h)
+        return out
 
     def grep(self, corpus: DataFrame | None = None, pattern: str | None = None, **kw):
         """corpus may be None on stored-content (v6) indexes — the scan
@@ -603,6 +732,10 @@ def _intersect_candidates(
         )
         acc = None
         for _, blocks_rows in per_gram:
+            if acc is not None and acc.size <= PRUNE_STOP:
+                # further decodes cost more than the over-inclusion they
+                # remove (sound: extra candidates fail the regex verify)
+                break
             parts = [decode_all_blocks(b) for b in blocks_rows]
             ids = parts[0] if len(parts) == 1 else np.unique(
                 np.concatenate(parts)
@@ -686,6 +819,27 @@ def _grep_indexed_impl(
         )
     eff = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
     grams = required_trigrams(eff)
+    if grams:
+        # rank the grams by global df FIRST (metadata-only query): keep
+        # the rarest few, bail to the plain scan when none is selective
+        sel = idx.triage_grams(grams)
+        if sel == "EMPTY":
+            # some required gram occurs in NO doc — nothing can match the
+            # non-binary corpus; only binary docs (never trigram-indexed)
+            # remain to check
+            grams = []
+            if use_stored or idx.store_content:
+                dm = idx.doc_map_df
+                if not _may_have_binary_docs(idx.meta):
+                    return grep(dm.limit(0), pattern, fixed_string,
+                                whole_word, ignore_case,
+                                topk=topk, count_matches=count_matches)
+                src = dm.where(F.col("is_binary"))
+            else:
+                src = corpus.where(F.contains("content", F.lit("\x00")))
+            return grep(src, pattern, fixed_string, whole_word, ignore_case,
+                        topk=topk, count_matches=count_matches)
+        grams = [] if sel == "SCAN" else sel
     if not grams:
         src = idx.doc_map_df if use_stored else corpus
         return grep(src, pattern, fixed_string, whole_word, ignore_case,
@@ -702,6 +856,9 @@ def _grep_indexed_impl(
         # has no binary docs (total rows == indexed non-binary n_docs).
         dm = idx.doc_map_df
         scoped = _fetch_candidates(dm, cands)
+        if scoped is None:  # candidate overflow: the plain scan is cheaper
+            return grep(dm, pattern, fixed_string, whole_word, ignore_case,
+                        topk=topk, count_matches=count_matches)
         if _may_have_binary_docs(idx.meta):
             scoped = scoped.unionByName(
                 dm.where(F.col("is_binary")).select("repo", "path", "content")
@@ -749,19 +906,22 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame) -> DataFrame:
     scan is candidate-bound anyway at that size)."""
     rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
     narrow = ["repo", "path", "content"]
-    if len(rows) <= CANDIDATE_COLLECT_MAX:
-        if not rows:
-            return dm.select(*narrow).limit(0)
-        segs = sorted({r["seg"] for r in rows})
-        ids = sorted(r["doc_id"] for r in rows)
-        # SQL-text IN lists, not Column.isin: building an In expression
-        # over thousands of py4j literals costs seconds of pure driver
-        # time (measured 4.1 s construct + 3.2 s run vs 0.6 + 0.5 for the
-        # parsed form at 3.9k ids); the parsed predicate reaches parquet
-        # as the same pushed In/InSet filter
-        pred = (
-            f"seg IN ({','.join(map(str, segs))}) AND "
-            f"doc_id IN ({','.join(map(str, ids))})"
-        )
-        return dm.where(pred).select(*narrow)
-    return dm.join(cands, ["seg", "doc_id"], "left_semi").select(*narrow)
+    if len(rows) > CANDIDATE_COLLECT_MAX:
+        # overflow: a distributed semi-join would still read every content
+        # byte of doc_map PLUS pay the join — strictly worse than the
+        # plain scan the caller falls back to
+        return None
+    if not rows:
+        return dm.select(*narrow).limit(0)
+    segs = sorted({r["seg"] for r in rows})
+    ids = sorted(r["doc_id"] for r in rows)
+    # SQL-text IN lists, not Column.isin: building an In expression
+    # over thousands of py4j literals costs seconds of pure driver
+    # time (measured 4.1 s construct + 3.2 s run vs 0.6 + 0.5 for the
+    # parsed form at 3.9k ids); the parsed predicate reaches parquet
+    # as the same pushed In/InSet filter
+    pred = (
+        f"seg IN ({','.join(map(str, segs))}) AND "
+        f"doc_id IN ({','.join(map(str, ids))})"
+    )
+    return dm.where(pred).select(*narrow)

@@ -355,3 +355,37 @@ def test_grep_indexed_falls_back_without_marker(spark, indexed, tmp_path):
     scan = grep(corpus, "def ").collect()
     fast = grep_indexed(spark, corpus, root2, "def ").collect()
     assert sorted(map(key, fast)) == sorted(map(key, scan))
+
+
+def test_triage_grams_selects_rarest_and_detects_absent(spark, indexed):
+    """Gram triage: rarest-first subset selection off the _gram_stats side
+    table (zero Spark jobs), EMPTY for grams absent index-wide, and SCAN
+    when nothing is selective."""
+    from ck_spark.query.trigram import (
+        SELECTIVE_GRAM_LIMIT, TrigramIndex, required_trigrams,
+    )
+
+    corpus, root = indexed
+    tri = TrigramIndex.load(spark, root)
+    assert tri.gram_stats  # side table present and non-empty
+    sel = tri.triage_grams(required_trigrams("parse_buffer"))
+    assert isinstance(sel, list) and 1 <= len(sel) <= SELECTIVE_GRAM_LIMIT
+    # selected grams are the globally rarest of the input set
+    from ck_spark.query.trigram import gram_hash
+    dfs = {g: tri.gram_stats[gram_hash(g)] for g in required_trigrams("parse_buffer")}
+    max_sel = max(dfs[g] for g in sel)
+    n_better = sum(1 for v in dfs.values() if v < max_sel)
+    assert n_better <= len(sel) * 2  # rarest modulo ties/collisions
+    # a gram that exists nowhere -> EMPTY (no doc can match)
+    assert tri.triage_grams(["q\x01z"]) == "EMPTY"
+    # pending delta: absence is no longer provable -> gram stays selected
+    import json, os
+    from ck_spark.query.trigram import TRIGRAM_DIR, TRIGRAM_MARKER
+    mpath = os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER)
+    m = json.load(open(mpath))
+    try:
+        json.dump({**m, "delta_docs": 5}, open(mpath, "w"))
+        out = tri.triage_grams(["q\x01z"])
+        assert out == ["q\x01z"]
+    finally:
+        json.dump(m, open(mpath, "w"))
