@@ -174,14 +174,38 @@ def _doc_map_summary(spark: SparkSession, doc_map_path: str) -> tuple[int, int, 
     return int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}"
 
 
-def _write_corpus_stats(spark: SparkSession, paths: IndexPaths) -> None:
-    dm = spark.read.parquet(paths.doc_map)
-    stats = dm.where(~F.col("is_binary")).agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-        F.sum("doc_len").alias("total_tokens"),
+def _summarize_and_write_stats(
+    spark: SparkSession, paths: IndexPaths
+) -> tuple[int, int, str, int, float]:
+    """ONE doc_map scan for both the identity summary (row count,
+    collision check, corpus fingerprint) and the BM25 corpus stats
+    (n_docs/avgdl/total_tokens over non-binary docs); the 1-row
+    corpus_stats table is then written driver-side. Collapsing the two
+    aggregation jobs matters for scaling efficiency: fixed per-job
+    dispatch is the part of the build that does NOT shrink with more
+    executors. Returns (n, nd, snapshot, n_docs, avgdl)."""
+    nb = ~F.col("is_binary")
+    row = (
+        spark.read.parquet(paths.doc_map)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.bit_xor(F.xxhash64("repo", "path", "commit", "content_sha256")).alias("h"),
+            F.count(F.when(nb, 1)).alias("n_docs"),
+            F.avg(F.when(nb, F.col("doc_len"))).alias("avgdl"),
+            F.sum(F.when(nb, F.col("doc_len"))).alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    stats = spark.createDataFrame(
+        [(int(row["n_docs"]),
+          float(row["avgdl"]) if row["avgdl"] is not None else None,
+          int(row["total_tokens"]) if row["total_tokens"] is not None else 0)],
+        "n_docs long, avgdl double, total_tokens long",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+    return (int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}",
+            int(row["n_docs"]), float(row["avgdl"] or 0.0))
 
 
 def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
@@ -375,9 +399,7 @@ def repair_index(spark: SparkSession, out_dir: str,
     tmp_dm = marker.get("tmp") or os.path.join(out_dir, "_tmp_doc_map")
     store.heal(paths.doc_map, marker["segs"], tmp_dm)
     store.cleanup(tmp_dm)
-    _write_corpus_stats(spark, paths)
-    srow = spark.read.parquet(paths.corpus_stats).collect()[0]
-    avgdl = float(srow["avgdl"] or 0.0)
+    _, _, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
     _reencode_segments(spark, paths, meta, marker["segs"], avgdl)
     # a trigram index is the same pure function of doc_map content: re-run
     # the interrupted refresh for the flagged segments (the marker was
@@ -392,9 +414,8 @@ def repair_index(spark: SparkSession, out_dir: str,
         else:
             shutil.rmtree(_tri_dir, ignore_errors=True)
     n_terms = _write_term_stats(spark, paths)
-    _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
     meta.update({
-        "avgdl": avgdl, "n_docs": int(srow["n_docs"]),
+        "avgdl": avgdl, "n_docs": n_docs_nb,
         "n_terms": int(n_terms), "input_snapshot": snapshot,
     })
     man.save_meta(meta)
@@ -460,7 +481,7 @@ def build_index(
             .partitionBy("seg")
             .parquet(paths.doc_map)
         )
-    n, nd, snapshot = _doc_map_summary(spark, paths.doc_map)
+    n, nd, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
     if n != nd:
         raise RuntimeError(
             f"doc_id collision: {n} rows but {nd} distinct ids — "
@@ -481,15 +502,12 @@ def build_index(
         for stale in (paths.postings, paths.term_stats):
             shutil.rmtree(stale, ignore_errors=True)
 
-    # ---- stage: corpus_stats ----------------------------------------------
+    # ---- stage: corpus_stats (computed in the SAME scan as the summary
+    # above — the stage record remains for lineage/compat) ------------------
     t0 = time.time()
     if not (resume and man.is_complete("corpus_stats", 0, snapshot)):
-        _write_corpus_stats(spark, paths)
         man.complete("corpus_stats", 0, snapshot, 1, 0,
                      int((time.time() - t0) * 1000), lineage="doc_map->corpus_stats")
-
-    srow = spark.read.parquet(paths.corpus_stats).collect()[0]
-    avgdl = float(srow["avgdl"] or 0.0)
 
     # ---- stage: postings, per segment-group (resumable unit) ---------------
     groups = [
@@ -540,7 +558,7 @@ def build_index(
             "b": b,
             "block_size": block_size,
             "avgdl": avgdl,
-            "n_docs": int(srow["n_docs"]),
+            "n_docs": n_docs_nb,
             "n_terms": int(nterms) if nterms is not None else None,
             "input_snapshot": snapshot,
         }
@@ -722,9 +740,7 @@ def update_index(
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
 
-    _write_corpus_stats(spark, paths)
-    srow = spark.read.parquet(paths.corpus_stats).collect()[0]
-    avgdl = float(srow["avgdl"] or 0.0)
+    _, _, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
 
     _reencode_segments(spark, paths, meta, affected, avgdl)
     if tri_refresh:
@@ -732,8 +748,7 @@ def update_index(
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 
-    _, _, snapshot = _doc_map_summary(spark, paths.doc_map)
-    meta.update({"avgdl": avgdl, "n_docs": int(srow["n_docs"]), "input_snapshot": snapshot})
+    meta.update({"avgdl": avgdl, "n_docs": n_docs_nb, "input_snapshot": snapshot})
     man.save_meta(meta)
     man.clear_marker("update_inprogress")
     stats["build_ms"] = int((time.time() - t_start) * 1000)

@@ -93,6 +93,17 @@ def main() -> None:
     for r in rows:
         h.update(f"{r['query_id']}|{r['doc_id']}|{r['score']:.9f}\n".encode())
     query_s = time.time() - t0
+    # per-stage build breakdown from the manifest (diagnostic: which stage
+    # scales sub-linearly)
+    stage_ms = {}
+    try:
+        from ck_spark.index.manifest import Manifest
+
+        for r in Manifest(root).records():
+            key = f"{r['stage']}[{r.get('partition_id')}]"
+            stage_ms[key] = r.get("build_ms")
+    except Exception:
+        pass
     shutil.rmtree(root, ignore_errors=True)
 
     out = {
@@ -103,6 +114,7 @@ def main() -> None:
         "total_s": round(build_s + query_s, 2),
         "build_docs_per_sec": round(args.n_docs / build_s, 1),
         "queries_per_sec": round(len(queries) / query_s, 2),
+        "stage_ms": stage_ms,
         "results_sha256": h.hexdigest(),
     }
     print("SCALING_RESULT " + json.dumps(out))
