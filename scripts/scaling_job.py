@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--gen-partitions", type=int, default=64)
     ap.add_argument("--n-segments", type=int, default=16)
     ap.add_argument("--body-scale", type=int, default=3)
+    ap.add_argument("--no-store-content", action="store_true",
+                    help="ablation: build without the v6 stored-content "
+                         "column (isolates its write cost in scaling runs)")
     ap.add_argument("--corpus-path", default=None,
                     help="pre-materialized corpus parquet: the production "
                          "input is a STORED table (north rule: 'over an "
@@ -74,7 +77,7 @@ def main() -> None:
     build_index(
         spark, corpus, root, mode="code",
         n_segments=args.n_segments, term_buckets=16, build_groups=1,
-        resume=False,
+        resume=False, store_content=not args.no_store_content,
     )
     build_s = time.time() - t0
 
@@ -114,6 +117,7 @@ def main() -> None:
         "total_s": round(build_s + query_s, 2),
         "build_docs_per_sec": round(args.n_docs / build_s, 1),
         "queries_per_sec": round(len(queries) / query_s, 2),
+        "store_content": not args.no_store_content,
         "stage_ms": stage_ms,
         "results_sha256": h.hexdigest(),
     }
