@@ -154,3 +154,38 @@ def test_regex_search_trigram_acceleration(spark, tmp_path):
     assert free_fs["results"]
     # build_trigram without a corpus (grams derive from doc_map)
     assert svc2.build_trigram()["rows"] > 0
+
+
+def test_mcp_stdio_over_real_service(spark, tmp_path):
+    """The full wire path: JSON-RPC lines -> McpStdioServer -> CkService
+    -> engine, results identical to direct service calls."""
+    import io
+    import json
+
+    from ck_spark.corpus import generate_corpus
+    from ck_spark.mcp import McpStdioServer
+    from ck_spark.service import CkService
+
+    corpus = spark.createDataFrame(generate_corpus(60, seed=13))
+    svc = CkService(spark, str(tmp_path / "idx"), corpus=corpus, mode="code",
+                    build_opts=dict(n_segments=2, term_buckets=4))
+    srv = McpStdioServer(svc)
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {}}),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                    "params": {"name": "lexical_search",
+                               "arguments": {"query": "parse buffer",
+                                             "top_k": 5}}}),
+        json.dumps({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                    "params": {"name": "index_status"}}),
+    ]
+    out = io.StringIO()
+    srv.serve(lines, out)
+    resps = {r["id"]: r for r in map(json.loads, out.getvalue().splitlines())}
+    wire = resps[2]["result"]["structuredContent"]["results"]
+    direct = svc.lexical_search("parse buffer", top_k=5)["results"]
+    assert [(r["doc_id"], r["score"]) for r in wire] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ] and len(wire) > 0
+    assert resps[3]["result"]["structuredContent"]["meta"]["version"] == 6
