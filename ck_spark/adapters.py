@@ -121,7 +121,9 @@ def search_documents(
         fetch = min(fetch * 4, n_docs)
     out = pdf.head(k)
     if len(out) == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, "doc_id long, score double")
     return spark.createDataFrame(out)
 
 

@@ -197,11 +197,18 @@ def _summarize_and_write_stats(
         )
         .collect()[0]
     )
-    stats = spark.createDataFrame(
-        [(int(row["n_docs"]),
-          float(row["avgdl"]) if row["avgdl"] is not None else None,
-          int(row["total_tokens"]) if row["total_tokens"] is not None else 0)],
-        "n_docs long, avgdl double, total_tokens long",
+    # range(1).select(lit(...)) — NOT spark.createDataFrame(python rows):
+    # a python-object local relation parallelizes into defaultParallelism
+    # tasks, each spinning a Python worker — measured 4+ s for ONE row,
+    # paid on every build/update; the JVM literal row is ~0.2 s
+    avgdl_lit = (
+        F.lit(float(row["avgdl"])) if row["avgdl"] is not None
+        else F.lit(None).cast("double")
+    )
+    stats = spark.range(1).select(
+        F.lit(int(row["n_docs"])).cast("long").alias("n_docs"),
+        avgdl_lit.alias("avgdl"),
+        F.lit(int(row["total_tokens"] or 0)).cast("long").alias("total_tokens"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
     return (int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}",

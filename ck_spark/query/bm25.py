@@ -34,6 +34,7 @@ from ck_spark.constants import (
 )
 from ck_spark.index.builder import IndexPaths
 from ck_spark.index.manifest import Manifest
+from ck_spark.plans.schemas import empty_df as _empty_df
 from ck_spark.query import scorer as _scorer
 from ck_spark.tokenizer import tokenize
 
@@ -209,7 +210,7 @@ class BM25Index:
         (F3/F4/F7), so scoped top-k is exact, not a post-filter."""
         terms = list(dict.fromkeys(tokenize(query, self.meta["tokenizer_mode"])))
         spark = self.spark
-        empty = spark.createDataFrame([], _RESULT_SCHEMA)
+        empty = _empty_df(spark, _RESULT_SCHEMA)
         if not terms:
             return self._finish(empty, k, normalize, threshold, with_paths)
 
@@ -306,7 +307,7 @@ class BM25Index:
 
         pq = parse_query(query, self.meta["tokenizer_mode"])
         spark = self.spark
-        empty = spark.createDataFrame([], _RESULT_SCHEMA)
+        empty = _empty_df(spark, _RESULT_SCHEMA)
         if not pq.positive_terms:
             return self._finish(empty, k, normalize, threshold, with_paths)
         use_positions = bool(self.meta.get("with_positions"))
@@ -461,7 +462,7 @@ class BM25Index:
         spark = self.spark
         mode_tok = self.meta["tokenizer_mode"]
         use_positions = bool(self.meta.get("with_positions"))
-        empty = spark.createDataFrame([], "query_id int, doc_id long, score double")
+        empty = _empty_df(spark, "query_id int, doc_id long, score double")
         qinfo = []
         all_terms: set[str] = set()
         for qid, (q, mode) in enumerate(queries):
