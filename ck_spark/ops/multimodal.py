@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas.
 
-Decode is REAL for PNG images (ops/png.py pure-Python codec), WAV audio
-(ops/wav.py stdlib RIFF/PCM) and uncompressed AVI video (ops/avi.py RIFF
-+ DIB frames) — pixel/sample-accurate statistics, no third-party libs.
-Only compressed formats (jpeg/mp3/mp4/...) raise NotImplementedError
-behind an import-try: those genuinely need codec libraries absent from
-this container, and swapping in PIL/soundfile/PyAV is a one-function
-change at the same seam.
+Decode is REAL for PNG images (ops/png.py pure-Python codec), baseline
+JPEG images (ops/jpeg.py pure-numpy T.81 decoder — Huffman + dequant +
+IDCT + chroma upsampling), WAV audio (ops/wav.py stdlib RIFF/PCM) and
+uncompressed AVI video (ops/avi.py RIFF + DIB frames) —
+pixel/sample-accurate statistics, no third-party libs. Only perceptual
+audio/video codecs (mp3/mp4/...) raise NotImplementedError behind an
+import-try: those genuinely need codec libraries absent from this
+container, and swapping in soundfile/PyAV is a one-function change at
+the same seam.
 
 Scale design: payloads never pass through Python row-at-a-time — Arrow
 moves each partition's binaries as buffers; heavy decode parallelism is
@@ -77,11 +79,12 @@ def extract_features(
 
     real_decode=True DECODES the payload: PNG images through the built-in
     pure-Python codec (ops/png.py — a real codec round-trip, no third-party
-    libs); WAV audio through the stdlib RIFF/PCM decoder (ops/wav.py —
+    libs); baseline JPEG through the pure-numpy T.81 decoder (ops/jpeg.py);
+    WAV audio through the stdlib RIFF/PCM decoder (ops/wav.py —
     statistics over SAMPLES); uncompressed AVI video through ops/avi.py
     (statistics over PIXELS of decoded frames); other image formats
-    through PIL when installed. Compressed video/audio formats raise
-    NotImplementedError — those need codec libs absent from this
+    through PIL when installed. Perceptual audio/video codecs (mp3/mp4)
+    raise NotImplementedError — those need codec libs absent from this
     container.
 
     The default (real_decode=False) derives deterministic statistics from
@@ -89,6 +92,7 @@ def extract_features(
 
     def proc(iterator):
         from ck_spark.ops.avi import decode_avi
+        from ck_spark.ops.jpeg import decode_jpeg
         from ck_spark.ops.png import decode_png
         from ck_spark.ops.wav import decode_wav
 
@@ -100,6 +104,8 @@ def extract_features(
                 if real_decode:
                     if kind == "image" and str(fmt).lower() == "png":
                         vals = decode_png(bytes(payload)).astype(np.float64).ravel()
+                    elif kind == "image" and str(fmt).lower() in ("jpeg", "jpg"):
+                        vals = decode_jpeg(bytes(payload)).astype(np.float64).ravel()
                     elif kind == "audio" and str(fmt).lower() == "wav":
                         vals = decode_wav(bytes(payload))[0].ravel()
                     elif kind == "video" and str(fmt).lower() == "avi":
@@ -114,9 +120,10 @@ def extract_features(
                     else:
                         raise NotImplementedError(
                             f"no decoder for kind={kind} format={fmt} "
-                            "(PNG, WAV and uncompressed AVI decode are "
-                            "built-in; compressed video needs a codec lib "
-                            "— not in this container)"
+                            "(PNG, baseline JPEG, WAV and uncompressed "
+                            "AVI decode are built-in; perceptual "
+                            "audio/video codecs need a codec lib — not "
+                            "in this container)"
                         )
                 else:
                     vals = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
