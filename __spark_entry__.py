@@ -324,6 +324,30 @@ def _q_grep_trigram_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TRIGRAM_ALT_PATTERN = r"window|join"
+
+
+def _q_grep_trigram_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternation through the trigram index's OR-of-ANDs (DNF) path
+    (query/trigram.py trigram_dnf — Cox's algebra: alternation ORs the
+    branches' gram conjunctions, candidates are the union of per-clause
+    intersections). Round-4-era behavior fell back to a full scan on any
+    alternation; the oracle stays the PLAIN full-scan regex SQL, so
+    hash-identity proves the union-of-intersections pruning is sound."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_trigram_root
+    from ck_spark.query.trigram import grep_indexed
+
+    root = documents_trigram_root(spark, sf_dir)
+    hits = grep_indexed(spark, None, root, TRIGRAM_ALT_PATTERN,
+                        count_matches=True)
+    return hits.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    ).orderBy("doc_id")
+
+
 def _q_grep_files_without(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1261,6 +1285,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_count": _q_grep_count,
         "grep_trigram": _q_grep_trigram,
         "grep_trigram_stored": _q_grep_trigram_stored,
+        "grep_trigram_alt": _q_grep_trigram_alt,
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
         "dedup_exact": _q_dedup_exact,
@@ -1342,6 +1367,12 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
 FROM documents
 WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+ORDER BY doc_id""",
+        "grep_trigram_alt": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TRIGRAM_ALT_PATTERN}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_ALT_PATTERN}')
 ORDER BY doc_id""",
         "hybrid_rrf": f"""{_bm25_scored_cte(hybrid_terms)},
 bm AS (

@@ -5,11 +5,13 @@ scale-killer a corpus-scan phrase query was: every grep touches every
 byte. The classic fix — public knowledge from Google Code Search (Russ
 Cox, "Regular Expression Matching with a Trigram Index", 2012) and used
 by Zoekt/Sourcegraph — is to index character trigrams of the content and
-turn the regex into a *necessary* trigram condition: any line that can
-match must contain every required trigram, so posting-list intersection
-yields a candidate doc set and the (unchanged, codegen) regex scan runs
-over candidates only. Results are EXACTLY the full-scan results — the
-index only prunes, never decides (asserted in tests/test_trigram.py).
+turn the regex into a *necessary* trigram condition in OR-of-ANDs form
+(Cox's algebra: concatenation ANDs, alternation ORs): any match
+satisfies at least one clause, so the candidate set is the union over
+clauses of each clause's posting-list intersection, and the (unchanged,
+codegen) regex scan runs over candidates only. Results are EXACTLY the
+full-scan results — the index only prunes, never decides (asserted in
+tests/test_trigram.py).
 
 The reference (ck) greps by scanning, which is the right call for one
 repo on one machine (ck-engine/src/lib.rs:387-450); this module is the
@@ -50,23 +52,68 @@ MAX_QUERY_TRIGRAMS = 10
 
 
 # ---------------------------------------------------------------------------
-# regex analysis: which literal substrings MUST any match contain?
+# regex analysis: a necessary trigram condition in OR-of-ANDs (DNF) form
 # ---------------------------------------------------------------------------
+#
+# Cox's trigram algebra maps regex structure to a boolean query over
+# trigrams: concatenation ANDs the parts' conditions, alternation ORs
+# them. We keep the query in DNF — a list of CLAUSES, each clause a set
+# of required substrings; any match satisfies at least one clause, so
+# the candidate set is the UNION over clauses of each clause's
+# posting-list INTERSECTION. A single clause is the classic all-required
+# case; `quixotic|obsidian` becomes two clauses instead of (round-4-era)
+# an empty intersection that forced a full scan.
+
+# bound the DNF size: alternation nesting multiplies clauses under AND.
+# More than this many clauses is collapsed to the single clause of
+# substrings common to ALL clauses (a sound weakening: required
+# regardless of which alternative matched) — usually empty => scan.
+# 4 covers a product of two 2-way alternations; trigram_dnf then budgets
+# each clause to MAX_QUERY_TRIGRAMS//n grams so the query's distinct
+# ghash count stays within parquet's In-pushdown threshold (10).
+MAX_DNF_CLAUSES = 4
+
+_TRUE: list[set[str]] = [set()]  # DNF tautology: one unconstrained clause
 
 
-def _literal_runs(nodes) -> tuple[list[str], set[str]]:
-    """Walk one concatenation sequence. Returns (runs, extra) where `runs`
-    are maximal consecutive-LITERAL strings in this sequence and `extra`
-    are required substrings contributed by nested nodes. Conservative:
-    literal runs are not merged across group boundaries (under-extraction
-    is sound — it can only widen the candidate set)."""
-    runs: list[str] = []
-    extra: set[str] = set()
+def _dnf_and(a: list[set[str]], b: list[set[str]]) -> list[set[str]]:
+    out: list[set[str]] = []
+    for x in a:
+        for y in b:
+            u = x | y
+            if u not in out:
+                out.append(u)
+    if len(out) > MAX_DNF_CLAUSES:
+        return [set.intersection(*out)]
+    return out
+
+
+def _dnf_or(ds: list[list[set[str]]]) -> list[set[str]]:
+    clauses: list[set[str]] = []
+    for d in ds:
+        for c in d:
+            if not c:
+                return list(_TRUE)  # one unconstrained alternative
+            if c not in clauses:
+                clauses.append(c)
+    if not clauses:
+        return list(_TRUE)
+    if len(clauses) > MAX_DNF_CLAUSES:
+        return [set.intersection(*clauses)]
+    return clauses
+
+
+def _node_dnf(nodes) -> list[set[str]]:
+    """DNF of required substrings for one concatenation sequence.
+    Conservative: literal runs are not merged across group boundaries
+    (under-extraction is sound — it can only widen the candidate set)."""
+    dnf = list(_TRUE)
     cur: list[str] = []
 
     def flush():
+        nonlocal dnf
         if cur:
-            runs.append("".join(cur))
+            dnf = _dnf_and(dnf, [{"".join(cur).lower()}])
             cur.clear()
 
     for op, av in nodes:
@@ -75,44 +122,40 @@ def _literal_runs(nodes) -> tuple[list[str], set[str]]:
             cur.append(chr(av))
         elif name == "SUBPATTERN":
             flush()
-            extra |= required_substrings(av[3])  # (group, add_f, del_f, body)
+            dnf = _dnf_and(dnf, _node_dnf(list(av[3])))  # (g,a,d,body)
         elif name == "ATOMIC_GROUP":
             flush()
-            extra |= required_substrings(av)  # av IS the body SubPattern
+            dnf = _dnf_and(dnf, _node_dnf(list(av)))  # av IS the body
         elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
             flush()
             lo, _hi, sub = av
             if lo >= 1:  # repeated at least once -> body is required
-                extra |= required_substrings(sub)
+                dnf = _dnf_and(dnf, _node_dnf(list(sub)))
         elif name == "BRANCH":
             flush()
             _, branches = av
-            # a substring is required only if required by EVERY branch;
-            # for trigram pruning the usable common requirement is the
-            # intersection of each branch's required-trigram sets
-            per_branch = [
-                _trigrams_of(required_substrings(b)) for b in branches
-            ]
-            common = set.intersection(*per_branch) if per_branch else set()
-            extra |= common  # trigrams are substrings too
+            dnf = _dnf_and(
+                dnf, _dnf_or([_node_dnf(list(b)) for b in branches])
+            )
         elif name == "ASSERT":
             flush()
             direction, sub = av
             if direction == 1:  # positive lookahead/behind: body must occur
-                extra |= required_substrings(sub)
+                dnf = _dnf_and(dnf, _node_dnf(list(sub)))
         else:
             # ANY, IN, AT, CATEGORY, GROUPREF, ASSERT_NOT, NOT_LITERAL, ...
             # contribute nothing and break the current literal run
             flush()
     flush()
-    return runs, extra
+    return dnf
 
 
 def required_substrings(parsed) -> set[str]:
-    """Set of strings that must appear (lowercased) in any match of the
-    parsed sub-pattern."""
-    runs, extra = _literal_runs(list(parsed))
-    return {r.lower() for r in runs if r} | extra
+    """Substrings required (lowercased) in ANY match of the parsed
+    sub-pattern regardless of which alternative matched — the
+    intersection of the DNF's clauses (back-compat conjunctive view)."""
+    dnf = _node_dnf(list(parsed))
+    return set.intersection(*dnf) if dnf else set()
 
 
 def _trigrams_of(strings) -> set[str]:
@@ -123,23 +166,61 @@ def _trigrams_of(strings) -> set[str]:
     return out
 
 
-def required_trigrams(pattern: str) -> list[str]:
-    """Required (lowercased) trigrams for a regex, or [] when the pattern
-    has no usable literals (e.g. ``a.*b``, pure character classes) — the
-    caller must fall back to a full scan then. Unparseable patterns also
-    yield [] (the scan will surface the real error)."""
+def _sample_grams(grams: list[str], cap: int = MAX_QUERY_TRIGRAMS) -> list[str]:
+    """Cap a sorted gram list by sampling evenly: adjacent trigrams come
+    from the same literal and are highly correlated, so spreading keeps
+    more independent constraints."""
+    if len(grams) <= cap:
+        return grams
+    idx = np.linspace(0, len(grams) - 1, cap).astype(int)
+    return [grams[i] for i in sorted(set(int(i) for i in idx))]
+
+
+def trigram_dnf(pattern: str) -> list[list[str]]:
+    """OR-of-ANDs trigram condition for a regex: a list of clauses, each
+    a sorted gram list; a doc can match only if, for SOME clause, it
+    contains ALL that clause's grams. [] when the pattern is unprunable
+    (no literals, an unconstrained alternative, or unparseable) — the
+    caller must run the full scan then."""
     try:
         parsed = _sre_parse.parse(pattern)
     except re.error:
         return []
-    grams = sorted(_trigrams_of(required_substrings(parsed)))
-    if len(grams) > MAX_QUERY_TRIGRAMS:
-        # spread the subset across the sorted list: adjacent trigrams come
-        # from the same literal and are highly correlated, so sampling
-        # evenly keeps more independent constraints
-        idx = np.linspace(0, len(grams) - 1, MAX_QUERY_TRIGRAMS).astype(int)
-        grams = [grams[i] for i in sorted(set(int(i) for i in idx))]
-    return grams
+    clauses: list[list[str]] = []
+    for c in _node_dnf(list(parsed)):
+        grams = sorted(_trigrams_of(c))
+        if not grams:
+            # this alternative requires no indexable gram: a match could
+            # take it without touching the index -> no pruning possible
+            return []
+        clauses.append(grams)
+    # drop clauses whose gram set is a superset of another clause's: their
+    # candidate docs are already contained in the weaker clause's union
+    clauses.sort(key=len)
+    kept: list[list[str]] = []
+    for cl in clauses:
+        s = set(cl)
+        if not any(set(k) <= s for k in kept):
+            kept.append(cl)
+    # budget the per-clause gram count so the TOTAL stays In-pushdown-able
+    per = max(1, MAX_QUERY_TRIGRAMS // max(len(kept), 1))
+    return [_sample_grams(cl, per) for cl in kept]
+
+
+def required_trigrams(pattern: str) -> list[str]:
+    """Required (lowercased) trigrams for a regex — the grams needed
+    regardless of which alternative matches: the intersection of the
+    DNF clauses' GRAM sets (so ``abcde|xbcdz`` still yields ``bcd``).
+    Alternation-aware callers should use trigram_dnf. [] when the
+    pattern has no usable literals (e.g. ``a.*b``) or is unparseable —
+    the caller must fall back to a full scan then."""
+    try:
+        parsed = _sre_parse.parse(pattern)
+    except re.error:
+        return []
+    gram_sets = [_trigrams_of(c) for c in _node_dnf(list(parsed))]
+    grams = sorted(set.intersection(*gram_sets)) if gram_sets else []
+    return _sample_grams(grams)
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +685,9 @@ class TrigramIndex:
             )
         return self._doc_map_df
 
-    def candidates(self, grams: list[str]) -> DataFrame:
+    def candidates(self, grams) -> DataFrame:
+        """(seg, doc_id) candidates for a flat gram list (all required)
+        or a trigram_dnf clause list (per-clause AND, clauses unioned)."""
         return _intersect_candidates(self.df, grams, self.term_buckets)
 
     def triage_grams(self, grams: list[str]) -> list[str] | str:
@@ -679,31 +762,47 @@ class TrigramIndex:
 
 
 def trigram_candidates(
-    spark: SparkSession, root: str, grams: list[str], term_buckets: int
+    spark: SparkSession, root: str, grams, term_buckets: int
 ) -> DataFrame:
-    """(seg, doc_id) DataFrame of docs containing ALL ``grams``: per-segment
-    sorted-array AND intersection. applyInPandas grouped by seg (not
-    mapInPandas) so a segment's gram rows can never be split across Arrow
-    batches — a partial group would silently drop candidates. Groups are
-    tiny (≤ len(grams) rows of compressed blocks), so the per-group
-    overhead is noise. A gram absent from a segment (or the whole index)
-    empties that segment's candidates by the count check — rarest-first
-    ordering makes the intersection cheap."""
+    """(seg, doc_id) DataFrame of candidate docs. ``grams`` is a flat
+    gram list (docs containing ALL of them) or a trigram_dnf clause list
+    (per-clause AND, clause results unioned — Cox's OR-of-ANDs).
+    Per-segment sorted-array intersection via applyInPandas grouped by
+    seg (not mapInPandas) so a segment's gram rows can never be split
+    across Arrow batches — a partial group would silently drop
+    candidates. Groups are tiny (≤ total grams rows of compressed
+    blocks), so the per-group overhead is noise. A gram absent from a
+    segment empties that clause in that segment; rarest-first ordering
+    makes each intersection cheap."""
     return _intersect_candidates(
         _read_trigram_table(spark, root), grams, term_buckets
     )
 
 
+def _normalize_clauses(grams_or_clauses) -> list[list[str]]:
+    """Accept a flat gram list (legacy single-clause callers) or a DNF
+    clause list; [] stays []."""
+    if not grams_or_clauses:
+        return []
+    if isinstance(grams_or_clauses[0], str):
+        return [list(grams_or_clauses)]
+    return [list(c) for c in grams_or_clauses]
+
+
 def _intersect_candidates(
-    trigram_df: DataFrame, grams: list[str], term_buckets: int
+    trigram_df: DataFrame, grams_or_clauses, term_buckets: int
 ) -> DataFrame:
     from ck_spark.codec import decode_all_blocks
 
     # gram -> ghash -> bucket, all DRIVER-SIDE (pure-Python xxhash64,
     # parity-tested against F.xxhash64) — no Spark job just for routing.
     # Distinct ghashes only: two query grams colliding into one key are one
-    # (sound) constraint.
-    ghashes = sorted({gram_hash(g) for g in grams})
+    # (sound) constraint. The query is OR-of-ANDs: each clause's posting
+    # lists intersect, clause results union — ONE postings scan covers
+    # every clause's ghashes (single IN filter, still page-skippable).
+    clauses = _normalize_clauses(grams_or_clauses)
+    clause_hashes = [sorted({gram_hash(g) for g in cl}) for cl in clauses]
+    ghashes = sorted(set().union(*clause_hashes)) if clause_hashes else []
     buckets = sorted({h % term_buckets for h in ghashes})
 
     post = (
@@ -711,43 +810,57 @@ def _intersect_candidates(
         .where(F.col("bucket").isin(buckets) & F.col("ghash").isin(ghashes))
         .select("seg", "ghash", "n_docs", "ids_blocks")
     )
-    k = len(ghashes)
     empty = pd.DataFrame({
         "seg": np.empty(0, dtype=np.int32),
         "doc_id": np.empty(0, dtype=np.int64),
     })
 
     def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["ghash"].nunique() != k:  # some gram absent in this segment
-            return empty
         # a (seg, ghash) key may carry SEVERAL rows: the base row plus
         # LSM-style delta rows appended by incremental updates. A gram's
         # doc list is the UNION of its rows (over-inclusion is sound —
-        # the doc_map fetch/regex verify drops stale ids); the AND runs
-        # across ghashes, rarest (by summed n_docs) first.
-        per_gram = sorted(
-            ((grp["n_docs"].sum(), grp["ids_blocks"]) for _, grp in
-             pdf.groupby("ghash", sort=False)),
-            key=lambda t: t[0],
+        # the doc_map fetch/regex verify drops stale ids).
+        by_hash = {int(g): grp for g, grp in pdf.groupby("ghash", sort=False)}
+        decoded: dict[int, np.ndarray] = {}
+
+        def ids_of(h: int) -> np.ndarray:
+            if h not in decoded:
+                parts = [decode_all_blocks(b)
+                         for b in by_hash[h]["ids_blocks"]]
+                decoded[h] = parts[0] if len(parts) == 1 else np.unique(
+                    np.concatenate(parts)
+                )
+            return decoded[h]
+
+        results = []
+        for ch in clause_hashes:
+            # some gram absent in this segment -> clause empty here
+            if any(h not in by_hash for h in ch):
+                continue
+            # AND across the clause's ghashes, rarest (summed n_docs) first
+            order = sorted(ch, key=lambda h: by_hash[h]["n_docs"].sum())
+            acc = None
+            for h in order:
+                if acc is not None and acc.size <= PRUNE_STOP:
+                    # further decodes cost more than the over-inclusion
+                    # they remove (extra candidates fail the regex verify)
+                    break
+                ids = ids_of(h)
+                acc = ids if acc is None else np.intersect1d(
+                    acc, ids, assume_unique=True
+                )
+                if acc.size == 0:
+                    break
+            if acc is not None and acc.size:
+                results.append(acc)
+        if not results:
+            return empty
+        union = results[0] if len(results) == 1 else np.unique(
+            np.concatenate(results)
         )
-        acc = None
-        for _, blocks_rows in per_gram:
-            if acc is not None and acc.size <= PRUNE_STOP:
-                # further decodes cost more than the over-inclusion they
-                # remove (sound: extra candidates fail the regex verify)
-                break
-            parts = [decode_all_blocks(b) for b in blocks_rows]
-            ids = parts[0] if len(parts) == 1 else np.unique(
-                np.concatenate(parts)
-            )
-            acc = ids if acc is None else np.intersect1d(
-                acc, ids, assume_unique=True
-            )
-            if acc.size == 0:
-                return empty
         return pd.DataFrame({
-            "seg": np.full(acc.size, pdf["seg"].iloc[0], dtype=np.int32),
-            "doc_id": acc.astype(np.int64),
+            "seg": np.full(union.size, pdf["seg"].iloc[0], dtype=np.int32),
+            "doc_id": union.astype(np.int64),
         })
 
     # seg rides along so a stored-content fetch can prune doc_map's seg
@@ -818,28 +931,47 @@ def _grep_indexed_impl(
             "store_content=True) index — pass the corpus DataFrame"
         )
     eff = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
-    grams = required_trigrams(eff)
-    if grams:
-        # rank the grams by global df FIRST (metadata-only query): keep
-        # the rarest few, bail to the plain scan when none is selective
-        sel = idx.triage_grams(grams)
-        if sel == "EMPTY":
-            # some required gram occurs in NO doc — nothing can match the
-            # non-binary corpus; only binary docs (never trigram-indexed)
-            # remain to check
+    clauses = trigram_dnf(eff)
+    grams: list = []
+    all_empty = False
+    if clauses:
+        # per-clause triage: rank each clause's grams by global df
+        # (metadata-only) and keep the rarest few. One un-selective
+        # clause forces the scan (its alternative could match anything
+        # cheap pruning can find); a provably-EMPTY clause is dropped
+        # (no doc satisfies it); ALL clauses empty -> nothing in the
+        # non-binary corpus can match.
+        kept: list[list[str]] = []
+        scan = False
+        for cl in clauses:
+            sel = idx.triage_grams(cl)
+            if sel == "SCAN":
+                scan = True
+                break
+            if sel == "EMPTY":
+                continue
+            kept.append(sel)
+        if scan:
             grams = []
-            if use_stored or idx.store_content:
-                dm = idx.doc_map_df
-                if not _may_have_binary_docs(idx.meta):
-                    return grep(dm.limit(0), pattern, fixed_string,
-                                whole_word, ignore_case,
-                                topk=topk, count_matches=count_matches)
-                src = dm.where(F.col("is_binary"))
-            else:
-                src = corpus.where(F.contains("content", F.lit("\x00")))
-            return grep(src, pattern, fixed_string, whole_word, ignore_case,
-                        topk=topk, count_matches=count_matches)
-        grams = [] if sel == "SCAN" else sel
+        elif not kept:
+            all_empty = True
+        else:
+            grams = kept
+    if all_empty:
+        # every alternative requires a gram that occurs in NO doc —
+        # nothing can match the non-binary corpus; only binary docs
+        # (never trigram-indexed) remain to check
+        if use_stored or idx.store_content:
+            dm = idx.doc_map_df
+            if not _may_have_binary_docs(idx.meta):
+                return grep(dm.limit(0), pattern, fixed_string,
+                            whole_word, ignore_case,
+                            topk=topk, count_matches=count_matches)
+            src = dm.where(F.col("is_binary"))
+        else:
+            src = corpus.where(F.contains("content", F.lit("\x00")))
+        return grep(src, pattern, fixed_string, whole_word, ignore_case,
+                    topk=topk, count_matches=count_matches)
     if not grams:
         src = idx.doc_map_df if use_stored else corpus
         return grep(src, pattern, fixed_string, whole_word, ignore_case,

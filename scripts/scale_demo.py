@@ -151,7 +151,7 @@ def main() -> None:
     tri_build_s = time.time() - t0
     tri = TrigramIndex.load(spark, root, cache=True)
     tri.grep(corpus_disk, "zephyrblade", topk=1).collect()  # warm listing+cache
-    from ck_spark.query.trigram import required_trigrams
+    from ck_spark.query.trigram import trigram_dnf
 
     grep_cmp = {}
     for pat in [r"zephyrblade", r"def parse_buffer_\w+\(", r"quixotic|obsidian",
@@ -170,7 +170,8 @@ def main() -> None:
         n_scan = len(grep(corpus_disk, pat, topk=100).collect())
         n_tri = len(tri.grep(corpus_disk, pat, topk=100).collect())
         assert n_scan == n_tri, (pat, n_scan, n_tri)
-        n_cand = tri.candidates(required_trigrams(pat)).count()
+        dnf = trigram_dnf(pat)
+        n_cand = tri.candidates(dnf).count() if dnf else 0
         grep_cmp[pat] = {
             "scan_wall_s": round(w_scan, 3),
             "trigram_wall_s": round(statistics.median(walls), 3),

@@ -116,6 +116,10 @@ GREP_MATRIX = [
     dict(pattern="IMPORT", ignore_case=True),      # case-insensitive
     dict(pattern="a(b", fixed_string=True),        # -F escapes regex chars
     dict(pattern="return", whole_word=True),       # -w wrapping
+    dict(pattern="return|import"),                 # alternation: 2 DNF clauses
+    dict(pattern=r"(def|class) \w+"),              # alternation ANDed with tail
+    dict(pattern="zzzznope_zz|import"),            # one clause EMPTY, one live
+    dict(pattern="zzzznope_zz|qqqqnope_qq"),       # all clauses EMPTY
 ]
 
 
@@ -389,3 +393,94 @@ def test_triage_grams_selects_rarest_and_detects_absent(spark, indexed):
         assert out == ["q\x01z"]
     finally:
         json.dump(m, open(mpath, "w"))
+
+
+# ---------------------------------------------------------------------------
+# DNF (OR-of-ANDs) analysis — Cox's alternation algebra
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_dnf_alternation_clauses():
+    from ck_spark.query.trigram import trigram_dnf
+
+    dnf = trigram_dnf("quixotic|obsidian")
+    assert len(dnf) == 2
+    assert any("qui" in cl for cl in dnf) and any("bsi" in cl for cl in dnf)
+
+
+def test_trigram_dnf_alternation_with_common_tail():
+    from ck_spark.query.trigram import trigram_dnf
+
+    dnf = trigram_dnf("def (foo_bar|baz_qux)")
+    assert len(dnf) == 2
+    # every clause carries the common prefix's grams AND some gram
+    # specific to its own branch (clauses are budget-sampled, so assert
+    # membership in the branch's full gram set, not one exact gram)
+    tg = lambda s: {s[i:i + 3] for i in range(len(s) - 2)}
+    for cl in dnf:
+        assert "ef " in cl
+    a, b = map(set, dnf)
+    foo_only, qux_only = tg("foo_bar") - tg("baz_qux"), tg("baz_qux") - tg("foo_bar")
+    assert (a & foo_only and b & qux_only) or (a & qux_only and b & foo_only)
+
+
+def test_trigram_dnf_unconstrained_branch_is_scan():
+    from ck_spark.query.trigram import trigram_dnf
+
+    # 'a' yields no trigram: a match could take that branch unseen
+    assert trigram_dnf("a|bcd") == []
+    assert trigram_dnf("x.y|abc") == []
+
+
+def test_trigram_dnf_product_of_alternations():
+    from ck_spark.query.trigram import trigram_dnf
+
+    dnf = trigram_dnf("(a1b|c2d)(e3f|g4h)")
+    assert len(dnf) == 4
+    assert sorted(map(sorted, dnf)) == [
+        ["a1b", "e3f"], ["a1b", "g4h"], ["c2d", "e3f"], ["c2d", "g4h"],
+    ]
+    # 3-way x 2-way product (6 clauses) exceeds the cap -> collapses to
+    # the common-substring clause, which is empty -> scan
+    assert trigram_dnf("(abc|def|ghi)(jkl|mno)") == []
+
+
+def test_trigram_dnf_single_clause_matches_required():
+    from ck_spark.query.trigram import trigram_dnf
+
+    assert trigram_dnf("parse_buffer") == [required_trigrams("parse_buffer")]
+
+
+def test_required_trigrams_branch_intersection_still_works():
+    # the conjunctive view keeps the historical common-gram semantics
+    assert required_trigrams("abcde|xbcdz") == ["bcd"]
+
+
+def test_dnf_candidates_are_superset_of_alternation_matches(spark, indexed):
+    from ck_spark.index.builder import doc_id_expr
+    from ck_spark.index.manifest import Manifest
+    from ck_spark.query.grep import files_with_matches
+    from ck_spark.query.trigram import trigram_candidates, trigram_dnf
+
+    corpus, root = indexed
+    pat = "return|import"
+    dnf = trigram_dnf(pat)
+    assert len(dnf) == 2
+    cands = trigram_candidates(
+        spark, root, dnf,
+        int(Manifest(root).load_meta()["term_buckets"]),
+    )
+    cand_paths = {
+        r["path"]
+        for r in corpus.withColumn("doc_id", doc_id_expr())
+        .join(cands, "doc_id").select("path").collect()
+    }
+    match_paths = {r["path"] for r in files_with_matches(corpus, pat).collect()}
+    assert match_paths <= cand_paths
+    # and the union is really a union: strictly more than either branch
+    for branch in ("return", "import"):
+        b = trigram_candidates(
+            spark, root, required_trigrams(branch),
+            int(Manifest(root).load_meta()["term_buckets"]),
+        ).count()
+        assert b <= cands.count()
