@@ -134,9 +134,11 @@ def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
     write rebuilds."""
     idx = documents_index(spark, sf_dir)
     root = idx.paths.root
-    from ck_spark.query.trigram import build_trigram_index, trigram_index_exists
+    from ck_spark.query.trigram import (
+        build_trigram_index, trigram_index_compatible,
+    )
 
-    if not trigram_index_exists(root):
+    if not trigram_index_compatible(root):
         docs = load_documents(spark, sf_dir)
         par = min(spark.sparkContext.defaultParallelism,
                   max(2, docs.count() // 512))

@@ -159,10 +159,16 @@ def required_substrings(parsed) -> set[str]:
 
 
 def _trigrams_of(strings) -> set[str]:
+    """BYTE trigrams of each string's UTF-8 encoding, rendered latin-1
+    (one char per byte — identical to the plain substring for ASCII).
+    The index stores byte trigrams, so the analyzer must emit the same
+    domain; a multi-byte char contributes all its bytes' windows, each
+    individually required."""
     out: set[str] = set()
     for s in strings:
-        for i in range(len(s) - 2):
-            out.add(s[i : i + 3])
+        b = s.encode("utf-8")
+        for i in range(len(b) - 2):
+            out.add(b[i : i + 3].decode("latin-1"))
     return out
 
 
@@ -250,6 +256,16 @@ def trigram_index_exists(root: str) -> bool:
     return os.path.exists(os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER))
 
 
+def trigram_index_compatible(root: str) -> bool:
+    """Complete AND keyed with the current gram scheme — the reuse gate
+    for callers that would otherwise serve a legacy-keyed index (which
+    TrigramIndex.load refuses, degrading every grep to a full scan)."""
+    return (
+        trigram_index_exists(root)
+        and _read_trigram_marker(root).get("gram_key") == GRAM_KEY
+    )
+
+
 def invalidate_trigram_marker(root: str) -> None:
     """Drop the completion marker — readers then refuse the index (loud
     full-scan fallback). Called at the start of an incremental update's
@@ -286,96 +302,168 @@ TRIAGE_SCAN_FRACTION = 0.05
 # would remove (the regex verify removes them anyway)
 PRUNE_STOP = 2048
 
-# grams are stored by HASH, not string: ghash = pmod(xxhash64(gram), 2^24).
-# A collision merges two grams' posting lists, which only WIDENS the
-# candidate set (union ⊇ each list) — pruning stays sound, the regex
-# verify removes the extras. In exchange the build shuffle carries
-# (int,long,int) rows instead of strings and the query filter is an int
-# lookup with parquet page skipping (rows sorted by ghash at write).
+# grams are BYTE trigrams of the UTF-8 encoding of lower(content), keyed
+# by their packed 3-byte code: ghash = b0<<16 | b1<<8 | b2 — a PERFECT
+# (collision-free) key in exactly the 2^24 space, computable fully
+# vectorized in numpy straight off the content bytes (no per-position
+# string allocation, no hashing). Byte trigrams are Cox's original
+# Code Search design; a required CHAR trigram's UTF-8 encoding is >= 3
+# bytes, so every byte trigram of a required substring is itself
+# required — pruning soundness is unchanged. The query filter is an int
+# lookup with parquet page skipping (rows ghash-sorted at write).
+# Pre-v7 indexes keyed grams by xxhash64%2^24; the marker records which
+# keying built the index and mismatches are rebuilt/refused loudly.
 GRAM_HASH_SPACE = 1 << 24
+GRAM_KEY = "b3"  # packed UTF-8 byte-trigram codes (index format v7)
 
 
-def gram_hash(gram: str) -> int:
-    """Driver-side gram -> ghash, parity with the build's JVM expression
-    (pure-Python xxhash64, parity-tested in tests/test_codec.py)."""
-    from ck_spark.codec import xxhash64_signed
+def gram_hash(gram: str | bytes) -> int:
+    """Driver-side gram -> ghash. ``gram`` is a 3-byte trigram — as bytes,
+    or as the latin-1 str rendering _trigrams_of produces (1 char : 1
+    byte, identical to the ASCII string for ASCII grams)."""
+    b = gram.encode("latin-1") if isinstance(gram, str) else gram
+    if len(b) != 3:
+        raise ValueError(f"gram must be exactly 3 bytes, got {b!r}")
+    return (b[0] << 16) | (b[1] << 8) | b[2]
 
-    return xxhash64_signed(gram) % GRAM_HASH_SPACE
+
+# extraction processes each Arrow batch in sub-chunks of at most this
+# many content bytes: the per-position arrays (code + doc index + dedupe
+# key) cost ~20 bytes/position transiently, so 8 MB of content tops out
+# around ~170 MB of scratch per worker — bounded however large the batch
+_EXTRACT_CHUNK_BYTES = 8 << 20
 
 
-def _grams_df(docs: DataFrame, term_buckets: int) -> DataFrame:
-    """(doc_id, seg, ghash, bucket) rows from a frame carrying doc_id, seg
-    and content. Binary (NUL-containing) docs are excluded from the index
-    and instead UNIONED unpruned into every indexed grep's scan — so
-    grep_indexed stays exactly result-identical to the full scan, which
-    has no binary filter (matching the reference's regex_search)."""
-    low = F.lower(F.col("content"))
+def _extract_chunk(bufs: list[bytes], doc_ids: np.ndarray,
+                   segs: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Distinct (code, doc_id, seg) byte-trigram triples for a chunk of
+    already-lowercased UTF-8 buffers — fully vectorized: pack every
+    3-byte window of the concatenated buffer, mask windows that cross a
+    doc boundary, dedupe per doc via a 64-bit (doc_idx<<24 | code) key."""
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n = big.size
+    if n < 3:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    codes_all = (
+        (big[:-2].astype(np.uint32) << 16)
+        | (big[1:-1].astype(np.uint32) << 8)
+        | big[2:]
+    )
+    doc_idx_all = np.repeat(
+        np.arange(len(bufs), dtype=np.int32), lens
+    )[: n - 2]
+    ends = np.cumsum(lens)
+    # window at position p belongs to doc d and is real iff p+2 < ends[d]
+    valid = (np.arange(n - 2, dtype=np.int64) + 2) < ends[doc_idx_all]
+    key = (
+        (doc_idx_all[valid].astype(np.uint64) << 24)
+        | codes_all[valid].astype(np.uint64)
+    )
+    key = np.unique(key)
+    didx = (key >> np.uint64(24)).astype(np.int64)
+    codes = (key & np.uint64(0xFFFFFF)).astype(np.int64)
+    return codes, doc_ids[didx], segs[didx]
+
+
+def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
+    """Encoded trigram posting rows straight from (doc_id, seg, content)
+    — ZERO shuffles (Zoekt's shard-local build, distributed): each input
+    partition extracts byte-trigram codes in numpy, aggregates ITS docs'
+    (seg, ghash) -> sorted doc-id lists, and emits block-encoded PARTIAL
+    posting rows. A gram touched by k partitions yields k rows under the
+    same (seg, bucket) dir — exactly the multi-row-per-key shape the
+    reader already unions for LSM delta appends, so partials are sound by
+    construction and no global consolidation pass is needed at any scale.
+
+    Binary (NUL-containing) docs are excluded from the index and instead
+    UNIONED unpruned into every indexed grep's scan — so grep_indexed
+    stays exactly result-identical to the full scan, which has no binary
+    filter (matching the reference's regex_search)."""
+    from ck_spark.codec import encode_id_blocks_batch
+    from ck_spark.constants import BLOCK_SIZE
+
+    def gen(iterator):
+        code_parts, id_parts, seg_parts = [], [], []
+        for pdf in iterator:
+            texts = pdf["content"].fillna("")
+            doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            segs = pdf["seg"].to_numpy().astype(np.int64)
+            bufs, ids_c, segs_c, nbytes = [], [], [], 0
+            for i, t in enumerate(texts):
+                b = str(t).lower().encode("utf-8")
+                bufs.append(b)
+                ids_c.append(doc_ids[i])
+                segs_c.append(segs[i])
+                nbytes += len(b)
+                if nbytes >= _EXTRACT_CHUNK_BYTES:
+                    code_parts_i = _extract_chunk(
+                        bufs, np.asarray(ids_c), np.asarray(segs_c))
+                    code_parts.append(code_parts_i[0])
+                    id_parts.append(code_parts_i[1])
+                    seg_parts.append(code_parts_i[2])
+                    bufs, ids_c, segs_c, nbytes = [], [], [], 0
+            if bufs:
+                c, d, s = _extract_chunk(
+                    bufs, np.asarray(ids_c), np.asarray(segs_c))
+                code_parts.append(c)
+                id_parts.append(d)
+                seg_parts.append(s)
+        if not code_parts:
+            return
+        codes = np.concatenate(code_parts)
+        ids = np.concatenate(id_parts)
+        segs = np.concatenate(seg_parts)
+        if codes.size == 0:
+            return
+        # group this partition's triples by (seg, code); ids ascending
+        # within each group (the delta-gap encoder's contract)
+        k = (segs.astype(np.uint64) << np.uint64(24)) | codes.astype(np.uint64)
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[bounds, k.size])
+        uniq = k[bounds]
+        gsegs = (uniq >> np.uint64(24)).astype(np.int64)
+        gcodes = (uniq & np.uint64(0xFFFFFF)).astype(np.int64)
+        enc = encode_id_blocks_batch(np.split(ids, bounds[1:]), BLOCK_SIZE)
+        yield pd.DataFrame({
+            "ghash": gcodes,
+            "n_docs": counts.astype(np.int64),
+            "ids_blocks": enc["ids_blocks"],
+            "seg": gsegs,
+            "bucket": gcodes % np.int64(term_buckets),
+        })
+
     return (
         docs.where(~F.contains("content", F.lit("\x00")))
-        .select(
-            "doc_id",
-            "seg",
-            # hash each distinct trigram to its int key INSIDE the array
-            # (codegen), so the explode+shuffle never carries strings
-            F.explode(
-                F.array_distinct(
-                    F.when(
-                        F.length(low) >= 3,
-                        F.transform(
-                            F.sequence(F.lit(1), F.length(low) - 2),
-                            lambda i: F.pmod(
-                                F.xxhash64(F.substring(low, i, 3)),
-                                F.lit(GRAM_HASH_SPACE),
-                            ).cast("int"),
-                        ),
-                    ).otherwise(F.array().cast("array<int>"))
-                )
-            ).alias("ghash"),
-        )
-        .withColumn(
-            "bucket", F.pmod(F.col("ghash"), F.lit(term_buckets)).cast("int")
-        )
+        .select("doc_id", "seg", "content")
+        .mapInPandas(gen, _TRIGRAM_SCHEMA + ", seg int, bucket int")
     )
 
 
 def _encode_and_write_grams(
-    spark: SparkSession, grams: DataFrame, out_dir: str, append: bool = False
+    spark: SparkSession, docs: DataFrame, term_buckets: int, out_dir: str,
+    append: bool = False
 ) -> int:
-    """Shuffle by (seg, bucket, ghash), block-encode the doc-id lists,
-    write the seg=/bucket= partition dirs (rows ghash-sorted per file for
-    parquet page skipping on the query's int-key filter). append=True adds
-    LSM-style delta rows beside the base rows instead of replacing.
-    Returns the written row count (Observation on the write — no extra
-    count job)."""
+    """Write the trigram table from (doc_id, seg, content) rows: the
+    zero-shuffle partial-rows pipeline, locally sorted so each written
+    file keeps ascending ghash within its (seg, bucket) dir (parquet page
+    skipping on the query's int-key filter — Spark's dynamic-partition
+    writer sorts by partition columns only and is not stable, hence the
+    explicit local sort; still no exchange). append=True adds LSM-style
+    delta rows beside the base rows instead of replacing. Returns the
+    written row count (Observation on the write — no extra count job)."""
     from pyspark.sql import Observation
-
-    from ck_spark.codec import encode_id_blocks_batch
-    from ck_spark.constants import BLOCK_SIZE
-
-    width = max(spark.sparkContext.defaultParallelism * 2, 16)
-
-    def encode(iterator):
-        for pdf in iterator:
-            enc = encode_id_blocks_batch(list(pdf["ids"]), BLOCK_SIZE)
-            yield pd.DataFrame({
-                "ghash": pdf["ghash"].astype("int64"),
-                "n_docs": pdf["ids"].map(len).astype("int64"),
-                "ids_blocks": enc["ids_blocks"],
-                "seg": pdf["seg"].astype("int64"),
-                "bucket": pdf["bucket"].astype("int64"),
-            })
 
     obs = Observation()
     enc_df = (
-        grams.repartition(width, "seg", "bucket", "ghash")
-        .groupBy("seg", "bucket", "ghash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .mapInPandas(encode, _TRIGRAM_SCHEMA + ", seg int, bucket int")
+        _partial_posting_rows(docs, term_buckets)
+        .sortWithinPartitions("seg", "bucket", "ghash")
         .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
-    writer = enc_df.repartition("seg", "bucket").sortWithinPartitions(
-        "ghash"
-    ).write
+    writer = enc_df.write
     if append:
         writer.mode("append").partitionBy("seg", "bucket").parquet(out_dir)
     else:
@@ -439,6 +527,7 @@ def _write_trigram_marker(
     with os.fdopen(fd, "w") as f:
         json.dump({"rows": rows, "delta_docs": delta_docs,
                    "gram_hash_space": GRAM_HASH_SPACE,
+                   "gram_key": GRAM_KEY,
                    "term_buckets": term_buckets}, f)
         f.flush()
         os.fsync(f.fileno())
@@ -496,9 +585,17 @@ def build_trigram_index(
         )
 
     out_dir = os.path.join(root, TRIGRAM_DIR)
+    old_key = _read_trigram_marker(root).get("gram_key")
+    if old_key is not None and old_key != GRAM_KEY:
+        # a legacy-keyed table can't be dynamically overwritten in place:
+        # its rows under untouched partitions would survive as key-space
+        # pollution (sound over-inclusion, but permanent bloat)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     invalidate_trigram_marker(root)
     os.makedirs(out_dir, exist_ok=True)
-    rows = _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
+    rows = _encode_and_write_grams(spark, docs, term_buckets, out_dir)
     _write_gram_stats(spark, root)
     _write_trigram_marker(out_dir, rows, term_buckets)
     return rows
@@ -544,6 +641,10 @@ def refresh_trigram_append(
     n_docs_total = max(int(meta.get("n_docs") or 1), 1)
     out_dir = os.path.join(root, TRIGRAM_DIR)
     old = _read_trigram_marker(root)
+    if old and old.get("gram_key") != GRAM_KEY:
+        # base index keyed with a previous gram scheme: delta rows in the
+        # current keying would never intersect — rebuild instead
+        return compact_trigram_index(spark, root)
     base_rows = int(old.get("rows", 0))
     old_delta = int(old.get("delta_docs", 0))
     invalidate_trigram_marker(root)
@@ -553,7 +654,7 @@ def refresh_trigram_append(
     # Observation.get would hang on a plan that runs no tasks — guard the
     # nothing-to-append case (update with only removals)
     appended = 0 if n_fresh == 0 else _encode_and_write_grams(
-        spark, _grams_df(docs, term_buckets), out_dir, append=True
+        spark, docs, term_buckets, out_dir, append=True
     )
     rows = base_rows + appended
     delta_docs = old_delta + int(n_fresh)
@@ -612,7 +713,7 @@ def refresh_trigram_segments(
         .select("doc_id", "seg", "content")
     )
     if not docs.isEmpty():
-        _encode_and_write_grams(spark, _grams_df(docs, term_buckets), out_dir)
+        _encode_and_write_grams(spark, docs, term_buckets, out_dir)
     rows = int(_read_trigram_table(spark, root).count())
     # stats must be re-derived: the repaired segments may carry grams the
     # build-time stats never saw, and the EMPTY triage verdict is only
@@ -646,6 +747,16 @@ class TrigramIndex:
                 f"no complete trigram index at {root} (missing "
                 f"{TRIGRAM_DIR}/{TRIGRAM_MARKER}) — run build_trigram_index, "
                 "or use the full-scan grep"
+            )
+        marker_key = _read_trigram_marker(root).get("gram_key")
+        if marker_key != GRAM_KEY:
+            # pre-v7 keying (xxhash64%2^24): candidate lookups with the
+            # packed-byte keys would silently miss — refuse so callers
+            # fall back to the (always-correct) full scan and rebuild
+            raise FileNotFoundError(
+                f"trigram index at {root} uses gram keying "
+                f"{marker_key!r}, this build uses {GRAM_KEY!r} — "
+                "rebuild with build_trigram_index"
             )
         self.spark = spark
         self.root = root

@@ -196,9 +196,11 @@ class CkService:
         if self._tri is None:
             import os
 
-            from ck_spark.query.trigram import TrigramIndex, trigram_index_exists
+            from ck_spark.query.trigram import (
+                TrigramIndex, trigram_index_compatible,
+            )
 
-            if trigram_index_exists(self.root):
+            if trigram_index_compatible(self.root):
                 self._tri = TrigramIndex.load(self.spark, self.root)
         return self._tri
 

@@ -484,3 +484,84 @@ def test_dnf_candidates_are_superset_of_alternation_matches(spark, indexed):
             int(Manifest(root).load_meta()["term_buckets"]),
         ).count()
         assert b <= cands.count()
+
+
+# ---------------------------------------------------------------------------
+# v7 byte-trigram extraction (zero-shuffle build) — kernel parity
+# ---------------------------------------------------------------------------
+
+
+def test_extract_chunk_matches_analyzer_domain():
+    """The numpy build-side extraction and the query-side analyzer must
+    agree on the gram domain: packed byte-trigram codes of the UTF-8
+    encoding of lower(text) — including multi-byte chars, doc-boundary
+    masking, and <3-byte docs."""
+    import numpy as np
+
+    from ck_spark.query.trigram import _extract_chunk, _trigrams_of, gram_hash
+
+    texts = ["hello world", "ab", "", "naïve café ☕", "x" * 3,
+             "MiXeD Case\nwith lines", "日本語テキスト"]
+    bufs = [t.lower().encode("utf-8") for t in texts]
+    ids = np.arange(100, 100 + len(bufs), dtype=np.int64)
+    segs = np.array([i % 2 for i in range(len(bufs))], dtype=np.int64)
+    codes, dids, _ = _extract_chunk(bufs, ids, segs)
+    expected = {
+        (gram_hash(g), int(ids[i]))
+        for i, t in enumerate(texts)
+        for g in _trigrams_of([t.lower()])
+    }
+    assert set(zip(codes.tolist(), dids.tolist())) == expected
+
+
+def test_gram_hash_packs_bytes():
+    from ck_spark.query.trigram import GRAM_HASH_SPACE, gram_hash
+
+    assert gram_hash("abc") == (97 << 16) | (98 << 8) | 99
+    assert gram_hash(b"\x00\x00\x01") == 1
+    assert gram_hash("\xff\xff\xff") == GRAM_HASH_SPACE - 1
+    with pytest.raises(ValueError):
+        gram_hash("ab")
+
+
+def test_grep_indexed_unicode_pattern(spark, indexed):
+    """A pattern with multi-byte literals routes through byte trigrams of
+    its UTF-8 encoding; answers stay identical to the scan (here: no
+    matches in the ASCII corpus, exercising the EMPTY/absent path)."""
+    from ck_spark.query.grep import grep
+
+    corpus, root = indexed
+    pat = "naïve_token"
+    scan = grep(corpus, pat).collect()
+    fast = grep_indexed(spark, corpus, root, pat).collect()
+    assert len(fast) == len(scan) == 0
+
+
+def test_legacy_gram_key_index_refused_and_scan_fallback(spark, indexed, tmp_path):
+    """A marker recording a different gram keying must make TrigramIndex
+    refuse (so grep_indexed falls back to the always-correct full scan)."""
+    import json
+    import os
+
+    from ck_spark.query.trigram import (
+        TRIGRAM_DIR, TRIGRAM_MARKER, TrigramIndex,
+    )
+
+    corpus, root = indexed
+    marker_path = os.path.join(root, TRIGRAM_DIR, TRIGRAM_MARKER)
+    orig = json.load(open(marker_path))
+    try:
+        legacy = dict(orig, gram_key="xxhash24")
+        json.dump(legacy, open(marker_path, "w"))
+        with pytest.raises(FileNotFoundError, match="gram keying"):
+            TrigramIndex.load(spark, root)
+        # the public entry point degrades to the full scan, same answers
+        from ck_spark.query.grep import grep
+
+        scan = sorted((r["path"], r["line_no"])
+                      for r in grep(corpus, "return").collect())
+        fast = sorted((r["path"], r["line_no"])
+                      for r in grep_indexed(spark, corpus, root, "return").collect())
+        assert fast == scan
+    finally:
+        json.dump(orig, open(marker_path, "w"))
