@@ -369,13 +369,15 @@ def _extract_chunk(bufs: list[bytes], doc_ids: np.ndarray,
 
 def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
     """Encoded trigram posting rows straight from (doc_id, seg, content)
-    — ZERO shuffles (Zoekt's shard-local build, distributed): each input
-    partition extracts byte-trigram codes in numpy, aggregates ITS docs'
+    (Zoekt's shard-local build, distributed): each input partition
+    extracts byte-trigram codes in numpy, aggregates ITS docs'
     (seg, ghash) -> sorted doc-id lists, and emits block-encoded PARTIAL
     posting rows. A gram touched by k partitions yields k rows under the
     same (seg, bucket) dir — exactly the multi-row-per-key shape the
     reader already unions for LSM delta appends, so partials are sound by
-    construction and no global consolidation pass is needed at any scale.
+    construction and no gram-level consolidation pass is needed at any
+    scale; _encode_and_write_grams bounds k by pre-partitioning the docs
+    on (seg, salt).
 
     Binary (NUL-containing) docs are excluded from the index and instead
     UNIONED unpruned into every indexed grep's scan — so grep_indexed
@@ -445,18 +447,42 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
 
 def _encode_and_write_grams(
     spark: SparkSession, docs: DataFrame, term_buckets: int, out_dir: str,
-    append: bool = False
+    append: bool = False, n_segments: int | None = None
 ) -> int:
-    """Write the trigram table from (doc_id, seg, content) rows: the
-    zero-shuffle partial-rows pipeline, locally sorted so each written
-    file keeps ascending ghash within its (seg, bucket) dir (parquet page
-    skipping on the query's int-key filter — Spark's dynamic-partition
-    writer sorts by partition columns only and is not stable, hence the
-    explicit local sort; still no exchange). append=True adds LSM-style
-    delta rows beside the base rows instead of replacing. Returns the
-    written row count (Observation on the write — no extra count job)."""
+    """Write the trigram table from (doc_id, seg, content) rows.
+
+    ONE narrow exchange, then shard-local everything: the input rows are
+    hash-repartitioned by (seg, doc_id%k) — content bytes move once,
+    which for code corpora is ~10x lighter than the former per-(doc,gram)
+    pair shuffle (a doc contributes len(content) bytes here vs ~12 bytes
+    PER DISTINCT TRIGRAM there) — and each task then extracts, aggregates
+    and block-encodes its docs' (seg, ghash) posting lists in numpy,
+    emitting at most k partial rows per (seg, gram) index-wide (k =
+    ceil(width / n_segments), i.e. EXACT single rows when segments >=
+    cores, the production geometry). Bounded fragmentation is the lesson
+    of the pure zero-shuffle variant: letting partials scale with
+    arbitrary input partitioning multiplied table rows ~40x at 1M docs
+    (256 input splits x 64 segs of tiny groups) and made every
+    query-side intersection pay for it.
+
+    Rows are locally sorted so each written file keeps ascending ghash
+    within its (seg, bucket) dir (parquet page skipping on the query's
+    int-key filter — Spark's dynamic-partition writer sorts by partition
+    columns only and is not stable, hence the explicit local sort).
+    append=True adds LSM-style delta rows beside the base rows instead
+    of replacing. Returns the written row count (Observation on the
+    write — no extra count job)."""
     from pyspark.sql import Observation
 
+    width = max(spark.sparkContext.defaultParallelism * 2, 16)
+    if n_segments is None:
+        # callers pass the manifest value; fall back to a salt-only
+        # spread (k=width) rather than failing — still bounded
+        n_segments = 1
+    k = max(1, -(-width // max(int(n_segments), 1)))
+    docs = docs.repartition(
+        width, F.col("seg"), F.pmod(F.col("doc_id"), F.lit(k))
+    )
     obs = Observation()
     enc_df = (
         _partial_posting_rows(docs, term_buckets)
@@ -595,7 +621,8 @@ def build_trigram_index(
         shutil.rmtree(out_dir, ignore_errors=True)
     invalidate_trigram_marker(root)
     os.makedirs(out_dir, exist_ok=True)
-    rows = _encode_and_write_grams(spark, docs, term_buckets, out_dir)
+    rows = _encode_and_write_grams(spark, docs, term_buckets, out_dir,
+                                   n_segments=n_segments)
     _write_gram_stats(spark, root)
     _write_trigram_marker(out_dir, rows, term_buckets)
     return rows
@@ -654,7 +681,8 @@ def refresh_trigram_append(
     # Observation.get would hang on a plan that runs no tasks — guard the
     # nothing-to-append case (update with only removals)
     appended = 0 if n_fresh == 0 else _encode_and_write_grams(
-        spark, docs, term_buckets, out_dir, append=True
+        spark, docs, term_buckets, out_dir, append=True,
+        n_segments=int(meta.get("n_segments") or 1),
     )
     rows = base_rows + appended
     delta_docs = old_delta + int(n_fresh)
@@ -713,7 +741,8 @@ def refresh_trigram_segments(
         .select("doc_id", "seg", "content")
     )
     if not docs.isEmpty():
-        _encode_and_write_grams(spark, docs, term_buckets, out_dir)
+        _encode_and_write_grams(spark, docs, term_buckets, out_dir,
+                                n_segments=int(meta.get("n_segments") or 1))
     rows = int(_read_trigram_table(spark, root).count())
     # stats must be re-derived: the repaired segments may carry grams the
     # build-time stats never saw, and the EMPTY triage verdict is only

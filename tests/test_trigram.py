@@ -565,3 +565,24 @@ def test_legacy_gram_key_index_refused_and_scan_fallback(spark, indexed, tmp_pat
         assert fast == scan
     finally:
         json.dump(orig, open(marker_path, "w"))
+
+
+def test_partial_rows_bounded_by_salt(spark, indexed):
+    """The build may emit several partial rows per (seg, ghash) — the
+    fragmentation bound is k = ceil(width / n_segments) from the
+    (seg, salt) pre-partitioning. Unbounded partials (the pure
+    zero-shuffle variant) multiplied table rows ~40x at 1M docs; this
+    pins the bound so a regression is loud."""
+    from ck_spark.query.trigram import _read_trigram_table
+
+    corpus, root = indexed
+    width = max(spark.sparkContext.defaultParallelism * 2, 16)
+    k = -(-width // 4)  # fixture builds with n_segments=4
+    from pyspark.sql import functions as F
+
+    worst = (
+        _read_trigram_table(spark, root)
+        .groupBy("seg", "ghash").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert worst <= k, (worst, k)
