@@ -31,6 +31,12 @@ def main() -> None:
                          "input is a STORED table (north rule: 'over an "
                          "Iceberg table'), so when set, generation is "
                          "excluded from the timed build at both levels")
+    ap.add_argument("--with-trigram", action="store_true",
+                    help="also time the (corpus-free, shard-local) trigram "
+                         "index build and fingerprint candidate sets — the "
+                         "table LAYOUT is partitioning-dependent (bounded "
+                         "partial rows) but candidate SETS must be "
+                         "level-identical")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -107,6 +113,24 @@ def main() -> None:
             stage_ms[key] = r.get("build_ms")
     except Exception:
         pass
+    trigram_s = None
+    if args.with_trigram:
+        from ck_spark.query.trigram import (
+            TrigramIndex, build_trigram_index, trigram_dnf,
+        )
+
+        t0 = time.time()
+        build_trigram_index(spark, None, root)
+        trigram_s = time.time() - t0
+        tri = TrigramIndex.load(spark, root)
+        for pat in ["parse_buffer", "getUserName", "quixotic|obsidian"]:
+            cands = sorted(
+                (r["seg"], r["doc_id"])
+                for r in tri.candidates(trigram_dnf(pat.lower())).collect()
+            )
+            h.update(f"tri|{pat}|{len(cands)}\n".encode())
+            for seg, did in cands:
+                h.update(f"{seg}|{did}\n".encode())
     shutil.rmtree(root, ignore_errors=True)
 
     out = {
@@ -121,6 +145,8 @@ def main() -> None:
         "stage_ms": stage_ms,
         "results_sha256": h.hexdigest(),
     }
+    if trigram_s is not None:
+        out["trigram_build_s"] = round(trigram_s, 2)
     print("SCALING_RESULT " + json.dumps(out))
     spark.stop()
 
