@@ -409,6 +409,30 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 # decoder
 
+def jpeg_dimensions(data: bytes) -> tuple[int, int, bool]:
+    """(width, height, progressive) from the SOF header — no decode.
+    Marker-walk only, so it works for any DCT JPEG (used by
+    ops/multimodal.probe_media)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w = struct.unpack(">BHH", data[pos + 2:pos + 7])
+            return int(w), int(h), marker in (0xC2, 0xC6, 0xCA, 0xCE)
+        pos += seglen
+    raise ValueError("no SOF marker found")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 HxW (grey) or HxWx3 (RGB).
 

@@ -41,9 +41,9 @@ def test_real_decode_rejects_invalid_payloads(spark, media):
     """real_decode is no longer a stub: payloads route to real codecs and
     an invalid payload fails LOUDLY at decode time (never a silent fake).
     Which row's error surfaces first depends on task ordering: a fake PNG
-    ("not a PNG"), a fake WAV (wave.Error "...RIFF id"), or an mp4 with no
-    built-in codec ("no decoder")."""
-    with pytest.raises(Exception, match="not a PNG|no decoder|RIFF"):
+    ("not a PNG"), a fake WAV (wave.Error "...RIFF id"), or a fake mp4
+    (ops/mp4.py demux rejects it: "not an MP4")."""
+    with pytest.raises(Exception, match="not a PNG|not an MP4|RIFF"):
         extract_features(media, real_decode=True).collect()
 
 
@@ -151,22 +151,28 @@ def test_extract_features_real_decode_png(spark):
     assert row["n_bytes"] == len(payload)
 
 
-def test_extract_features_real_decode_unsupported_kind_raises(spark):
+def test_extract_features_real_decode_compressed_codec_raises(spark):
+    """The honest boundary is now the codec BITSTREAM, not the container:
+    an avc1-entry mp4 demuxes fine but pixel decode raises naming the
+    codec."""
     import pytest as _pytest
 
+    from ck_spark.ops.mp4 import _mux, _video_entry
     from ck_spark.ops.multimodal import extract_features
 
-    # video is the one remaining honest decode stub
+    payload = _mux([{
+        "handler": b"vide", "entry": _video_entry(4, 4, fourcc=b"avc1"),
+        "timescale": 25, "delta": 1, "chunks": [b"\x00\x00\x01\x65fake-nal"],
+        "samples_per_chunk": 1, "sizes": [12], "width": 4, "height": 4,
+    }])
     media = spark.createDataFrame(
-        [(1, "video", "mp4", bytearray(b"\x00\x00\x00 ftypmp42"), 0, 0, 1000)],
+        [(1, "video", "mp4", bytearray(payload), 4, 4, 40)],
         "media_id long, kind string, format string, payload binary, "
         "width int, height int, duration_ms int",
     )
-    from py4j.protocol import Py4JJavaError  # noqa: F401
-
     with _pytest.raises(Exception) as ei:
         extract_features(media, real_decode=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "no decoder" in str(ei.value)
+    assert "avc1" in str(ei.value)
 
 
 def test_wav_codec_roundtrip_widths():
@@ -281,3 +287,270 @@ def test_sample_frames_real_decode_avi(spark):
     assert set(got) == {0, 3, 6, 9}
     for f, sha in got.items():
         assert sha == hashlib.sha256(fr[f].tobytes()).hexdigest()
+
+
+# ---- real MP4 demux/decode (ops/mp4.py) ------------------------------------
+
+
+def test_mp4_video_roundtrip_and_info():
+    import numpy as np
+
+    from ck_spark.ops.mp4 import decode_mp4_video, encode_mp4_video, mp4_info
+
+    rng = np.random.default_rng(21)
+    fr = rng.integers(0, 256, (6, 5, 8, 3), dtype=np.uint8)
+    data = encode_mp4_video(fr, fps=12)
+    np.testing.assert_array_equal(decode_mp4_video(data), fr)
+    info = mp4_info(data)
+    assert info["brand"] == "isom" and info["duration_ms"] == 500
+    tk = info["tracks"][0]
+    assert (tk["handler"], tk["codec"]) == ("vide", "raw ")
+    assert (tk["width"], tk["height"], tk["sample_count"]) == (8, 5, 6)
+
+
+def test_mp4_audio_roundtrip_and_info():
+    import numpy as np
+
+    from ck_spark.ops.mp4 import decode_mp4_audio, encode_mp4_audio, mp4_info
+
+    s = (np.sin(np.arange(800) * 0.1) * 10_000).astype(np.int64)
+    stereo = np.stack([s, -s], axis=1)
+    data = encode_mp4_audio(stereo, rate=16_000)
+    got, rate = decode_mp4_audio(data)
+    assert rate == 16_000
+    np.testing.assert_array_equal(got, stereo.astype(np.float64))
+    tk = mp4_info(data)["tracks"][0]
+    assert (tk["handler"], tk["codec"], tk["channels"]) == ("soun", "sowt", 2)
+    assert tk["duration_ms"] == 50
+
+
+def test_mp4_demux_compressed_codec():
+    """avc1 payloads DEMUX (real sample addressing) even though pixel
+    decode raises — mp4_track_samples returns the actual access units."""
+    import pytest as _pytest
+
+    from ck_spark.ops.mp4 import (
+        _mux, _video_entry, decode_mp4_video, mp4_info, mp4_track_samples,
+    )
+
+    units = [b"nal-%d" % i * (i + 1) for i in range(4)]
+    data = _mux([{
+        "handler": b"vide", "entry": _video_entry(16, 9, fourcc=b"avc1"),
+        "timescale": 30, "delta": 1, "chunks": units,
+        "samples_per_chunk": 1, "sizes": [len(u) for u in units],
+        "width": 16, "height": 9,
+    }])
+    tk = mp4_info(data)["tracks"][0]
+    assert tk["codec"] == "avc1" and tk["sample_count"] == 4
+    assert mp4_track_samples(data, tk) == units
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_video(data)
+
+
+def test_extract_features_real_decode_mp4(spark):
+    import numpy as np
+
+    from ck_spark.ops.mp4 import encode_mp4_audio, encode_mp4_video
+    from ck_spark.ops.multimodal import extract_features
+
+    rng = np.random.default_rng(22)
+    fr = rng.integers(0, 256, (3, 6, 6, 3), dtype=np.uint8)
+    s = rng.integers(-20_000, 20_000, size=500).astype(np.int64)
+    media = spark.createDataFrame(
+        [
+            (1, "video", "mp4", bytearray(encode_mp4_video(fr, fps=10)), 6, 6, 300),
+            (2, "audio", "m4a", bytearray(encode_mp4_audio(s, rate=8000)), 0, 0, 62),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(media, real_decode=True).collect()}
+    exp_v = fr.astype(np.float64).ravel()
+    assert abs(rows[1]["mean_val"] - float(exp_v.mean())) < 1e-9
+    assert abs(rows[1]["std_val"] - float(exp_v.std())) < 1e-9
+    exp_a = s.astype(np.float64)
+    assert abs(rows[2]["mean_val"] - float(exp_a.mean())) < 1e-9
+
+
+def test_sample_frames_real_decode_mp4(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ck_spark.ops.mp4 import _mux, _video_entry, encode_mp4_video
+    from ck_spark.ops.multimodal import sample_frames
+
+    rng = np.random.default_rng(23)
+    fr = rng.integers(0, 256, (10, 4, 4, 3), dtype=np.uint8)
+    units = [b"au-%02d" % i for i in range(10)]
+    avc = _mux([{
+        "handler": b"vide", "entry": _video_entry(4, 4, fourcc=b"avc1"),
+        "timescale": 25, "delta": 1, "chunks": units,
+        "samples_per_chunk": 1, "sizes": [len(u) for u in units],
+        "width": 4, "height": 4,
+    }])
+    media = spark.createDataFrame(
+        [
+            (1, "video", "mp4", bytearray(encode_mp4_video(fr)), 4, 4, 400),
+            (2, "video", "mp4", bytearray(avc), 4, 4, 400),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = sample_frames(media, n_frames=4, real_decode=True).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["frame_no"]] = r["frame_sha256"]
+    # raw track: decoded-RGB hashes at real indices
+    assert set(by[1]) == {0, 3, 6, 9}
+    for f, sha in by[1].items():
+        assert sha == hashlib.sha256(fr[f].tobytes()).hexdigest()
+    # avc1 track: real access-unit hashes at real indices
+    assert set(by[2]) == {0, 3, 6, 9}
+    for f, sha in by[2].items():
+        assert sha == hashlib.sha256(units[f]).hexdigest()
+
+
+# ---- probe_media (typed metadata by real header parsing) -------------------
+
+
+def test_probe_media_mixed_formats(spark):
+    import numpy as np
+
+    from ck_spark.ops.avi import encode_avi
+    from ck_spark.ops.mp4 import _mux, _video_entry, encode_mp4_audio
+    from ck_spark.ops.multimodal import probe_media
+    from ck_spark.ops.png import encode_png
+    from ck_spark.ops.wav import encode_wav
+
+    rng = np.random.default_rng(31)
+    png = encode_png(rng.integers(0, 256, (7, 9, 3), dtype=np.uint8))
+    wav = encode_wav(rng.integers(-100, 100, size=(4000, 2)), framerate=8000)
+    avi = encode_avi(rng.integers(0, 256, (5, 6, 10, 3), dtype=np.uint8))
+    m4a = encode_mp4_audio(rng.integers(-50, 50, size=1600), rate=16_000)
+    avc = _mux([{
+        "handler": b"vide", "entry": _video_entry(320, 240, fourcc=b"avc1"),
+        "timescale": 30, "delta": 1, "chunks": [b"x" * 11] * 3,
+        "samples_per_chunk": 1, "sizes": [11, 11, 11],
+        "width": 320, "height": 240,
+    }])
+    media = spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(png), 0, 0, 0),
+            (2, "audio", "wav", bytearray(wav), 0, 0, 0),
+            (3, "video", "avi", bytearray(avi), 0, 0, 0),
+            (4, "audio", "m4a", bytearray(m4a), 0, 0, 0),
+            (5, "video", "mp4", bytearray(avc), 0, 0, 0),
+            (6, "image", "png", bytearray(b"not a png at all"), 0, 0, 0),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert rows[1]["container_ok"] and (rows[1]["width"], rows[1]["height"]) == (9, 7)
+    assert rows[2]["container_ok"] and rows[2]["sample_rate"] == 8000
+    assert rows[2]["channels"] == 2 and rows[2]["duration_ms"] == 500
+    assert rows[3]["container_ok"] and rows[3]["n_frames"] == 5
+    assert (rows[3]["width"], rows[3]["height"]) == (10, 6)
+    assert rows[4]["container_ok"] and rows[4]["codec"] == "sowt"
+    assert rows[4]["sample_rate"] == 16_000 and rows[4]["duration_ms"] == 100
+    # compressed codec: metadata still REAL via demux
+    assert rows[5]["container_ok"] and rows[5]["codec"] == "avc1"
+    assert (rows[5]["width"], rows[5]["height"], rows[5]["n_frames"]) == (320, 240, 3)
+    assert rows[5]["duration_ms"] == 100
+    # parse failure captured per-row, batch survives
+    assert not rows[6]["container_ok"] and "not a PNG" in rows[6]["error"]
+
+
+def test_probe_media_jpeg_and_mp3(spark):
+    import struct as _struct
+
+    import numpy as np
+
+    from ck_spark.ops.jpeg import encode_jpeg
+    from ck_spark.ops.multimodal import probe_media
+
+    rng = np.random.default_rng(32)
+    jpg = encode_jpeg(rng.integers(0, 256, (24, 17, 3), dtype=np.uint8))
+
+    # hand-built MPEG1 Layer III CBR stream: 128 kbps @ 44100, stereo
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+    fb = _struct.pack(">I", h) + b"\x00" * 413
+    mp3 = fb * 20
+    media = spark.createDataFrame(
+        [
+            (1, "image", "jpeg", bytearray(jpg), 0, 0, 0),
+            (2, "audio", "mp3", bytearray(mp3), 0, 0, 0),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert rows[1]["container_ok"] and (rows[1]["width"], rows[1]["height"]) == (17, 24)
+    assert rows[1]["codec"] == "jpeg/baseline"
+    assert rows[2]["container_ok"] and rows[2]["codec"] == "mpeg1-layer3"
+    assert rows[2]["n_frames"] == 20 and rows[2]["sample_rate"] == 44100
+    assert rows[2]["duration_ms"] == int(20 * 1152 * 1000 / 44100)
+
+
+# ---- MP3 frame parsing (ops/mp3.py) ----------------------------------------
+
+
+def test_mp3_frames_and_info():
+    import struct as _struct
+
+    from ck_spark.ops.mp3 import decode_mp3, mp3_frames, mp3_info
+
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+    fb = _struct.pack(">I", h) + b"\x00" * 413  # 417-byte frame
+    hp = h | (1 << 9)  # padded frame: 418 bytes
+    fbp = _struct.pack(">I", hp) + b"\x00" * 414
+    data = fb + fbp + fb
+    frames = mp3_frames(data)
+    assert [(o, s) for o, s, _f in frames] == [(0, 417), (417, 418), (835, 417)]
+    info = mp3_info(data)
+    assert info["codec"] == "mpeg1-layer3" and info["channels"] == 2
+    assert info["duration_ms"] == int(3 * 1152 * 1000 / 44100)
+    assert not info["vbr"]
+    with pytest.raises(NotImplementedError, match="3 frames demuxed"):
+        decode_mp3(data)
+    with pytest.raises(ValueError, match="no valid frame sync"):
+        mp3_frames(b"\xff\x00" * 3000)
+
+
+def test_mp3_id3_and_xing():
+    import struct as _struct
+
+    from ck_spark.ops.mp3 import mp3_info
+
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+    fb = _struct.pack(">I", h) + b"\x00" * 413
+    # Xing header in frame 1 (stereo MPEG1: side info = 32 bytes)
+    xing = b"\x00" * 32 + b"Xing" + _struct.pack(">II", 1, 5)
+    first = fb[:4] + xing + b"\x00" * (417 - 4 - len(xing))
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+    tit = b"TIT2" + _struct.pack(">I", 9) + b"\x00\x00" + b"\x03endtoend"
+    tag2 = b"ID3\x03\x00\x00" + syncsafe(len(tit)) + tit
+    tag1 = (b"TAG" + b"v1title".ljust(30, b"\x00") + b"v1artist".ljust(30, b"\x00")
+            + b"v1album".ljust(30, b"\x00") + b"\x00" * 35)
+    info = mp3_info(tag2 + first + fb * 5 + tag1)
+    assert info["vbr"] and info["n_frames"] == 5
+    assert info["duration_ms"] == int(5 * 1152 * 1000 / 44100)
+    assert info["tags"]["title"] == "endtoend"  # ID3v2 wins over ID3v1
+    assert info["tags"]["artist"] == "v1artist"
+
+
+def test_jpeg_dimensions_header_only():
+    import numpy as np
+
+    from ck_spark.ops.jpeg import encode_jpeg, jpeg_dimensions
+
+    rng = np.random.default_rng(33)
+    jpg = encode_jpeg(rng.integers(0, 256, (11, 23, 3), dtype=np.uint8))
+    assert jpeg_dimensions(jpg) == (23, 11, False)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_dimensions(b"\x00\x01")
