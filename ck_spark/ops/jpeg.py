@@ -247,18 +247,11 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 # encoder
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 HxW (grey) or HxWx3 (RGB) -> baseline JFIF bytes.
-
-    4:4:4 by default; subsample=True emits 4:2:0. Huffman tables are
-    self-emitted flat canonical sets (valid per T.81; bloated vs the
-    Annex-K defaults but decoder-agnostic). restart_interval>0 writes
-    DRI and RSTn markers every that many MCUs."""
+def _prepare_components(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, optional 4:2:0, forward
+    DCT + quantization of every MCU-grid block. Returns
+    (h, w, samps, qids, qtables, comp_blocks, mcux, mcuy); comp_blocks are
+    [n_by, n_bx, 64] zigzag-ordered int64 coefficients per component."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     grey = a.ndim == 2
     if not grey and not (a.ndim == 3 and a.shape[2] == 3):
@@ -316,6 +309,42 @@ def encode_jpeg(
         comp_blocks.append(
             quant.reshape(bh // 8, bw // 8, 64)[:, :, _ZIGZAG]
         )
+    return h, w, samps, qids, qtables, comp_blocks, mcux, mcuy
+
+
+def _headers(h, w, samps, qids, qtables, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOFn common prefix."""
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    # APP0/JFIF: version 1.1, unitless density 1x1, no thumbnail
+    out += b"\xFF\xE0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, qt in enumerate(qtables):
+        body = bytes([qid]) + bytes(int(x) for x in qt[_ZIGZAG])
+        out += b"\xFF\xDB" + struct.pack(">H", 2 + len(body)) + body
+    sof = struct.pack(">BHHB", 8, h, w, len(samps))
+    for ci, ((sh, sv), qid) in enumerate(zip(samps, qids)):
+        sof += bytes((ci + 1, (sh << 4) | sv, qid))
+    out += bytes((0xFF, sof_marker)) + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 HxW (grey) or HxWx3 (RGB) -> baseline JFIF bytes.
+
+    4:4:4 by default; subsample=True emits 4:2:0. Huffman tables are
+    self-emitted flat canonical sets (valid per T.81; bloated vs the
+    Annex-K defaults but decoder-agnostic). restart_interval>0 writes
+    DRI and RSTn markers every that many MCUs."""
+    h, w, samps, qids, qtables, comp_blocks, mcux, mcuy = _prepare_components(
+        arr, quality, subsample
+    )
+    ncomp = len(samps)
 
     # Huffman tables: flat canonical. DC symbols 0..11 at 4 bits would
     # collide with 12 == 2**4 - only 12 < 16 codes so 4 bits is fine? 12
@@ -331,21 +360,7 @@ def encode_jpeg(
     enc_dc = {v: (c, l) for (l, c), v in dc_tab.lookup.items()}
     enc_ac = {v: (c, l) for (l, c), v in ac_tab.lookup.items()}
 
-    out = bytearray()
-    out += b"\xFF\xD8"  # SOI
-    # APP0/JFIF: version 1.1, unitless density 1x1, no thumbnail
-    out += b"\xFF\xE0" + struct.pack(">H", 16) \
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    # DQT
-    for qid, qt in enumerate(qtables):
-        body = bytes([qid]) + bytes(int(x) for x in qt[_ZIGZAG])
-        out += b"\xFF\xDB" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, ((sh, sv), qid) in enumerate(zip(samps, qids)):
-        sof += bytes((ci + 1, (sh << 4) | sv, qid))
-    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    out = _headers(h, w, samps, qids, qtables, 0xC0)
     # DHT (class 0 = DC id 0, class 1 = AC id 0; shared by all components)
     for cls, (counts, values) in ((0, (dc_counts, dc_values)),
                                   (1, (ac_counts, ac_values))):
@@ -407,6 +422,238 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2, spectral selection + successive approximation)
+
+def _comp_grid(w: int, h: int, sh: int, sv: int, hmax: int, vmax: int):
+    """Non-interleaved block grid (n_block_rows, n_block_cols) for one
+    component — ceil of the component's OWN dimensions, not the padded
+    MCU grid (T.81 A.2.2)."""
+    cw = -(-(w * sh) // hmax)
+    ch = -(-(h * sv) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _emit_ac_first(bw, blocks, grid, ss, se, al, enc_ac):
+    """AC initial pass for one component band: run/size coding of
+    point-transformed coefficients with shared EOB runs (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    bh, bwid = grid
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = blocks[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                v = (abs(c) >> al) if c >= 0 else -(abs(c) >> al)
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    flush()
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                flush()
+                size, mag = _magnitude(v)
+                code, ln = enc_ac[(r << 4) | size]
+                bw.write(code, ln)
+                bw.write(mag, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _emit_ac_refine(bw, blocks, grid, ss, se, al, enc_ac):
+    """AC refinement pass (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    newly-nonzero coefficients get run+sign codes; already-nonzero ones
+    get correction bits buffered behind the next emitted symbol."""
+    eobrun = 0
+    be: list[int] = []  # correction bits riding with the next EOBRUN
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be:
+                bw.write(b, 1)
+            be = []
+
+    bh, bwid = grid
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = blocks[by, bx]
+            absv = [abs(int(zz[ss + i])) >> al for i in range(se - ss + 1)]
+            eob = 0  # 1 past the last NEWLY-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush()
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush()
+                code, ln = enc_ac[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """uint8 HxW (grey) or HxWx3 (RGB) -> progressive (SOF2) JFIF bytes.
+
+    Default scan script is libjpeg-shaped: interleaved DC first pass at
+    Al=1 plus a DC refinement scan, spectrally-split luma AC first passes
+    at Al=2 refined successively to 0, chroma AC at Al=1 refined to 0.
+    `scans` overrides it: [(component_indexes, Ss, Se, Ah, Al), ...]."""
+    h, w, samps, qids, qtables, comp_blocks, mcux, mcuy = _prepare_components(
+        arr, quality, subsample
+    )
+    ncomp = len(samps)
+    if scans is None:
+        if ncomp == 1:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+            ]
+
+    dc_counts, dc_values = _flat_table(list(range(12)), 4)
+    # progressive AC alphabet: EOBn (s=0, r<15), ZRL, and run/size pairs
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(11)
+               if not (s == 0 and r == 15)] + [0xF0]
+    ac_counts, ac_values = _flat_table(sorted(ac_syms), 8)
+    dc_tab = _HuffTable(dc_counts, dc_values)
+    ac_tab = _HuffTable(ac_counts, ac_values)
+    enc_dc = {v: (c, l) for (l, c), v in dc_tab.lookup.items()}
+    enc_ac = {v: (c, l) for (l, c), v in ac_tab.lookup.items()}
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    grids = [
+        _comp_grid(w, h, sh, sv, hmax, vmax) for (sh, sv) in samps
+    ]
+
+    out = _headers(h, w, samps, qids, qtables, 0xC2)
+    for cls, (counts, values) in ((0, (dc_counts, dc_values)),
+                                  (1, (ac_counts, ac_values))):
+        body = bytes([cls << 4]) + bytes(counts) + values
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    for comps_in_scan, ss, se, ah, al in scans:
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            sos += bytes((ci + 1, 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+        bw_ = _BitWriter()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                preds = {ci: 0 for ci in comps_in_scan}
+            if len(comps_in_scan) > 1:  # interleaved: MCU traversal
+                blocks_iter = []
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci in comps_in_scan:
+                        sh, sv = samps[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blocks_iter.append(
+                                    (ci, comp_blocks[ci][my * sv + by, mx * sh + bx])
+                                )
+            else:  # single component: its own block grid
+                ci = comps_in_scan[0]
+                bh_g, bw_g = grids[ci]
+                blocks_iter = [
+                    (ci, comp_blocks[ci][by, bx])
+                    for by in range(bh_g) for bx in range(bw_g)
+                ]
+            for ci, zz in blocks_iter:
+                if ah == 0:
+                    v = int(zz[0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size, mag = _magnitude(diff)
+                    code, ln = enc_dc[size]
+                    bw_.write(code, ln)
+                    if size:
+                        bw_.write(mag, size)
+                else:
+                    bw_.write((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan: single component
+            ci = comps_in_scan[0]
+            if ah == 0:
+                _emit_ac_first(bw_, comp_blocks[ci], grids[ci], ss, se, al, enc_ac)
+            else:
+                _emit_ac_refine(bw_, comp_blocks[ci], grids[ci], ss, se, al, enc_ac)
+        bw_.align()
+        out += bw_.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int, bool]:
@@ -434,11 +681,14 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, bool]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 HxW (grey) or HxWx3 (RGB).
+    """DCT JFIF bytes -> uint8 HxW (grey) or HxWx3 (RGB).
 
-    Supports SOF0 (baseline sequential DCT) with 1 or 3 components,
-    arbitrary DHT/DQT table sets, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-    restart intervals. Progressive (SOF2) and arithmetic coding raise."""
+    Supports SOF0/SOF1 (baseline/extended sequential) AND SOF2
+    (progressive: spectral selection + successive approximation, DC and
+    AC refinement scans, EOB runs, interleaved and non-interleaved
+    traversal) with 1 or 3 components, arbitrary DHT/DQT table sets
+    (redefinable between scans), 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+    intervals. Hierarchical/lossless/arithmetic coding raise."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -446,6 +696,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) comps: list of (cid, sh, sv, qid)
+    progressive = False
+    coefs = None  # progressive: per-component coefficient accumulators
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -492,7 +744,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = body[i + 17:i + 17 + n]
                 htables[(cls, tid)] = _HuffTable(counts, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (prog)
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -501,27 +753,49 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker {marker:#x}) unsupported")
+                f"unsupported JPEG coding (SOF marker {marker:#x})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tabs = {}
+            scan_list = []
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_list.append((cid, tabs >> 4, tabs & 0x0F))
             pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan_tabs, qtables, htables,
-                restart_interval,
+            if not progressive:
+                scan_tabs = {cid: (d, a) for cid, d, a in scan_list}
+                return _decode_scan(
+                    data, pos, frame, scan_tabs, qtables, htables,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coefs is None:
+                _h0, _w0, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-_w0 // (8 * hmax))
+                mcuy = -(-_h0 // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+                    for (_, sh, sv, _) in comps
+                ]
+            pos = _decode_prog_scan(
+                data, pos, frame, scan_list, ss, se, ahal >> 4, ahal & 0x0F,
+                htables, coefs, restart_interval,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct(frame, coefs, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -574,6 +848,158 @@ def _decode_scan(data, pos, frame, scan_tabs, qtables, htables,
                         zz[k] = _extend(reader.receive(size), size)
                         k += 1
 
+    return _reconstruct(frame, coefs, qtables)
+
+
+def _decode_prog_scan(data, pos, frame, scan_list, ss, se, ah, al,
+                      htables, coefs, restart_interval):
+    """One progressive scan into the persistent coefficient store;
+    returns the byte position just past the scan's entropy data.
+
+    DC scans (Ss=0): interleaved MCU traversal when ns>1, else the
+    component's own block grid; first pass (Ah=0) codes diffs of DC>>Al,
+    refinements append one bit at position Al. AC scans (Ss>=1, ns==1):
+    first pass is run/size with EOB runs; refinement follows T.81
+    G.1.2.3 (correction bits for history coefficients, run+sign for
+    newly-nonzero ones)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idx = {cid: i for i, (cid, _sh, _sv, _q) in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    rst = 0
+
+    if ss == 0:  # DC scan
+        preds = [0] * len(comps)
+        if len(scan_list) > 1:  # interleaved
+            blocks = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                mcu = []
+                for cid, dct, _act in scan_list:
+                    ci = idx[cid]
+                    _, sh, sv, _ = comps[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            mcu.append(
+                                (ci, dct, coefs[ci][my * sv + by, mx * sh + bx])
+                            )
+                blocks.append(mcu)
+        else:
+            cid, dct, _act = scan_list[0]
+            ci = idx[cid]
+            _, sh, sv, _ = comps[ci]
+            bh_g, bw_g = _comp_grid(w, h, sh, sv, hmax, vmax)
+            blocks = [
+                [(ci, dct, coefs[ci][by, bx])]
+                for by in range(bh_g) for bx in range(bw_g)
+            ]
+        for m, mcu in enumerate(blocks):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.reset_and_expect_rst(rst)
+                rst += 1
+                preds = [0] * len(comps)
+            for ci, dct, zz in mcu:
+                if ah == 0:
+                    size = reader.decode_symbol(htables[(0, dct)])
+                    diff = _extend(reader.receive(size), size)
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
+                elif reader.read_bit():
+                    zz[0] |= 1 << al
+        return reader.pos
+
+    # AC scan: exactly one component, non-interleaved
+    if len(scan_list) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    cid, _dct, act = scan_list[0]
+    ci = idx[cid]
+    _, sh, sv, _ = comps[ci]
+    ac_tab = htables[(1, act)]
+    bh_g, bw_g = _comp_grid(w, h, sh, sv, hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    bi = 0
+    for by in range(bh_g):
+        for bx in range(bw_g):
+            if restart_interval and bi and bi % restart_interval == 0:
+                reader.reset_and_expect_rst(rst)
+                rst += 1
+                eobrun = 0
+            bi += 1
+            zz = coefs[ci][by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+                continue
+            # refinement pass (T.81 G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:  # EOBn: run of end-of-band blocks
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        coef = int(zz[k])
+                        if coef != 0:
+                            if reader.read_bit() and (coef & p1) == 0:
+                                zz[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC refinement run past band end")
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    coef = int(zz[k])
+                    if coef != 0:
+                        if reader.read_bit() and (coef & p1) == 0:
+                            zz[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return reader.pos
+
+
+def _reconstruct(frame, coefs, qtables):
+    """Dequantize + IDCT + upsample + color transform — shared by the
+    baseline single-scan path and the progressive multi-scan path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     # dequantize + IDCT, batched per component
     planes = []
     for ci, (cid, sh, sv, qid) in enumerate(comps):

@@ -79,15 +79,18 @@ def test_quality_monotonic_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_unsupported_coding():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # splice a progressive SOF2 marker into a valid header prefix
-    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
-    idx = bytes(data).find(b"\xFF\xC0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(bytes(data))
+    # splice a lossless (SOF3) and an arithmetic-progressive (SOF10/0xCA)
+    # marker into a valid header prefix: both remain unsupported (SOF2
+    # progressive itself is now decoded for real)
+    for sof in (0xC3, 0xCA):
+        data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        idx = bytes(data).find(b"\xFF\xC0")
+        data[idx + 1] = sof
+        with pytest.raises(NotImplementedError, match="unsupported JPEG"):
+            decode_jpeg(bytes(data))
 
 
 def test_byte_stuffing_roundtrip():
@@ -120,3 +123,81 @@ def test_extract_features_real_decode_jpeg(spark):
     assert row["n_bytes"] == len(payload)
     assert abs(row["mean_val"] - decoded.mean()) < 1e-9
     assert abs(row["mean_val"] - img.astype(np.float64).mean()) < 3.0
+
+
+# ---- progressive (SOF2) ----------------------------------------------------
+
+
+def test_progressive_matches_baseline_exactly():
+    """The default successive-approximation script refines every band to
+    Al=0, so progressive decode must reproduce the EXACT same pixels as
+    the baseline decode of the same quantized coefficients."""
+    from ck_spark.ops.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(41)
+    for shape, sub in [((16, 16, 3), False), ((17, 23, 3), False),
+                       ((24, 24, 3), True), ((19, 21, 3), True),
+                       ((13, 9), False)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=sub))
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_quality_and_flag():
+    from ck_spark.ops.jpeg import encode_jpeg_progressive, jpeg_dimensions
+
+    img = _smooth_rgb(40, 56, seed=42)
+    data = encode_jpeg_progressive(img, quality=92)
+    assert jpeg_dimensions(data) == (56, 40, True)
+    assert _psnr(img, decode_jpeg(data)) > 34
+
+
+def test_progressive_custom_scan_script():
+    """Spectral-selection-only script (no successive approximation) and a
+    deep Al ladder both reconstruct identically to baseline."""
+    from ck_spark.ops.jpeg import encode_jpeg_progressive
+
+    img = _smooth_rgb(24, 24, seed=43)
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    spectral_only = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 9, 0, 0), ([0], 10, 63, 0, 0),
+        ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+    ]
+    got = decode_jpeg(
+        encode_jpeg_progressive(img, quality=80, scans=spectral_only))
+    np.testing.assert_array_equal(got, base)
+    ladder = [
+        ([0, 1, 2], 0, 0, 0, 3),
+        ([0], 1, 63, 0, 3), ([1], 1, 63, 0, 3), ([2], 1, 63, 0, 3),
+        ([0, 1, 2], 0, 0, 1, 2),
+        ([0], 1, 63, 3, 2), ([1], 1, 63, 3, 2), ([2], 1, 63, 3, 2),
+        ([0, 1, 2], 0, 0, 2, 1),
+        ([0], 1, 63, 2, 1), ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 3, 0),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+    got2 = decode_jpeg(encode_jpeg_progressive(img, quality=80, scans=ladder))
+    np.testing.assert_array_equal(got2, base)
+
+
+def test_progressive_eob_run_stress():
+    """A flat image quantizes to almost-all-zero AC blocks — long EOB
+    runs across blocks exercise the EOBn encode/decode path; a lone
+    bright pixel breaks the run mid-image."""
+    from ck_spark.ops.jpeg import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 128, dtype=np.uint8)
+    img[33, 37] = (255, 0, 255)
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=75))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_truncated_raises():
+    from ck_spark.ops.jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_smooth_rgb(16, 16, seed=44))
+    with pytest.raises(Exception):
+        decode_jpeg(data[: len(data) // 3])
