@@ -1252,6 +1252,73 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 }
 
 
+def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal typed-metadata extraction over REAL container payloads
+    (no oracle entry: DuckDB cannot demux PNG/JPEG/WAV/AVI/MP4/MP3 — the
+    driver records the rows-only check). Payloads are synthesized
+    deterministically driver-independent: PNG gradient, progressive JPEG,
+    PCM WAV, uncompressed AVI, raw-RGB MP4, PCM M4A, CBR MP3, an
+    avc1-entry MP4 (demux-only codec), and one invalid blob whose parse
+    error is captured per-row."""
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ck_spark.ops.multimodal import MEDIA_SCHEMA, probe_media
+
+    def gen(iterator):
+        from ck_spark.ops.avi import encode_avi
+        from ck_spark.ops.jpeg import encode_jpeg_progressive
+        from ck_spark.ops.mp4 import (
+            _mux, _video_entry, encode_mp4_audio, encode_mp4_video,
+        )
+        from ck_spark.ops.png import encode_png
+        from ck_spark.ops.wav import encode_wav
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            yy, xx = _np.mgrid[0:12, 0:16]
+            img = _np.clip(
+                _np.stack([yy * 20, xx * 15, yy + xx], -1), 0, 255
+            ).astype(_np.uint8)
+            tone = (_np.sin(_np.arange(1600) * 0.07) * 9000).astype(_np.int64)
+            frames = (
+                (yy[None, :, :, None] * _np.arange(1, 4)[:, None, None, None] * 7)
+                % 256
+            ).astype(_np.uint8).repeat(3, axis=3)[:, :, :, :3]
+            h3 = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+            mp3 = (_struct.pack(">I", h3) + b"\x00" * 413) * 12
+            avc = _mux([{
+                "handler": b"vide", "entry": _video_entry(64, 36, fourcc=b"avc1"),
+                "timescale": 30, "delta": 1, "chunks": [b"au" * 9] * 5,
+                "samples_per_chunk": 1, "sizes": [18] * 5,
+                "width": 64, "height": 36,
+            }])
+            rows = [
+                (0, "image", "png", encode_png(img)),
+                (1, "image", "jpeg", encode_jpeg_progressive(img, quality=90)),
+                (2, "audio", "wav", encode_wav(tone, framerate=16_000)),
+                (3, "video", "avi", encode_avi(frames, fps=5)),
+                (4, "video", "mp4", encode_mp4_video(frames, fps=5)),
+                (5, "audio", "m4a", encode_mp4_audio(tone, rate=16_000)),
+                (6, "audio", "mp3", mp3),
+                (7, "video", "mp4", avc),
+                (8, "image", "png", b"deliberately-not-a-png"),
+            ]
+            yield _pd.DataFrame(
+                [(i, k, f, p, 0, 0, 0) for i, k, f, p in rows],
+                columns=[
+                    "media_id", "kind", "format", "payload",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = spark.range(0, 1, 1, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return probe_media(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1313,6 +1380,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_whole_word": _q_grep_whole_word,
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
+        "media_probe": _q_media_probe,
     }
 
 
