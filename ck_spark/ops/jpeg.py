@@ -433,7 +433,7 @@ def _comp_grid(w: int, h: int, sh: int, sv: int, hmax: int, vmax: int):
     return -(-ch // 8), -(-cw // 8)
 
 
-def _emit_ac_first(bw, blocks, grid, ss, se, al, enc_ac):
+def _emit_ac_first(bw, blocks, grid, ss, se, al, enc_ac, restart_interval=0):
     """AC initial pass for one component band: run/size coding of
     point-transformed coefficients with shared EOB runs (T.81 G.1.2.2)."""
     eobrun = 0
@@ -449,8 +449,15 @@ def _emit_ac_first(bw, blocks, grid, ss, se, al, enc_ac):
             eobrun = 0
 
     bh, bwid = grid
+    bi = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush()
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+            bi += 1
             zz = blocks[by, bx]
             r = 0
             for k in range(ss, se + 1):
@@ -477,7 +484,7 @@ def _emit_ac_first(bw, blocks, grid, ss, se, al, enc_ac):
     flush()
 
 
-def _emit_ac_refine(bw, blocks, grid, ss, se, al, enc_ac):
+def _emit_ac_refine(bw, blocks, grid, ss, se, al, enc_ac, restart_interval=0):
     """AC refinement pass (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
     newly-nonzero coefficients get run+sign codes; already-nonzero ones
     get correction bits buffered behind the next emitted symbol."""
@@ -498,8 +505,15 @@ def _emit_ac_refine(bw, blocks, grid, ss, se, al, enc_ac):
             be = []
 
     bh, bwid = grid
+    bi = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush()
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+            bi += 1
             zz = blocks[by, bx]
             absv = [abs(int(zz[ss + i])) >> al for i in range(se - ss + 1)]
             eob = 0  # 1 past the last NEWLY-nonzero coefficient
@@ -544,13 +558,16 @@ def encode_jpeg_progressive(
     quality: int = 85,
     subsample: bool = False,
     scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 HxW (grey) or HxWx3 (RGB) -> progressive (SOF2) JFIF bytes.
 
     Default scan script is libjpeg-shaped: interleaved DC first pass at
     Al=1 plus a DC refinement scan, spectrally-split luma AC first passes
     at Al=2 refined successively to 0, chroma AC at Al=1 refined to 0.
-    `scans` overrides it: [(component_indexes, Ss, Se, Ah, Al), ...]."""
+    `scans` overrides it: [(component_indexes, Ss, Se, Ah, Al), ...].
+    restart_interval>0 writes DRI and emits RSTn every that many MCUs
+    (interleaved DC scans) / blocks (non-interleaved scans)."""
     h, w, samps, qids, qtables, comp_blocks, mcux, mcuy = _prepare_components(
         arr, quality, subsample
     )
@@ -600,6 +617,8 @@ def encode_jpeg_progressive(
                                   (1, (ac_counts, ac_values))):
         body = bytes([cls << 4]) + bytes(counts) + values
         out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
     for comps_in_scan, ss, se, ah, al in scans:
         sos = bytes([len(comps_in_scan)])
@@ -608,45 +627,54 @@ def encode_jpeg_progressive(
         sos += bytes((ss, se, (ah << 4) | al))
         out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
         bw_ = _BitWriter()
-        if ss == 0:  # DC scan
-            if ah == 0:
-                preds = {ci: 0 for ci in comps_in_scan}
+        if ss == 0:  # DC scan: restart units are MCUs (or blocks if ns==1)
+            preds = {ci: 0 for ci in comps_in_scan}
             if len(comps_in_scan) > 1:  # interleaved: MCU traversal
-                blocks_iter = []
+                units = []
                 for m in range(mcux * mcuy):
                     my, mx = divmod(m, mcux)
+                    mcu = []
                     for ci in comps_in_scan:
                         sh, sv = samps[ci]
                         for by in range(sv):
                             for bx in range(sh):
-                                blocks_iter.append(
+                                mcu.append(
                                     (ci, comp_blocks[ci][my * sv + by, mx * sh + bx])
                                 )
+                    units.append(mcu)
             else:  # single component: its own block grid
                 ci = comps_in_scan[0]
                 bh_g, bw_g = grids[ci]
-                blocks_iter = [
-                    (ci, comp_blocks[ci][by, bx])
+                units = [
+                    [(ci, comp_blocks[ci][by, bx])]
                     for by in range(bh_g) for bx in range(bw_g)
                 ]
-            for ci, zz in blocks_iter:
-                if ah == 0:
-                    v = int(zz[0]) >> al
-                    diff = v - preds[ci]
-                    preds[ci] = v
-                    size, mag = _magnitude(diff)
-                    code, ln = enc_dc[size]
-                    bw_.write(code, ln)
-                    if size:
-                        bw_.write(mag, size)
-                else:
-                    bw_.write((int(zz[0]) >> al) & 1, 1)
-        else:  # AC scan: single component
+            rst = 0
+            for m, mcu in enumerate(units):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw_.raw_marker(0xD0 + (rst & 7))
+                    rst += 1
+                    preds = {ci: 0 for ci in comps_in_scan}
+                for ci, zz in mcu:
+                    if ah == 0:
+                        v = int(zz[0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size, mag = _magnitude(diff)
+                        code, ln = enc_dc[size]
+                        bw_.write(code, ln)
+                        if size:
+                            bw_.write(mag, size)
+                    else:
+                        bw_.write((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan: single component, restart units are blocks
             ci = comps_in_scan[0]
             if ah == 0:
-                _emit_ac_first(bw_, comp_blocks[ci], grids[ci], ss, se, al, enc_ac)
+                _emit_ac_first(bw_, comp_blocks[ci], grids[ci], ss, se, al,
+                               enc_ac, restart_interval)
             else:
-                _emit_ac_refine(bw_, comp_blocks[ci], grids[ci], ss, se, al, enc_ac)
+                _emit_ac_refine(bw_, comp_blocks[ci], grids[ci], ss, se, al,
+                                enc_ac, restart_interval)
         bw_.align()
         out += bw_.out
     out += b"\xFF\xD9"  # EOI

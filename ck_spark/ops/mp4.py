@@ -124,9 +124,13 @@ def _mux(track_specs: list[dict], movie_timescale: int = 1000) -> bytes:
         max_dur_movie = max(max_dur_movie, dur_movie)
 
         stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, spec["delta"]))
+        stsc_entries = spec.get(
+            "stsc_entries", [(1, spec["samples_per_chunk"], 1)]
+        )
         stsc = _full(
             b"stsc", 0, 0,
-            struct.pack(">IIII", 1, 1, spec["samples_per_chunk"], 1),
+            struct.pack(">I", len(stsc_entries)),
+            b"".join(struct.pack(">III", *e) for e in stsc_entries),
         )
         if spec.get("sizes") is not None:
             stsz = _full(
@@ -233,21 +237,37 @@ def encode_mp4_video(frames: np.ndarray, fps: int = 25) -> bytes:
     return _mux([spec])
 
 
-def encode_mp4_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+def encode_mp4_audio(
+    samples: np.ndarray, rate: int = 16_000, frames_per_chunk: int = 0
+) -> bytes:
     """samples: integer array (n,) or (n, ch) -> MP4 with one 'sowt'
-    (16-bit little-endian PCM) audio track; one PCM frame per sample."""
+    (16-bit little-endian PCM) audio track; one PCM frame per sample.
+    frames_per_chunk>0 splits the stream into multiple chunks (a short
+    final chunk yields a second stsc entry — the multi-entry
+    sample-to-chunk layout real muxers produce)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
-    ch = s.shape[1]
+    n, ch = s.shape
     blob = s.astype("<i2").tobytes()
+    if frames_per_chunk and frames_per_chunk < n:
+        bpc = frames_per_chunk * 2 * ch
+        chunks = [blob[i : i + bpc] for i in range(0, len(blob), bpc)]
+        last = len(chunks[-1]) // (2 * ch)
+        entries = [(1, frames_per_chunk, 1)]
+        if last != frames_per_chunk:
+            entries.append((len(chunks), last, 1))
+    else:
+        chunks = [blob]
+        entries = [(1, n, 1)]
     spec = {
         "handler": b"soun",
         "entry": _audio_entry(ch, rate),
         "timescale": rate,
         "delta": 1,
-        "chunks": [blob],
-        "samples_per_chunk": s.shape[0],
+        "chunks": chunks,
+        "samples_per_chunk": n,
+        "stsc_entries": entries,
         "fixed_size": 2 * ch,
         "volume": 0x0100,
     }

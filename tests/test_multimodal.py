@@ -554,3 +554,85 @@ def test_jpeg_dimensions_header_only():
     assert jpeg_dimensions(jpg) == (23, 11, False)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_dimensions(b"\x00\x01")
+
+
+def test_mp4_multichunk_and_stsc_entries():
+    """Multi-chunk audio with a short final chunk exercises the
+    multi-entry stsc layout real muxers emit; decode is bit-identical."""
+    import numpy as np
+
+    from ck_spark.ops.mp4 import (
+        _resolve_samples, decode_mp4_audio, encode_mp4_audio, mp4_info,
+    )
+
+    s = (np.arange(1000) % 251 - 125).astype(np.int64)
+    data = encode_mp4_audio(s, rate=8000, frames_per_chunk=300)  # 300/300/300/100
+    got, rate = decode_mp4_audio(data)
+    np.testing.assert_array_equal(got.ravel(), s.astype(np.float64))
+    tk = mp4_info(data)["tracks"][0]
+    assert tk["sample_count"] == 1000
+    assert len(tk["_tables"]["stco"]) == 4
+    assert tk["_tables"]["stsc"] == [(1, 300, 1), (4, 100, 1)]
+
+    # direct multi-entry resolution: chunks 1-2 carry 2 samples, chunk 3 one
+    tables = {
+        "sizes": [10, 20, 30, 40, 50],
+        "stco": [100, 200, 300],
+        "stsc": [(1, 2, 1), (3, 1, 1)],
+    }
+    assert _resolve_samples(tables) == [
+        (100, 10), (110, 20), (200, 30), (230, 40), (300, 50),
+    ]
+
+
+def test_mp3_header_variants():
+    """MPEG2 Layer III, MPEG1 Layer II and MPEG1 Layer I frame geometry
+    straight from the ISO 11172-3 tables."""
+    import struct as _struct
+
+    from ck_spark.ops.mp3 import _parse_header, mp3_info
+
+    def hdr(v, l, br, sr, pad=0, mode=0):
+        return (0x7FF << 21) | (v << 19) | (l << 17) | (1 << 16) | \
+               (br << 12) | (sr << 10) | (pad << 9) | (mode << 6)
+
+    # MPEG2 L3: 64 kbps @ 22050, spf 576 -> 72*64000/22050 = 208
+    f = _parse_header(hdr(2, 1, 8, 0))
+    assert (f["version"], f["layer"], f["bitrate"], f["sample_rate"],
+            f["samples_per_frame"], f["frame_size"]) == (
+        "mpeg2", 3, 64000, 22050, 576, 208)
+    # MPEG1 L2: 256 kbps @ 48000 -> 144*256000/48000 = 768
+    f = _parse_header(hdr(3, 2, 12, 1))
+    assert (f["layer"], f["bitrate"], f["sample_rate"],
+            f["samples_per_frame"], f["frame_size"]) == (2, 256000, 48000, 1152, 768)
+    # MPEG1 L1: 32 kbps @ 32000 -> (12*32000/32000)*4 = 48, spf 384
+    f = _parse_header(hdr(3, 3, 1, 2))
+    assert (f["layer"], f["bitrate"], f["samples_per_frame"],
+            f["frame_size"]) == (1, 32000, 384, 48)
+    # an MPEG2 stream end-to-end
+    h = hdr(2, 1, 8, 0)
+    data = (_struct.pack(">I", h) + b"\x00" * 204) * 7
+    info = mp3_info(data)
+    assert info["codec"] == "mpeg2-layer3" and info["n_frames"] == 7
+    assert info["duration_ms"] == int(7 * 576 * 1000 / 22050)
+    # reserved version / bad bitrate / bad samplerate headers are invalid
+    assert _parse_header(hdr(1, 1, 8, 0)) is None
+    assert _parse_header(hdr(3, 1, 15, 0)) is None
+    assert _parse_header(hdr(3, 1, 8, 3)) is None
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """Progressive scans with RSTn markers (DC interleaved MCU units, AC
+    per-block units) decode identically to baseline."""
+    import numpy as np
+
+    from ck_spark.ops.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(51)
+    for shape, sub, ri in [((17, 23, 3), False, 2), ((24, 24, 3), True, 3),
+                           ((13, 9), False, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=85, subsample=sub, restart_interval=ri))
+        np.testing.assert_array_equal(prog, base)
