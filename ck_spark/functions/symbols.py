@@ -114,6 +114,70 @@ def _indent_width(s: str) -> int:
     return len(e) - len(e.lstrip())
 
 
+def _detect_python_ast(text: str, lines: list[str]) -> list[_Sym] | None:
+    """Grammar-exact python symbol detection via the stdlib parser — the
+    closest thing this container has to tree-sitter (ck's chunker walks
+    tree-sitter function_definition/class_definition nodes,
+    ck-chunk/src/query_chunker.rs): headers, names, nesting and kinds come
+    from the AST, so `def` inside strings/comments can't false-positive
+    and multi-line signatures span correctly. Extents take
+    max(AST end_lineno, indentation block_end) so trailing comment lines
+    inside a block stay attached — the indentation detector's (and the
+    trivia/gap machinery's) established semantics. Returns None when the
+    source doesn't parse (partial files, python2 syntax); callers fall
+    back to the indentation detector."""
+    import ast
+
+    try:
+        tree = ast.parse(text)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return None
+    n = len(lines)
+    out: list[_Sym] = []
+
+    def block_end(i: int, indent: int) -> int:
+        last = i
+        j = i + 1
+        while j < n:
+            s = lines[j]
+            if s.strip():
+                if _indent_width(s) <= indent:
+                    break
+                last = j
+            j += 1
+        return last
+
+    def walk(node, ancestry: list[str], parent_kind: str | None) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                is_class = isinstance(child, ast.ClassDef)
+                if is_class:
+                    kind = "class"
+                elif parent_kind == "class":
+                    kind = "method"
+                else:
+                    kind = "function"
+                start = child.lineno - 1
+                indent = _indent_width(lines[start]) if start < n else 0
+                end = max(
+                    (child.end_lineno or child.lineno) - 1,
+                    block_end(start, indent),
+                )
+                out.append(_Sym(kind, child.name, start, end, list(ancestry)))
+                walk(child, ancestry + [child.name],
+                     "class" if is_class else "function")
+            else:
+                walk(child, ancestry, parent_kind)
+
+    try:
+        walk(tree, [], None)
+    except RecursionError:
+        return None
+    return out
+
+
 def _detect_python(lines: list[str]) -> list[_Sym]:
     """Indentation-scoped def/class detection with nesting. A block ends at
     the last non-blank line before the next statement at indent <= header's
@@ -828,7 +892,9 @@ def chunk_code(
     data = text.encode("utf-8")
 
     if la == "python":
-        syms = _detect_python(lines)
+        syms = _detect_python_ast(text, lines)
+        if syms is None:  # doesn't parse: indentation fallback
+            syms = _detect_python(lines)
     elif la in ("rust", "go", "javascript", "typescript",
                 "java", "csharp", "c", "cpp", "zig", "dart"):
         syms = _detect_brace(lines, la)

@@ -510,3 +510,89 @@ def test_merge_small_overlapping_parent_keeps_tail():
     assert merged.byte_end == 100          # parent tail retained
     assert merged.text == data[0:100].decode()
     assert merged.line_end == 1
+
+
+# ---- grammar-exact python detection (stdlib ast) ---------------------------
+
+
+def test_python_ast_no_string_false_positives():
+    """`def` inside a triple-quoted string is NOT a symbol — the ast
+    detector is grammar-exact where the indentation scan would
+    false-positive."""
+    src = (
+        "DOC = '''\n"
+        "def not_a_function(x):\n"
+        "    pass\n"
+        "'''\n"
+        "def real(x):\n"
+        "    return x\n"
+    )
+    names = [c.name for c in chunk_code(src, "python") if c.chunk_type == "function"]
+    assert names == ["real"]
+
+
+def test_python_ast_multiline_signature_full_span():
+    """A multi-line def signature used to break the indentation scan at
+    the dedented `):' line; the ast extent covers the whole body."""
+    src = (
+        "def f(\n"
+        "    x,\n"
+        "    y,\n"
+        "):\n"
+        "    a = x + y\n"
+        "    return a\n"
+        "\n"
+        "def g():\n"
+        "    return 2\n"
+    )
+    chunks = {c.name: c for c in chunk_code(src, "python")
+              if c.chunk_type == "function"}
+    assert set(chunks) == {"f", "g"}
+    f = chunks["f"]
+    text = src.encode()[f.byte_start:f.byte_end].decode()
+    assert "return a" in text  # body fully inside the chunk
+    assert f.line_end >= 5
+
+
+def test_python_ast_method_kind_through_if():
+    """A def nested under `if` directly inside a class body is still a
+    method (parent kind flows through non-def/class AST nodes)."""
+    src = (
+        "class C:\n"
+        "    if True:\n"
+        "        def m(self):\n"
+        "            return 1\n"
+        "    async def n(self):\n"
+        "        return 2\n"
+    )
+    kinds = {c.name: c.chunk_type for c in chunk_code(src, "python")
+             if c.name in ("m", "n")}
+    assert kinds == {"m": "method", "n": "method"}
+
+
+def test_python_ast_syntax_error_falls_back():
+    """python2-only syntax doesn't parse; the indentation detector still
+    finds the symbols (graceful degradation, never zero chunks)."""
+    src = (
+        "def f(x):\n"
+        "    print x\n"   # py2: SyntaxError under ast.parse
+        "    return x\n"
+    )
+    names = [c.name for c in chunk_code(src, "python")
+             if c.chunk_type == "function"]
+    assert names == ["f"]
+
+
+def test_python_ast_trailing_comment_stays_attached():
+    """Extent = max(ast end, indentation end): a deeper-indented trailing
+    comment inside the block remains part of the chunk (established
+    trivia semantics)."""
+    src = (
+        "def f():\n"
+        "    return 1\n"
+        "    # trailing note\n"
+        "\n"
+        "x = 1\n"
+    )
+    f = [c for c in chunk_code(src, "python") if c.name == "f"][0]
+    assert "trailing note" in src.encode()[f.byte_start:f.byte_end].decode()
