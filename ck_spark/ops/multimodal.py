@@ -48,22 +48,61 @@ except ImportError:
     HAVE_IMAGE_CODEC = False
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload bytes derived from sha256
-    stream of (seed, id)); parallelism-independent like the text corpus."""
+def synth_media(
+    spark: SparkSession, n: int, seed: int = 42, real_payloads: bool = True
+) -> DataFrame:
+    """Deterministic synthetic media table, parallelism-independent like
+    the text corpus.
+
+    real_payloads=True (default) encodes REAL containers per row — PNG /
+    progressive JPEG images, WAV / PCM-MP4 audio, uncompressed AVI /
+    raw-RGB MP4 video — sized and shaped from (seed, id), so the table is
+    decodable end-to-end by extract_features(real_decode=True),
+    sample_frames and probe_media. real_payloads=False keeps the old
+    opaque sha256-stream bytes (the decode-free plumbing fixture)."""
 
     def gen(iterator):
+        from ck_spark.ops.avi import encode_avi
+        from ck_spark.ops.jpeg import encode_jpeg_progressive
+        from ck_spark.ops.mp4 import encode_mp4_audio, encode_mp4_video
+        from ck_spark.ops.png import encode_png
+        from ck_spark.ops.wav import encode_wav
+
         for pdf in iterator:
             rows = []
             for i in pdf["id"].tolist():
                 kind = ["image", "audio", "video"][i % 3]
-                fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
-                size = 512 + (i * 37) % 2048
-                stream = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-                payload = (stream * (size // 32 + 1))[:size]
-                rows.append(
-                    (i, kind, fmt, payload, 64 + i % 128, 64 + i % 64, 1000 + i % 5000)
-                )
+                w, h = 8 + i % 24, 6 + i % 18
+                dur = 1000 + i % 5000
+                if not real_payloads:
+                    fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
+                    size = 512 + (i * 37) % 2048
+                    stream = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                    payload = (stream * (size // 32 + 1))[:size]
+                    rows.append((i, kind, fmt, payload, w, h, dur))
+                    continue
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                if kind == "image":
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    if i % 2 == 0:
+                        fmt, payload = "png", encode_png(img)
+                    else:
+                        fmt, payload = "jpeg", encode_jpeg_progressive(img)
+                elif kind == "audio":
+                    tone = rng.integers(-20_000, 20_000, size=400 + i % 800)
+                    if i % 2 == 1:
+                        fmt, payload = "wav", encode_wav(tone, framerate=16_000)
+                    else:
+                        fmt, payload = "m4a", encode_mp4_audio(tone, rate=16_000)
+                else:
+                    frames = rng.integers(
+                        0, 256, (2 + i % 4, h, w, 3), dtype=np.uint8
+                    )
+                    if i % 2 == 0:
+                        fmt, payload = "avi", encode_avi(frames, fps=5)
+                    else:
+                        fmt, payload = "mp4", encode_mp4_video(frames, fps=5)
+                rows.append((i, kind, fmt, payload, w, h, dur))
             yield pd.DataFrame(
                 rows,
                 columns=[

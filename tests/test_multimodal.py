@@ -37,14 +37,35 @@ def test_feature_extraction_plumbing(spark, media):
         assert 0 <= r["mean_val"] <= 255
 
 
-def test_real_decode_rejects_invalid_payloads(spark, media):
+def test_real_decode_rejects_invalid_payloads(spark):
     """real_decode is no longer a stub: payloads route to real codecs and
     an invalid payload fails LOUDLY at decode time (never a silent fake).
-    Which row's error surfaces first depends on task ordering: a fake PNG
-    ("not a PNG"), a fake WAV (wave.Error "...RIFF id"), or a fake mp4
-    (ops/mp4.py demux rejects it: "not an MP4")."""
+    The opaque-bytes fixture (real_payloads=False) guarantees invalid
+    payloads; which row's error surfaces first depends on task ordering:
+    a fake PNG ("not a PNG"), a fake WAV (wave.Error "...RIFF id"), or a
+    fake mp4 (ops/mp4.py demux rejects it: "not an MP4")."""
+    fake = synth_media(spark, 12, seed=42, real_payloads=False)
     with pytest.raises(Exception, match="not a PNG|not an MP4|RIFF"):
-        extract_features(media, real_decode=True).collect()
+        extract_features(fake, real_decode=True).collect()
+
+
+def test_synth_media_real_payloads_decode_end_to_end(spark, media):
+    """The default synthetic table is now coherent: every payload is a
+    REAL container (PNG/progressive-JPEG/WAV/PCM-M4A/AVI/raw-MP4), so
+    probe_media parses all rows and real_decode feature extraction runs
+    over actual pixels/samples for the whole table."""
+    from ck_spark.ops.multimodal import probe_media
+
+    probes = probe_media(media).collect()
+    assert len(probes) == 30
+    bad = [r for r in probes if not r["container_ok"]]
+    assert bad == []
+    assert {r["codec"] for r in probes} >= {
+        "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "raw ",
+    }
+    feats = extract_features(media, real_decode=True).collect()
+    assert len(feats) == 30
+    assert all(r["n_bytes"] > 0 for r in feats)
 
 
 def test_frame_sampling(spark, media):
