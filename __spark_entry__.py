@@ -530,6 +530,32 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _ivf_query_vec(dim: int = 64) -> list[float]:
+    import math
+
+    return [math.sin(3 * j + 2) for j in range(dim)]
+
+
+IVF_K_LISTS = 8
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """Top-k through the materialized IVF index (ops/ivf.py) probing ALL
+    centroid lists: exhaustive probing must reproduce brute-force top-k
+    EXACTLY, so the plain-SQL oracle hash-verifies that the k-means
+    assignment, stored norms and partitioned layout are lossless (the same
+    contract shape as grep_trigram: approximate machinery, exact answers).
+    nprobe < k_lists recall is pinned by tests/test_ivf.py."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import embeddings_ivf_root
+    from ck_spark.ops.ivf import ivf_topk
+
+    root = embeddings_ivf_root(spark, sf_dir, k_lists=IVF_K_LISTS)
+    out = ivf_topk(spark, root, _ivf_query_vec(), k=ANN_K, nprobe=IVF_K_LISTS)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 NEAR_DUP_COS = 0.4  # random 64-dim embeddings: >=0.4 is a rare near-pair
 
 
@@ -692,6 +718,26 @@ def _ann_vec_sql(dim: int = 64) -> str:
 
 def _ann_cosine_sql() -> str:
     q = _ann_vec_sql()
+    return f"""WITH z AS (
+  SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings
+),
+agg AS (
+  SELECT vec_id,
+         sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1,
+         sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+scored AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored
+ORDER BY scored.cosine DESC, vec_id LIMIT {ANN_K}"""
+
+
+def _ann_ivf_sql(dim: int = 64) -> str:
+    # exhaustive-probe IVF == brute force, so the oracle is the plain
+    # exact top-k over the IVF query vector (sin(3j+2), distinct from
+    # ann_cosine_topk's sin(j+1))
+    q = "[" + ", ".join(f"sin({3 * j + 2}.0)" for j in range(dim)) + "]"
     return f"""WITH z AS (
   SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings
 ),
@@ -1363,6 +1409,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
@@ -1476,6 +1523,7 @@ FROM h ORDER BY doc_id""",
         "dedup_clusters": _dedup_clusters_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "dedup_embedding_cosine": _embedding_near_dup_sql(),
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "text_quality": _QUALITY_SQL,

@@ -127,6 +127,22 @@ def search_documents(
     return spark.createDataFrame(out)
 
 
+def embeddings_ivf_root(spark: SparkSession, sf_dir: str, k_lists: int = 8) -> str:
+    """Ensure a materialized IVF ANN index (ops/ivf.py) over the sf dir's
+    embeddings table; returns its root. Cached on disk like
+    documents_index — the meta json is written last and gates reuse, so a
+    partial build rebuilds."""
+    from ck_spark.ops.ivf import build_ivf_index, ivf_index_exists
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(ENTRY_INDEX_ROOT, tag, "ivf")
+    if not ivf_index_exists(root):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        build_ivf_index(spark, emb, root, k_lists=k_lists,
+                        sample_size=16384, iters=10, seed=7)
+    return root
+
+
 def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
     """Ensure the trigram candidate index (query/trigram.py) exists beside
     the documents BM25 index; returns the shared index root. Cached on disk

@@ -1,0 +1,133 @@
+"""IVF ANN index (ops/ivf.py): exactness under full probing, recall under
+partial probing, determinism across build parallelism, partition pruning."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _query_vec(dim: int = 64) -> list[float]:
+    return [math.sin(3 * j + 2) for j in range(dim)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, emb):
+    d = tempfile.mkdtemp(prefix="ck_ivf_")
+    from ck_spark.ops.ivf import build_ivf_index
+
+    build_ivf_index(spark, emb, d, k_lists=8, sample_size=256, iters=10, seed=7)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmeans_deterministic_and_unit():
+    from ck_spark.ops.ivf import kmeans_train
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(500, 16))
+    c1 = kmeans_train(X, 8, iters=12, seed=3)
+    c2 = kmeans_train(X, 8, iters=12, seed=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_kmeans_empty_cluster_reseed():
+    from ck_spark.ops.ivf import kmeans_train
+
+    # 3 tight clusters, ask for 8 centroids: some inevitably go empty and
+    # must be reseeded (no NaNs, still unit rows)
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(3, 8))
+    X = np.repeat(base, 40, axis=0) + rng.normal(scale=1e-3, size=(120, 8))
+    c = kmeans_train(X, 8, iters=10, seed=0)
+    assert np.isfinite(c).all()
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+
+
+def test_exhaustive_probe_equals_brute_force(spark, emb, ivf_dir):
+    """nprobe >= k_lists probes every list: the index path must reproduce
+    brute-force top-k EXACTLY (ids and cosines) — proves assignment,
+    stored norms and probe ordering are lossless."""
+    from ck_spark.ops.ivf import ivf_topk
+    from ck_spark.ops.similarity import cosine_topk
+
+    q = _query_vec()
+    exact = [(r["vec_id"], round(r["cosine"], 9))
+             for r in cosine_topk(emb, q, k=15).collect()]
+    via_index = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in ivf_topk(spark, ivf_dir, q, k=15, nprobe=8).collect()]
+    assert via_index == exact
+
+
+def test_partial_probe_recall(spark, emb, ivf_dir):
+    from ck_spark.ops.ivf import ivf_topk
+    from ck_spark.ops.similarity import cosine_topk
+
+    q = _query_vec()
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    got = {r["vec_id"] for r in ivf_topk(spark, ivf_dir, q, k=10, nprobe=3).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"recall@10 at nprobe=3/8 collapsed: {recall}"
+    # probing more lists is monotone non-degrading in this setup
+    got5 = {r["vec_id"] for r in ivf_topk(spark, ivf_dir, q, k=10, nprobe=5).collect()}
+    assert len(exact & got5) >= len(exact & got)
+
+
+def test_build_parallelism_independent(spark, emb, ivf_dir):
+    """Same table repartitioned differently -> identical centroids and an
+    identical exhaustive answer (the training sample is a TakeOrdered, the
+    assignment a pure map)."""
+    from ck_spark.ops.ivf import build_ivf_index, ivf_topk, load_centroids
+
+    d2 = tempfile.mkdtemp(prefix="ck_ivf_p_")
+    try:
+        build_ivf_index(spark, emb.repartition(13), d2,
+                        k_lists=8, sample_size=256, iters=10, seed=7)
+        assert np.array_equal(load_centroids(ivf_dir), load_centroids(d2))
+        q = _query_vec()
+        a = [(r["vec_id"], round(r["cosine"], 9))
+             for r in ivf_topk(spark, ivf_dir, q, k=10, nprobe=8).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 9))
+             for r in ivf_topk(spark, d2, q, k=10, nprobe=8).collect()]
+        assert a == b
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_partition_pruning_in_plan(spark, ivf_dir):
+    """The probed scan must show centroid_id PartitionFilters — the 100 TB
+    property: a query reads nprobe lists, not the corpus."""
+    from ck_spark.ops.ivf import ivf_topk
+
+    df = ivf_topk(spark, ivf_dir, _query_vec(), k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "centroid_id" in scan[: scan.index("]")]
+
+
+def test_incomplete_index_refused(spark, ivf_dir):
+    from ck_spark.ops.ivf import META_NAME, ivf_topk
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_crash_")
+    try:
+        shutil.copytree(os.path.join(ivf_dir, "lists"), os.path.join(d, "lists"))
+        # no meta json -> a crashed build must be refused loudly
+        with pytest.raises(FileNotFoundError, match=META_NAME):
+            ivf_topk(spark, d, _query_vec(), k=5, nprobe=2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
