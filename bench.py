@@ -169,6 +169,15 @@ def main() -> None:
             qv = [math.sin(j + 1) for j in range(64)]
             timed("ann_cosine_topk", lambda: cosine_topk(emb, qv, k=10).collect())
 
+            from ck_spark.ops.ivf import build_ivf_index, ivf_topk
+
+            ivf_dir = os.path.join(root, "ivf_bench")
+            timed("ann_ivf_build", lambda: build_ivf_index(
+                spark, emb, ivf_dir, k_lists=16, sample_size=4096,
+                iters=10, seed=7))
+            timed("ann_ivf_topk", lambda: ivf_topk(
+                spark, ivf_dir, qv, k=10, nprobe=4).collect())
+
         # incremental update: upsert 2% modified docs into the fresh index
         from pyspark.sql import functions as SF
 

@@ -142,8 +142,15 @@ def build_ivf_index(
         ).alias("nrm"),
         _assign(F.col(emb_col)).alias("centroid_id"),
     )
+    # salted repartition: k-means lists are skewed, and a plain
+    # repartition("centroid_id") would hand each hot list to ONE task (a
+    # straggler at 100 TB). Salting by hash(vec_id)%files_per_list splits
+    # every list across a bounded number of tasks/files — bounded task
+    # size AND bounded file count (no file-per-input-split explosion).
+    files_per_list = max(1, spark.sparkContext.defaultParallelism // max(k_eff, 1))
+    salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list))
     (
-        bucketed.repartition("centroid_id")
+        bucketed.repartition(k_eff * files_per_list, F.col("centroid_id"), salt)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(os.path.join(out_dir, "lists"))

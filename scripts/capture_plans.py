@@ -239,6 +239,31 @@ def main() -> None:
         "\n".join(annp),
     ))
 
+    # IVF index: partition pruning on centroid_id (the k-means scale path)
+    from ck_spark.ops.ivf import build_ivf_index, ivf_topk
+
+    ivf_root = tempfile.mkdtemp(prefix="plans-ivf-")
+    build_ivf_index(spark, emb, ivf_root, k_lists=8, sample_size=1024,
+                    iters=8, seed=7)
+    ip = plan_of(ivf_topk(spark, ivf_root, qv, k=10, nprobe=2))
+    ivfp = []
+    for ln in ip.splitlines():
+        if "FileScan" in ln:
+            ivfp.append(ln.strip()[:160] + " …")
+            for frag in re.findall(r"PartitionFilters: \[[^\]]*\]", ln):
+                ivfp.append("  " + frag[:220])
+    assert any("centroid_id" in ln for ln in ivfp), \
+        "IVF probe must prune centroid_id partitions"
+    sections.append((
+        "IVF ANN query — centroid_id partition pruning",
+        "The IVF index (ops/ivf.py: sampled k-means coarse quantizer) is "
+        "partitioned by centroid_id; an nprobe query scans ONLY the probed "
+        "lists — nprobe/k of the data regardless of corpus size. With "
+        "nprobe = k_lists the answer is exactly brute force "
+        "(oracle-verified by ann_ivf_topk).",
+        "\n".join(ivfp),
+    ))
+
     out = ["# PLANS — captured physical plans (judge artifact)\n",
            "Generated by `python scripts/capture_plans.py` on a fresh "
            "3000-doc index. What to look for in each plan is stated above "
