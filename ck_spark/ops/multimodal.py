@@ -386,6 +386,76 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize metadata transform (decode-free): the real implementation
-    would decode->resize->re-encode inside the same mapInPandas shape."""
+    """Resize metadata transform (decode-free): sets target dimensions
+    without touching payloads — the plumbing-only fixture kept for formats
+    without a built-in decoder. For PNG/JPEG rows use resize_images (a
+    REAL decode→resample→re-encode)."""
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def _resample(img: "np.ndarray", out_h: int, out_w: int, method: str) -> "np.ndarray":
+    """Pure-numpy image resample (H, W, C) uint8 -> (out_h, out_w, C).
+    'nearest' picks source pixels (pixel-exact for integer decimation);
+    'bilinear' blends the 4 neighbors with edge clamping (half-pixel
+    centers, the OpenCV/PIL convention)."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        return img[yi[:, None], xi[None, :]]
+    if method != "bilinear":
+        raise ValueError(f"unknown resample method: {method}")
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.minimum(fy.astype(int), h - 1)
+    x0 = np.minimum(fx.astype(int), w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, method: str = "bilinear"
+) -> DataFrame:
+    """REAL image resize: decode (PNG via ops/png.py, baseline/progressive
+    JPEG via ops/jpeg.py) → numpy resample → re-encode as PNG (lossless,
+    deterministic output bytes). Non-image rows and image formats without
+    a built-in decoder pass through UNCHANGED (their width/height are left
+    as-is — no silently-lying metadata). Same mapInPandas/Arrow batch
+    shape as extract_features; schema is preserved."""
+
+    def proc(iterator):
+        from ck_spark.ops.jpeg import decode_jpeg
+        from ck_spark.ops.png import decode_png, encode_png
+
+        for pdf in iterator:
+            pdf = pdf.copy()
+            for i in pdf.index:
+                if str(pdf.at[i, "kind"]) != "image":
+                    continue
+                fmt = str(pdf.at[i, "format"]).lower()
+                raw = bytes(pdf.at[i, "payload"])
+                if fmt == "png":
+                    img = decode_png(raw)
+                elif fmt in ("jpeg", "jpg"):
+                    img = decode_jpeg(raw)
+                else:
+                    continue
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                res = _resample(img, height, width, method)
+                pdf.at[i, "payload"] = encode_png(
+                    res[:, :, 0] if res.shape[2] == 1 else res
+                )
+                pdf.at[i, "format"] = "png"
+                pdf.at[i, "width"] = width
+                pdf.at[i, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(proc, schema=media.schema)

@@ -1,5 +1,6 @@
 import hashlib
 
+import numpy as np
 import pytest
 
 from ck_spark.ops.multimodal import (
@@ -77,6 +78,46 @@ def test_frame_sampling(spark, media):
     assert set(by_media) == set(vids)
     for fs in by_media.values():
         assert sorted(fs) == list(range(len(fs)))
+
+
+def test_resample_kernels():
+    from ck_spark.ops.multimodal import _resample
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    # nearest integer decimation picks exact source pixels
+    half = _resample(img, 2, 2, "nearest")
+    assert np.array_equal(half, img[[0, 2]][:, [0, 2]])
+    # constant image stays constant under bilinear at any size
+    const = np.full((5, 7, 3), 42, dtype=np.uint8)
+    assert np.array_equal(_resample(const, 9, 4, "bilinear"),
+                          np.full((9, 4, 3), 42, dtype=np.uint8))
+    # bilinear 2x upscale of a 2x1 gradient: interior samples blend the
+    # two sources at quarter offsets (half-pixel-center convention)
+    grad = np.array([[[0], [100]]], dtype=np.uint8)  # 1x2x1
+    up = _resample(grad, 1, 4, "bilinear")[0, :, 0]
+    assert up.tolist() == [0, 25, 75, 100]
+    with pytest.raises(ValueError, match="unknown resample"):
+        _resample(img, 2, 2, "bicubic")
+
+
+def test_resize_images_real_roundtrip(spark, media):
+    """resize_images really decodes (PNG + progressive JPEG), resamples
+    and re-encodes: every image row comes back as a decodable PNG of the
+    target size; non-image rows are byte-identical pass-throughs."""
+    from ck_spark.ops.multimodal import resize_images
+    from ck_spark.ops.png import decode_png
+
+    out = resize_images(media, 5, 4, method="bilinear").collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        if r["kind"] == "image":
+            img = decode_png(bytes(r["payload"]))
+            assert img.shape[:2] == (4, 5)
+            assert r["format"] == "png"
+            assert (r["width"], r["height"]) == (5, 4)
+        else:
+            assert bytes(r["payload"]) == bytes(src[r["media_id"]]["payload"])
 
 
 def test_resize_stub(spark, media):
