@@ -41,6 +41,7 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,33 +116,7 @@ def build_ivf_index(
         raise ValueError("cannot build an IVF index over an empty table")
     cent = kmeans_train(X, k_lists, iters=iters, seed=seed)
     k_eff, dim = cent.shape
-
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    cent_f = cent.astype(np.float64)
-
-    @pandas_udf("int")
-    def _assign(batch):
-        import pandas as pd
-
-        M = np.array([np.asarray(v, dtype=np.float64) for v in batch])
-        if M.size == 0:
-            return pd.Series([], dtype="int32")
-        lab = np.argmax(_unit_rows(M) @ cent_f.T, axis=1)
-        return pd.Series(lab.astype(np.int32))
-
-    bucketed = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("embedding"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col(emb_col), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("nrm"),
-        _assign(F.col(emb_col)).alias("centroid_id"),
-    )
+    bucketed = _assigned_df(spark, emb, cent, id_col, emb_col)
     # salted repartition: k-means lists are skewed, and a plain
     # repartition("centroid_id") would hand each hot list to ONE task (a
     # straggler at 100 TB). Salting by hash(vec_id)%files_per_list splits
@@ -166,6 +141,121 @@ def build_ivf_index(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_dir, META_NAME))
     return out_dir
+
+
+def _assigned_df(
+    spark: SparkSession, emb: DataFrame, cent: np.ndarray,
+    id_col: str, emb_col: str,
+) -> DataFrame:
+    """(vec_id, embedding, nrm, centroid_id) for a batch, assigned against
+    a FROZEN centroid matrix (ships in the Arrow-UDF closure; one numpy
+    matmul per batch)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent_f = cent.astype(np.float64)
+
+    @pandas_udf("int")
+    def _assign(batch):
+        M = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        lab = np.argmax(_unit_rows(M) @ cent_f.T, axis=1)
+        return pd.Series(lab.astype(np.int32))
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(emb_col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+        _assign(F.col(emb_col)).alias("centroid_id"),
+    )
+
+
+def ivf_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    batch_tag: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Incremental add WITHOUT retraining: assign the new vectors against
+    the FROZEN centroids and slot their rows into the same
+    centroid-partitioned layout — the standard IVF add path (FAISS `add`
+    does not move centroids either). Queries need no special handling;
+    probed partitions simply gain files.
+
+    Exactly-once per `batch_tag`: the batch stages to a scratch dir, its
+    files rename (atomically, per file) into the list partitions under
+    names prefixed `delta-<batch_tag>-`, and the tag commits into the meta
+    json LAST. A retry of a committed tag is a no-op; a retry of a crashed
+    (uncommitted) tag first removes that tag's partial files, so replays
+    never duplicate rows. Caller contract: vec_ids are new to the index
+    (replacement needs a version column — run exact dedup upstream).
+
+    Returns the number of rows appended (0 for a committed-tag replay)."""
+    import glob
+    import shutil
+    import tempfile
+
+    if "/" in batch_tag or not batch_tag:
+        raise ValueError("batch_tag must be a non-empty path-safe token")
+    meta_path = os.path.join(index_dir, META_NAME)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if batch_tag in meta.get("appends", []):
+        return 0
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    lists_dir = os.path.join(index_dir, "lists")
+    # scrub partial files from a crashed earlier attempt of this tag
+    for stale in glob.glob(
+        os.path.join(lists_dir, "centroid_id=*", f"delta-{batch_tag}-*")
+    ):
+        os.remove(stale)
+
+    # stage INSIDE index_dir (same filesystem ⇒ os.rename is atomic; an
+    # across-device staging dir would make the per-file renames copies)
+    staging = tempfile.mkdtemp(prefix=f".staging-{batch_tag}-", dir=index_dir)
+    try:
+        assigned = _assigned_df(spark, new_emb, cent, id_col, emb_col)
+        n_eff = cent.shape[0]
+        files_per_list = max(
+            1, spark.sparkContext.defaultParallelism // max(n_eff, 1)
+        )
+        salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list))
+        (
+            assigned.repartition(n_eff * files_per_list,
+                                 F.col("centroid_id"), salt)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(staging)
+        )
+        # count from the staged batch (bounded), never by re-scanning lists
+        n_rows = spark.read.parquet(staging).count()
+        for part_dir in sorted(glob.glob(os.path.join(staging, "centroid_id=*"))):
+            dest_dir = os.path.join(lists_dir, os.path.basename(part_dir))
+            os.makedirs(dest_dir, exist_ok=True)
+            for src in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+                os.rename(
+                    src,
+                    os.path.join(dest_dir,
+                                 f"delta-{batch_tag}-{os.path.basename(src)}"),
+                )
+        meta.setdefault("appends", []).append(batch_tag)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
+        return n_rows
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def ivf_index_exists(index_dir: str) -> bool:

@@ -120,6 +120,85 @@ def test_partition_pruning_in_plan(spark, ivf_dir):
     assert "centroid_id" in scan[: scan.index("]")]
 
 
+def _synth_emb(spark, n, start_id, seed):
+    from pyspark.sql import functions as F
+
+    return spark.range(start_id, start_id + n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.sin(F.col("id") * 7919 + j * 13 + seed).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_append_exact_after_add(spark, emb):
+    """ivf_append assigns against frozen centroids; exhaustive probing over
+    the grown index still equals brute force over the UNION — the add path
+    is lossless."""
+    from ck_spark.ops.ivf import build_ivf_index, ivf_append, ivf_topk
+    from ck_spark.ops.similarity import cosine_topk
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_app_")
+    try:
+        base = _synth_emb(spark, 300, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=8, sample_size=256,
+                        iters=10, seed=7)
+        extra = _synth_emb(spark, 150, 1000, seed=2)
+        n = ivf_append(spark, d, extra, batch_tag="b1")
+        assert n == 150
+        q = _query_vec()
+        exact = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in cosine_topk(base.unionByName(extra), q, k=12).collect()]
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ivf_topk(spark, d, q, k=12, nprobe=8).collect()]
+        assert got == exact
+        # a committed tag replays as a no-op — row count unchanged
+        assert ivf_append(spark, d, extra, batch_tag="b1") == 0
+        n_rows = spark.read.parquet(os.path.join(d, "lists")).count()
+        assert n_rows == 450
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_crash_replay_never_duplicates(spark, emb):
+    """A crashed (uncommitted) append leaves partial delta files; replaying
+    the same batch_tag scrubs them first — no duplicate rows."""
+    import glob as _glob
+
+    from ck_spark.ops.ivf import build_ivf_index, ivf_append
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_crash2_")
+    try:
+        base = _synth_emb(spark, 200, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=4, sample_size=256,
+                        iters=8, seed=7)
+        extra = _synth_emb(spark, 80, 5000, seed=3)
+        # simulate the crash: run a full append, then un-commit the tag
+        # (meta rollback) leaving its delta files behind as orphans
+        import json as _json
+
+        assert ivf_append(spark, d, extra, batch_tag="b9") == 80
+        meta_path = os.path.join(d, "ivf_meta.json")
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        meta["appends"].remove("b9")
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
+        orphans = _glob.glob(os.path.join(d, "lists", "centroid_id=*",
+                                          "delta-b9-*"))
+        assert orphans, "fixture must leave uncommitted delta files"
+        # replay: orphans scrubbed, batch re-applied exactly once
+        assert ivf_append(spark, d, extra, batch_tag="b9") == 80
+        n_rows = spark.read.parquet(os.path.join(d, "lists")).count()
+        assert n_rows == 280
+        ids = [r["vec_id"] for r in
+               spark.read.parquet(os.path.join(d, "lists")).collect()]
+        assert len(ids) == len(set(ids)), "duplicate vec_ids after replay"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_incomplete_index_refused(spark, ivf_dir):
     from ck_spark.ops.ivf import META_NAME, ivf_topk
 
