@@ -416,6 +416,86 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _q_stream_dedup_exact(spark, sf_dir):
+    """STREAMING exact dedup run for real: the documents table is split
+    into two file-source micro-batches (ts := epoch + doc_id, batches in
+    ts order) and drained through dropDuplicatesWithinWatermark
+    (streaming/dedup.py). First-seen == min doc_id per content hash, so
+    the plain batch SQL oracle hash-verifies the streamed result —
+    including the cross-micro-batch state (batch-2 duplicates of batch-1
+    payloads must be dropped by carried state, which a per-batch dedup
+    would miss)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ck_spark.streaming.dedup import stream_dedup_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    base = 1_800_000_000
+    with_ts = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
+    )
+    feed = tempfile.mkdtemp(prefix="ck_sdq_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ck_sdq_ckpt_")
+    rows = []
+    try:
+        now = int(time.time())
+        for i, cond in enumerate(
+            [F.col("doc_id") < n // 2, F.col("doc_id") >= n // 2]
+        ):
+            tmp = tempfile.mkdtemp(prefix="ck_sdq_b_")
+            with_ts.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp)
+                        if f.startswith("part-") and f.endswith(".parquet"))
+            dest = os.path.join(feed, f"b{i}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (now - 120 + i * 60, now - 120 + i * 60))
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        out = stream_dedup_exact(stream, watermark="365 days")
+
+        def collect(bdf, _bid):
+            rows.extend(bdf.select("doc_id", "content_sha256").collect())
+
+        q = (
+            out.writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not rows:
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, "doc_id long, content_sha256 string")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        sorted((r["doc_id"], r["content_sha256"]) for r in rows),
+        columns=["doc_id", "content_sha256"],
+    )
+    return spark.createDataFrame(pdf, schema="doc_id long, content_sha256 string")
+
+
+_STREAM_DEDUP_SQL = """
+WITH h AS (SELECT doc_id, sha256(text) AS content_sha256 FROM documents),
+f AS (SELECT content_sha256, min(doc_id) AS doc_id FROM h GROUP BY content_sha256)
+SELECT doc_id, content_sha256 FROM f ORDER BY doc_id"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     from ck_spark.ops.dedup import exact_dedup
 
@@ -1402,6 +1482,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
         "dedup_exact": _q_dedup_exact,
+        "stream_dedup_exact": _q_stream_dedup_exact,
         "dedup_minhash_signatures": _q_minhash_signatures,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1516,6 +1597,7 @@ SELECT doc_id, content_sha256,
        min(doc_id) OVER (PARTITION BY content_sha256) AS canonical_id,
        doc_id <> min(doc_id) OVER (PARTITION BY content_sha256) AS is_duplicate
 FROM h ORDER BY doc_id""",
+        "stream_dedup_exact": _STREAM_DEDUP_SQL,
         "dedup_minhash_signatures": _minhash_sig_sql(),
         "dedup_minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_ngram_jaccard": _jaccard_sql(),
