@@ -205,6 +205,7 @@ def ivf_append(
 
     if "/" in batch_tag or not batch_tag:
         raise ValueError("batch_tag must be a non-empty path-safe token")
+    _heal_lists(index_dir)
     meta_path = os.path.join(index_dir, META_NAME)
     with open(meta_path) as f:
         meta = json.load(f)
@@ -258,6 +259,65 @@ def ivf_append(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def _heal_lists(index_dir: str) -> None:
+    """Roll a crashed compact swap forward/back so readers always see a
+    complete lists dir. States (lists / lists.staging / lists.old):
+      - lists only ................. normal
+      - lists + staging ............ crashed before the swap: staging is a
+                                     duplicate rewrite — discard it
+      - staging + old, no lists .... crashed mid-swap: finish it
+      - lists + old ................ crashed after swap: drop the aside
+    The append ledger in the meta is a commit ledger, not a file
+    inventory, so it stays valid across every one of these."""
+    import shutil
+
+    lists_d = os.path.join(index_dir, "lists")
+    staging = os.path.join(index_dir, "lists.staging")
+    old = os.path.join(index_dir, "lists.old")
+    if not os.path.exists(lists_d) and os.path.exists(staging):
+        os.rename(staging, lists_d)
+    if os.path.exists(lists_d):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def ivf_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite base + accumulated delta files into a fresh salted layout
+    and swap it in atomically (rename-aside, same protocol as the index's
+    SegmentStore): many-small-delta-files → files_per_list files per
+    centroid. The append ledger is KEPT (it records which batch tags are
+    committed — replaying an old tag after compaction must stay a no-op
+    even though its delta files are gone). Returns file counts."""
+    import glob
+    import shutil
+
+    _heal_lists(index_dir)
+    cent = load_centroids(index_dir)  # also validates completeness
+    k_eff = cent.shape[0]
+    lists_d = os.path.join(index_dir, "lists")
+    staging = os.path.join(index_dir, "lists.staging")
+    old = os.path.join(index_dir, "lists.old")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    files_before = len(glob.glob(os.path.join(lists_d, "centroid_id=*", "*.parquet")))
+    files_per_list = max(1, spark.sparkContext.defaultParallelism // max(k_eff, 1))
+    salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(files_per_list))
+    (
+        spark.read.parquet(lists_d)
+        # materializes fully BEFORE any rename (a lazy plan reading a
+        # swapped-away dir would die FILE_NOT_EXIST)
+        .repartition(k_eff * files_per_list, F.col("centroid_id"), salt)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    os.rename(lists_d, old)
+    os.rename(staging, lists_d)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(lists_d, "centroid_id=*", "*.parquet")))
+    return {"files_before": files_before, "files_after": files_after}
+
+
 def ivf_index_exists(index_dir: str) -> bool:
     return os.path.exists(os.path.join(index_dir, META_NAME))
 
@@ -294,6 +354,7 @@ def ivf_topk(
     probed centroid partitions (PartitionFilters in the plan), exact
     cosine within them. nprobe >= k_lists ⇒ exact brute-force answer."""
     cent = load_centroids(index_dir)
+    _heal_lists(index_dir)
     probes = probe_lists(cent, query_vec, nprobe)
     qv = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in qv)) or 1.0

@@ -199,6 +199,77 @@ def test_append_crash_replay_never_duplicates(spark, emb):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compact_merges_deltas_and_keeps_exactness(spark):
+    """Compaction rewrites base + deltas into the salted layout: fewer
+    files, identical exhaustive answers, append ledger kept (an old tag
+    replay stays a no-op even though its delta files are gone)."""
+    import glob as _glob
+
+    from ck_spark.ops.ivf import build_ivf_index, ivf_append, ivf_compact, ivf_topk
+    from ck_spark.ops.similarity import cosine_topk
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_cpt_")
+    try:
+        base = _synth_emb(spark, 200, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=4, sample_size=256,
+                        iters=8, seed=7)
+        union = base
+        for i in range(3):
+            extra = _synth_emb(spark, 60, 2000 + i * 100, seed=4 + i)
+            assert ivf_append(spark, d, extra, batch_tag=f"t{i}") == 60
+            union = union.unionByName(extra)
+        stats = ivf_compact(spark, d)
+        assert stats["files_after"] < stats["files_before"]
+        assert not _glob.glob(os.path.join(d, "lists", "centroid_id=*", "delta-*"))
+        q = _query_vec()
+        exact = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in cosine_topk(union, q, k=12).collect()]
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ivf_topk(spark, d, q, k=12, nprobe=4).collect()]
+        assert got == exact
+        # committed tags survive compaction: replay is still a no-op
+        assert ivf_append(
+            spark, d, _synth_emb(spark, 60, 2000, seed=4), batch_tag="t0"
+        ) == 0
+        assert spark.read.parquet(os.path.join(d, "lists")).count() == 380
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_crash_heals(spark):
+    """Kill points around the rename-aside swap all heal to a complete,
+    correct lists dir on the next reader."""
+    from ck_spark.ops.ivf import build_ivf_index, ivf_topk
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_heal_")
+    try:
+        base = _synth_emb(spark, 150, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=4, sample_size=256,
+                        iters=8, seed=7)
+        q = _query_vec()
+        want = [(r["vec_id"], round(r["cosine"], 9))
+                for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+        lists_d = os.path.join(d, "lists")
+        # crash between rename-aside and rename-in: staging + old, no lists
+        import shutil as _sh
+
+        _sh.copytree(lists_d, os.path.join(d, "lists.staging"))
+        os.rename(lists_d, os.path.join(d, "lists.old"))
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+        assert got == want
+        assert os.path.exists(lists_d)
+        assert not os.path.exists(os.path.join(d, "lists.old"))
+        # crash before the swap: lists + stale staging -> staging discarded
+        _sh.copytree(lists_d, os.path.join(d, "lists.staging"))
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+        assert got == want
+        assert not os.path.exists(os.path.join(d, "lists.staging"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_incomplete_index_refused(spark, ivf_dir):
     from ck_spark.ops.ivf import META_NAME, ivf_topk
 
