@@ -26,11 +26,23 @@ def _pad2(n: int) -> int:
     return n + (n & 1)  # RIFF chunks are word-aligned
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """frames: uint8 array (n, h, w, 3) RGB -> uncompressed AVI bytes."""
+MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian in biCompression
+
+
+def encode_avi(
+    frames: np.ndarray, fps: int = 25, codec: str = "dib", quality: int = 85
+) -> bytes:
+    """frames: uint8 array (n, h, w, 3) RGB -> AVI bytes.
+
+    codec='dib' writes uncompressed bottom-up BGR frames; codec='mjpg'
+    writes Motion-JPEG — each frame is a complete baseline JPEG from
+    ops/jpeg.py (tables embedded, so any standard MJPEG consumer decodes
+    it; no AVI1-style table stripping)."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("frames must be (n, h, w, 3) RGB uint8")
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"unknown AVI codec: {codec!r} (dib|mjpg)")
     n, h, w, _ = frames.shape
     stride = ((w * 3 + 3) // 4) * 4
     frame_size = stride * h
@@ -51,20 +63,30 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
         0x10,              # dwFlags (AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10=trust ckType)
         n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
     )
+    handler = b"DIB " if codec == "dib" else b"MJPG"
+    compression = 0 if codec == "dib" else MJPG_FOURCC
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
+    )
 
     movi_frames = []
-    for f in range(n):
-        rows = []
-        for y in range(h - 1, -1, -1):  # DIB rows are bottom-up
-            row = frames[f, y, :, ::-1].tobytes()  # RGB -> BGR
-            rows.append(row + b"\x00" * (stride - len(row)))
-        movi_frames.append(chunk(b"00db", b"".join(rows)))
+    if codec == "mjpg":
+        from ck_spark.ops.jpeg import encode_jpeg
+
+        for f in range(n):
+            movi_frames.append(chunk(b"00dc", encode_jpeg(frames[f], quality=quality)))
+    else:
+        for f in range(n):
+            rows = []
+            for y in range(h - 1, -1, -1):  # DIB rows are bottom-up
+                row = frames[f, y, :, ::-1].tobytes()  # RGB -> BGR
+                rows.append(row + b"\x00" * (stride - len(row)))
+            movi_frames.append(chunk(b"00db", b"".join(rows)))
 
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
@@ -106,11 +128,30 @@ def decode_avi(data: bytes) -> np.ndarray:
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     if w is None:
         raise ValueError("AVI has no video stream format (strf)")
+    if compression == MJPG_FOURCC:
+        # Motion-JPEG: every chunk is a complete JPEG — decode through the
+        # built-in T.81 codec (frames must carry their own tables; the
+        # AVI1 stripped-table variant would fail loudly in decode_jpeg)
+        from ck_spark.ops.jpeg import decode_jpeg
+
+        imgs = []
+        for i, raw in enumerate(frames):
+            img = decode_jpeg(raw.tobytes())
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"MJPEG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"stream header says {w}x{h}"
+                )
+            imgs.append(img)
+        return (np.stack(imgs) if imgs
+                else np.empty((0, h, w, 3), dtype=np.uint8))
     if compression != 0 or bitcount != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bit AVI supported (biCompression="
-            f"{compression}, biBitCount={bitcount}) — compressed video "
-            "needs a codec library"
+            f"only uncompressed 24-bit and MJPG AVI supported "
+            f"(biCompression={compression}, biBitCount={bitcount}) — other "
+            "compressed video needs a codec library"
         )
     stride = ((w * 3 + 3) // 4) * 4
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
@@ -126,3 +167,39 @@ def avi_dimensions(data: bytes) -> tuple[int, int, int]:
     """(n_frames, height, width) without materializing pixel arrays."""
     frames = decode_avi(data)  # small files in tests; header-only fast path
     return frames.shape[0], frames.shape[1], frames.shape[2]
+
+
+def avi_codec(data: bytes) -> str:
+    """Video codec tag from the strf header only (no frame decode):
+    'dib24' for uncompressed, 'mjpg' for Motion-JPEG, else the raw
+    fourcc/number."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') file")
+
+    found: list[str] = []
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, off, size in _iter_chunks(data, start, end):
+            if found:
+                return
+            if fourcc == b"LIST":
+                walk(off + 4, off + size)
+            elif fourcc == b"strf":
+                _bisz, _w, _h, _planes, bc, comp = struct.unpack_from(
+                    "<IiiHHI", data, off
+                )
+                if comp == 0:
+                    found.append(f"dib{bc}")
+                elif comp == MJPG_FOURCC:
+                    found.append("mjpg")
+                else:
+                    tag = struct.pack("<I", comp)
+                    found.append(
+                        tag.decode("ascii").strip().lower()
+                        if all(32 <= b < 127 for b in tag) else str(comp)
+                    )
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not found:
+        raise ValueError("AVI has no video stream format (strf)")
+    return found[0]

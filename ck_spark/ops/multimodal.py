@@ -98,8 +98,12 @@ def synth_media(
                     frames = rng.integers(
                         0, 256, (2 + i % 4, h, w, 3), dtype=np.uint8
                     )
-                    if i % 2 == 0:
+                    if i % 4 == 0:
                         fmt, payload = "avi", encode_avi(frames, fps=5)
+                    elif i % 4 == 2:
+                        fmt, payload = "avi", encode_avi(
+                            frames, fps=5, codec="mjpg"
+                        )
                     else:
                         fmt, payload = "mp4", encode_mp4_video(frames, fps=5)
                 rows.append((i, kind, fmt, payload, w, h, dur))
@@ -331,9 +335,11 @@ def probe_media(media: DataFrame) -> DataFrame:
                             if rate else None,
                         )
                     elif f == "avi":
+                        from ck_spark.ops.avi import avi_codec
+
                         frames = decode_avi(raw)
                         row.update(
-                            container_ok=True, codec="dib24",
+                            container_ok=True, codec=avi_codec(raw),
                             n_frames=int(frames.shape[0]),
                             width=int(frames.shape[2]), height=int(frames.shape[1]),
                         )

@@ -62,7 +62,7 @@ def test_synth_media_real_payloads_decode_end_to_end(spark, media):
     bad = [r for r in probes if not r["container_ok"]]
     assert bad == []
     assert {r["codec"] for r in probes} >= {
-        "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "raw ",
+        "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "mjpg", "raw ",
     }
     feats = extract_features(media, real_decode=True).collect()
     assert len(feats) == 30
@@ -302,6 +302,51 @@ def test_avi_codec_roundtrip():
     assert np.array_equal(decode_avi(encode_avi(fr, fps=10)), fr)
     with pytest.raises(ValueError):
         decode_avi(b"RIFFxxxxWAVE")
+
+
+def test_avi_mjpeg_roundtrip():
+    """Motion-JPEG AVI: each frame is a complete baseline JPEG from the
+    built-in T.81 codec — a real COMPRESSED video path with no codec
+    library. Lossy, so the round-trip is tolerance-checked; smooth
+    content reconstructs closely."""
+    from ck_spark.ops.avi import avi_codec, decode_avi, encode_avi
+
+    # smooth gradient frames (JPEG-friendly), distinct per frame
+    y = np.linspace(0, 200, 16)[:, None]
+    x = np.linspace(0, 40, 24)[None, :]
+    base = (y + x)[:, :, None].repeat(3, axis=2)
+    fr = np.stack([np.clip(base + 10 * f, 0, 255) for f in range(3)]).astype(np.uint8)
+    payload = encode_avi(fr, fps=10, codec="mjpg", quality=92)
+    assert avi_codec(payload) == "mjpg"
+    out = decode_avi(payload)
+    assert out.shape == fr.shape
+    err = np.abs(out.astype(int) - fr.astype(int))
+    assert err.mean() < 3 and err.max() <= 40, (err.mean(), err.max())
+    # dib stays byte-exact and reports its codec
+    assert avi_codec(encode_avi(fr, fps=10)) == "dib24"
+
+
+def test_avi_mjpeg_through_pipeline(spark):
+    """MJPEG AVI rows flow through probe_media (codec='mjpg'),
+    extract_features(real_decode) and sample_frames like DIB ones."""
+    from ck_spark.ops.avi import encode_avi
+    from ck_spark.ops.multimodal import probe_media
+
+    rng = np.random.default_rng(5)
+    fr = (rng.integers(0, 8, (4, 8, 12, 3)) * 16).astype(np.uint8)
+    payload = encode_avi(fr, fps=5, codec="mjpg", quality=95)
+    df = spark.createDataFrame(
+        [(7, "video", "avi", bytearray(payload), 12, 8, 800)],
+        "media_id long, kind string, format string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    probe = probe_media(df).collect()[0]
+    assert probe["container_ok"] and probe["codec"] == "mjpg"
+    assert (probe["n_frames"], probe["width"], probe["height"]) == (4, 12, 8)
+    feats = extract_features(df, real_decode=True).collect()[0]
+    assert feats["n_bytes"] == len(payload)
+    samples = sample_frames(df, n_frames=2, real_decode=True).collect()
+    assert [r["frame_no"] for r in samples] == [0, 3]
 
 
 def test_extract_features_real_decode_avi(spark):
