@@ -215,17 +215,32 @@ def _audio_entry(channels: int, rate: int, fourcc: bytes = b"sowt") -> bytes:
     return _box(fourcc, body)
 
 
-def encode_mp4_video(frames: np.ndarray, fps: int = 25) -> bytes:
-    """frames: uint8 (n, h, w, 3) RGB -> MP4 with one 'raw ' video track
-    (packed top-down RGB24 rows, one sample per frame)."""
+def encode_mp4_video(
+    frames: np.ndarray, fps: int = 25, codec: str = "raw", quality: int = 85
+) -> bytes:
+    """frames: uint8 (n, h, w, 3) RGB -> MP4 with one video track.
+
+    codec='raw' packs top-down RGB24 rows (sample entry 'raw '); codec=
+    'jpeg' stores one complete baseline JPEG per sample (sample entry
+    'jpeg' — the QuickTime/ISO photo-JPEG layout) via ops/jpeg.py, a real
+    compressed video track with no codec library."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("frames must be (n, h, w, 3) RGB uint8")
+    if codec not in ("raw", "jpeg"):
+        raise ValueError(f"unknown mp4 video codec: {codec!r} (raw|jpeg)")
     n, h, w, _ = frames.shape
-    chunks = [frames[i].tobytes() for i in range(n)]
+    if codec == "jpeg":
+        from ck_spark.ops.jpeg import encode_jpeg
+
+        chunks = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+        entry = _video_entry(w, h, fourcc=b"jpeg")
+    else:
+        chunks = [frames[i].tobytes() for i in range(n)]
+        entry = _video_entry(w, h)
     spec = {
         "handler": b"vide",
-        "entry": _video_entry(w, h),
+        "entry": entry,
         "timescale": fps,
         "delta": 1,
         "chunks": chunks,
@@ -412,6 +427,25 @@ def decode_mp4_video(data: bytes) -> np.ndarray:
         raise ValueError("mp4 has no video track")
     tk = vids[0]
     codec = tk.get("codec", "?")
+    if codec == "jpeg":
+        # photo-JPEG track: every sample is a complete JPEG — decode
+        # through the built-in T.81 codec (same as AVI/MJPG)
+        from ck_spark.ops.jpeg import decode_jpeg
+
+        w, h = tk["width"], tk["height"]
+        imgs = []
+        for i, raw in enumerate(mp4_track_samples(data, tk)):
+            img = decode_jpeg(raw)
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError(
+                    f"jpeg sample {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"track header says {w}x{h}"
+                )
+            imgs.append(img)
+        return (np.stack(imgs) if imgs
+                else np.empty((0, h, w, 3), dtype=np.uint8))
     if codec != "raw ":
         raise NotImplementedError(
             f"mp4 video codec {codec!r}: container demuxed "

@@ -104,6 +104,10 @@ def synth_media(
                         fmt, payload = "avi", encode_avi(
                             frames, fps=5, codec="mjpg"
                         )
+                    elif i % 4 == 3:
+                        fmt, payload = "mp4", encode_mp4_video(
+                            frames, fps=5, codec="jpeg"
+                        )
                     else:
                         fmt, payload = "mp4", encode_mp4_video(frames, fps=5)
                 rows.append((i, kind, fmt, payload, w, h, dur))

@@ -62,7 +62,8 @@ def test_synth_media_real_payloads_decode_end_to_end(spark, media):
     bad = [r for r in probes if not r["container_ok"]]
     assert bad == []
     assert {r["codec"] for r in probes} >= {
-        "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "mjpg", "raw ",
+        "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "mjpg",
+        "raw ", "jpeg",
     }
     feats = extract_features(media, real_decode=True).collect()
     assert len(feats) == 30
@@ -324,6 +325,24 @@ def test_avi_mjpeg_roundtrip():
     assert err.mean() < 3 and err.max() <= 40, (err.mean(), err.max())
     # dib stays byte-exact and reports its codec
     assert avi_codec(encode_avi(fr, fps=10)) == "dib24"
+
+
+def test_mp4_photo_jpeg_roundtrip():
+    """'jpeg'-codec MP4 track (QuickTime photo-JPEG layout): one complete
+    baseline JPEG per sample, decoded through the built-in codec."""
+    from ck_spark.ops.mp4 import decode_mp4_video, encode_mp4_video, mp4_info
+
+    y = np.linspace(0, 180, 16)[:, None]
+    x = np.linspace(0, 60, 16)[None, :]
+    base = (y + x)[:, :, None].repeat(3, axis=2)
+    fr = np.stack([np.clip(base + 15 * f, 0, 255) for f in range(2)]).astype(np.uint8)
+    payload = encode_mp4_video(fr, fps=4, codec="jpeg", quality=92)
+    tk = [t for t in mp4_info(payload)["tracks"] if t["handler"] == "vide"][0]
+    assert tk["codec"] == "jpeg" and tk["sample_count"] == 2
+    out = decode_mp4_video(payload)
+    assert out.shape == fr.shape
+    err = np.abs(out.astype(int) - fr.astype(int))
+    assert err.mean() < 3 and err.max() <= 40, (err.mean(), err.max())
 
 
 def test_avi_mjpeg_through_pipeline(spark):
