@@ -203,8 +203,16 @@ def ivf_append(
     import shutil
     import tempfile
 
-    if "/" in batch_tag or not batch_tag:
-        raise ValueError("batch_tag must be a non-empty path-safe token")
+    import re
+
+    # [A-Za-z0-9_]+ ONLY: '-' delimits the tag in delta file names (a
+    # dashed tag would make another tag's scrub glob match its files) and
+    # glob metachars would break the crash-scrub match below
+    if not re.fullmatch(r"\w+", batch_tag, re.ASCII):
+        raise ValueError(
+            "batch_tag must be a non-empty [A-Za-z0-9_]+ token "
+            f"(got {batch_tag!r})"
+        )
     _heal_lists(index_dir)
     meta_path = os.path.join(index_dir, META_NAME)
     with open(meta_path) as f:

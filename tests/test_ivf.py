@@ -281,3 +281,15 @@ def test_incomplete_index_refused(spark, ivf_dir):
             ivf_topk(spark, d, _query_vec(), k=5, nprobe=2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_rejects_unsafe_batch_tags(spark, ivf_dir, emb):
+    """batch_tag lands verbatim in delta file names and in the crash-scrub
+    glob; '-' is the name delimiter and glob metachars would corrupt the
+    scrub match, so anything outside ASCII [A-Za-z0-9_]+ must be refused
+    before any filesystem work happens."""
+    from ck_spark.ops.ivf import ivf_append
+
+    for bad in ("", "a-b", "a/b", "a*b", "a b", "é", "a."):
+        with pytest.raises(ValueError, match="batch_tag"):
+            ivf_append(spark, ivf_dir, emb.limit(1), batch_tag=bad)
