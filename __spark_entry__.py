@@ -993,6 +993,45 @@ def _q_bm25_near_miss(spark, sf_dir):
     )
 
 
+def _q_bm25_results(spark, sf_dir):
+    """ck SearchResult-shaped top-k: score + stored-content preview (first
+    3 lines, Rust str::lines() semantics) + whole-file span + lang, the
+    tantivy STORED-field fetch analogue (ck-engine/src/lib.rs:780-818)."""
+    from ck_spark.adapters import search_documents_results
+
+    return search_documents_results(spark, sf_dir, "spark index", k=15)
+
+
+_BM25_RESULTS_SQL = f"""{_bm25_scored_cte(["spark", "index"])},
+top AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15
+),
+lined AS (
+  SELECT d.doc_id, d.lang, d.text,
+         CASE WHEN d.text = '' THEN CAST([] AS VARCHAR[])
+              WHEN ends_with(d.text, chr(10))
+                THEN list_slice(string_split(d.text, chr(10)), 1,
+                                len(string_split(d.text, chr(10))) - 1)
+              ELSE string_split(d.text, chr(10)) END AS lines
+  FROM documents d JOIN top t ON d.doc_id = t.doc_id
+)
+SELECT t.doc_id, round(t.score, 6) AS score,
+       array_to_string(
+         list_slice(
+           list_transform(l.lines,
+             x -> CASE WHEN ends_with(x, chr(13))
+                       THEN substr(x, 1, length(x) - 1) ELSE x END),
+           1, 3),
+         chr(10)) AS preview,
+       CAST(0 AS BIGINT) AS byte_start,
+       CAST(strlen(l.text) AS BIGINT) AS byte_end,
+       CAST(1 AS INT) AS line_start,
+       CAST(len(l.lines) AS INT) AS line_end,
+       l.lang
+FROM top t JOIN lined l ON l.doc_id = t.doc_id
+ORDER BY score DESC, t.doc_id"""
+
+
 _GREP_WW_SQL = f"""
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, '\\b{WW_PATTERN}\\b')
@@ -1508,6 +1547,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_whole_word": _q_grep_whole_word,
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
+        "bm25_results": _q_bm25_results,
         "media_probe": _q_media_probe,
     }
 
@@ -1519,6 +1559,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or": _bm25_sql(["spark", "join", "window"], 20),
         "bm25_topk_and": _bm25_sql(["table", "join"], 20, mode="and"),
         "bm25_ubiquitous_term": _bm25_sql(["table"], 20),
+        "bm25_results": _BM25_RESULTS_SQL,
         "bm25_norm_threshold": f"""{_bm25_scored_cte(["spark", "join", "window"])},
 top AS (
   SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20

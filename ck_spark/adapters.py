@@ -127,6 +127,62 @@ def search_documents(
     return spark.createDataFrame(out)
 
 
+_RESULTS_SCHEMA = (
+    "doc_id long, score double, preview string, byte_start long, "
+    "byte_end long, line_start int, line_end int, lang string"
+)
+
+
+def search_documents_results(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int,
+    mode: str = "or",
+    full_section: bool = False,
+) -> DataFrame:
+    """ck `SearchResult`-shaped BM25 top-k over documents, keyed by the
+    ORIGINAL doc_id: the tie-exact (score desc, doc_id asc) winner set
+    from search_documents, enriched with preview / span / lang fetched
+    candidate-only from the index's stored content
+    (BM25Index.fetch_search_results)."""
+    from ck_spark.index.builder import DOC_ID_MASK
+
+    base = search_documents(spark, sf_dir, query, k=k, mode=mode).toPandas()
+    if len(base) == 0:
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, _RESULTS_SCHEMA)
+    idx = documents_index(spark, sf_dir)
+    # engine ids for the winners: the same hash as builder.doc_id_expr
+    # over the adapter's (repo='docs', path=str(doc_id), commit='c0'),
+    # computed in one JVM-literal job (no doc_map scan, no python rows)
+    id_csv = ",".join(f"'{int(d)}'" for d in base["doc_id"])
+    eng = spark.sql(
+        f"SELECT CAST(id AS LONG) AS orig, "
+        f"xxhash64('docs', id, 'c0') & {DOC_ID_MASK} AS doc_id "
+        f"FROM (SELECT explode(array({id_csv})) AS id)"
+    ).toPandas()
+    score_by_orig = dict(
+        zip(base["doc_id"].astype(int), base["score"].astype(float))
+    )
+    vals = ",".join(
+        f"({int(r.doc_id)}L, CAST({score_by_orig[int(r.orig)]!r} AS DOUBLE))"
+        for r in eng.itertuples()
+    )
+    res = spark.sql(f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+    enr = idx.fetch_search_results(res, full_section=full_section)
+    return (
+        enr.select(
+            F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "preview", "byte_start", "byte_end", "line_start", "line_end",
+            "lang",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def embeddings_ivf_root(spark: SparkSession, sf_dir: str, k_lists: int = 8) -> str:
     """Ensure a materialized IVF ANN index (ops/ivf.py) over the sf dir's
     embeddings table; returns its root. Cached on disk like

@@ -656,6 +656,106 @@ class BM25Index:
         )
         return results, near
 
+    _SEARCH_RESULT_SCHEMA = (
+        "doc_id long, repo string, path string, score double, "
+        "preview string, byte_start long, byte_end long, "
+        "line_start int, line_end int, lang string"
+    )
+
+    def fetch_search_results(self, results: DataFrame,
+                             full_section: bool = False) -> DataFrame:
+        """ck `SearchResult`-shaped enrichment from STORED content (the
+        tantivy STORED-field fetch, ck-engine/src/lib.rs:780-818 /
+        ck-core/src/lib.rs:227-241): given a top-k result frame
+        (doc_id, score), attach preview = first 3 lines (whole content
+        under full_section, the --full-section flag), span = whole file
+        (bytes 0..len, lines 1..line_count) flattened to byte_start /
+        byte_end / line_start / line_end, and lang; ordered by
+        (score desc, doc_id).
+
+        Line semantics mirror Rust `str::lines()` exactly: split on \\n,
+        a trailing newline TERMINATES the last line (it does not open an
+        empty one), a \\r immediately before each \\n is stripped from
+        the line (but counts in byte_end), and empty content has zero
+        lines. byte_end counts UTF-8 BYTES (octet_length), not chars.
+
+        Scale shape: the ≤k result rows collect driver-side (top-k is
+        driver-sized by definition), their segments derive from one tiny
+        JVM-literal job (seg = pmod(xxhash64(doc_id), S) — no doc_map
+        scan), and the stored rows are fetched with parsed
+        `seg IN (...) AND doc_id IN (...)` literals: seg prunes doc_map
+        partitions, doc_id skips row groups of the doc_id-sorted files.
+        Content bytes read are proportional to the RESULTS, not the
+        corpus. Requires a store_content index (v6 default)."""
+        if not self.meta.get("store_content"):
+            raise ValueError(
+                "index was built with store_content=False — stored-content "
+                "result fetch needs a rebuild with store_content=True"
+            )
+        rows = results.select("doc_id", "score").collect()
+        if not rows:
+            return _empty_df(self.spark, self._SEARCH_RESULT_SCHEMA)
+        scores = {int(r["doc_id"]): float(r["score"]) for r in rows}
+        ids = sorted(scores)
+        n_seg = int(self.meta["n_segments"])
+        # JVM-only literal relations (SQL text, never python-local rows or
+        # per-value py4j Column.isin literals — both cost seconds at k~10^3)
+        arr = ",".join(f"{i}L" for i in ids)
+        segs = sorted(
+            int(r["seg"])
+            for r in self.spark.sql(
+                f"SELECT DISTINCT pmod(xxhash64(id), {n_seg}) AS seg "
+                f"FROM (SELECT explode(array({arr})) AS id)"
+            ).collect()
+        )
+        pred = (
+            f"seg IN ({','.join(map(str, segs))}) AND "
+            f"doc_id IN ({','.join(map(str, ids))})"
+        )
+        score_rel = self.spark.sql(
+            "SELECT * FROM VALUES "
+            + ",".join(f"({i}L, CAST({scores[i]!r} AS DOUBLE))" for i in ids)
+            + " AS t(doc_id, score)"
+        )
+        raw = F.split(F.col("content"), "\n", -1)
+        lines = (
+            F.when(F.col("content") == "", F.array().cast("array<string>"))
+            .when(F.col("content").endswith("\n"),
+                  F.slice(raw, F.lit(1), F.size(raw) - 1))
+            .otherwise(raw)
+        )
+        # strip exactly ONE trailing \r per line (Rust lines() semantics).
+        # NOT a '\r$' regexp_replace: Java's $ also matches before a final
+        # line terminator, so 'a\r\r' would lose BOTH \r where Rust keeps
+        # the first.
+        stripped = F.transform(
+            lines,
+            lambda x: F.when(
+                x.endswith("\r"), x.substr(F.lit(1), F.length(x) - 1)
+            ).otherwise(x),
+        )
+        preview = (
+            F.col("content") if full_section
+            else F.array_join(F.slice(stripped, 1, 3), "\n")
+        )
+        return (
+            self.doc_map_df.where(pred)
+            .select(
+                "doc_id", "repo", "path",
+                preview.alias("preview"),
+                F.lit(0).cast("long").alias("byte_start"),
+                F.octet_length("content").cast("long").alias("byte_end"),
+                F.lit(1).cast("int").alias("line_start"),
+                F.size(lines).alias("line_end"),
+                "lang",
+            )
+            .join(F.broadcast(score_rel), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "repo", "path", "score", "preview",
+                    "byte_start", "byte_end", "line_start", "line_end",
+                    "lang")
+        )
+
     def _finish(self, df: DataFrame, k: int, normalize: bool,
                 threshold: float | None, with_paths: bool) -> DataFrame:
         # TakeOrderedAndProject: distributed partial top-k + driver merge.

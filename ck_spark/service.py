@@ -224,6 +224,20 @@ class CkService:
         out["summary"] = f"lexical top-{top_k} for {query!r}"
         return out
 
+    def lexical_results(
+        self, query: str, top_k: int = DEFAULT_MCP_TOP_K, mode: str = "or",
+        full_section: bool = False, jsonl: bool = False,
+        no_snippet: bool = False,
+    ) -> DataFrame:
+        """ck `SearchResult`-shaped lexical search: top-k plus
+        stored-content preview/span/lang (candidate-only fetch). With
+        jsonl=True, serialized to the --jsonl agent wire format
+        (ck-cli/src/main.rs:1988)."""
+        idx = self._index()
+        res = idx.search(query, k=top_k, mode=mode)
+        out = idx.fetch_search_results(res, full_section=full_section)
+        return results_to_jsonl(out, no_snippet=no_snippet) if jsonl else out
+
     def _scan_source(self) -> DataFrame:
         """The regex/section scan source: the caller-held corpus when one
         was given, else the index's own stored content (v6) — the service
@@ -289,6 +303,30 @@ class CkService:
                     cursor, page_size)
         out["summary"] = f"hybrid (RRF k=60) top-{top_k} for {query!r}"
         return out
+
+
+def results_to_jsonl(results: DataFrame, no_snippet: bool = False) -> DataFrame:
+    """Serialize an enriched result frame (BM25Index.fetch_search_results
+    shape) to the reference's JSONL agent format: one JSON object per row
+    with keys path, span{byte_start,byte_end,line_start,line_end},
+    language, snippet, score in serde field order
+    (ck-core/src/lib.rs:266-279 JsonlSearchResult; its
+    skip_serializing_if=None == to_json's default null dropping).
+    no_snippet=True omits the snippet field (--no-snippet,
+    ck-cli/src/main.rs:230). Returns a single 'line' STRING column in the
+    input's row order."""
+    fields = [
+        F.col("path"),
+        F.struct(
+            F.col("byte_start"), F.col("byte_end"),
+            F.col("line_start"), F.col("line_end"),
+        ).alias("span"),
+        F.col("lang").alias("language"),
+    ]
+    if not no_snippet:
+        fields.append(F.col("preview").alias("snippet"))
+    fields.append(F.col("score"))
+    return results.select(F.to_json(F.struct(*fields)).alias("line"))
 
 
 def rerank(results: DataFrame, score_fn, k: int,
