@@ -1032,6 +1032,81 @@ FROM top t JOIN lined l ON l.doc_id = t.doc_id
 ORDER BY score DESC, t.doc_id"""
 
 
+GREP_RESULTS_LITERAL = "window"
+
+
+def _q_grep_results(spark, sf_dir):
+    """ck SearchResult-shaped regex mode: one row per match, match-level
+    byte span, line-level context preview (-C 1), score 1.0."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus, load_documents
+    from ck_spark.query.grep import grep_results
+
+    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    out = grep_results(corpus, GREP_RESULTS_LITERAL, before=1, after=1,
+                       fixed_string=True)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "score", "preview", "byte_start", "byte_end",
+        "line_start", "line_end", "lang",
+    ).orderBy("doc_id", "line_start", "byte_start")
+
+
+# per-match byte offsets of a FIXED literal, restated relationally: line
+# byte starts are a prefix-sum window over strlen(raw line)+1 (the \n),
+# occurrence j's in-line offset comes from the split-segment lengths, and
+# the -C 1 preview is lag/lead null-filtered at doc boundaries
+_GREP_RESULTS_SQL = f"""
+WITH adj AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(rawls) > 0 AND rawls[len(rawls)] = ''
+              THEN list_slice(rawls, 1, len(rawls) - 1) ELSE rawls END AS rawls
+  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS rawls
+        FROM documents)
+),
+ln AS (
+  SELECT a.doc_id, a.lang, i AS line_no, a.rawls[i] AS raw,
+         CASE WHEN ends_with(a.rawls[i], chr(13))
+              THEN substr(a.rawls[i], 1, length(a.rawls[i]) - 1)
+              ELSE a.rawls[i] END AS line
+  FROM adj a, LATERAL (SELECT unnest(generate_series(1, len(a.rawls))) AS i) t
+),
+ctx0 AS (
+  SELECT doc_id, lang, line_no, line,
+         COALESCE(sum(strlen(raw) + 1) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_b0,
+         lag(line) OVER (PARTITION BY doc_id ORDER BY line_no) AS prev_l,
+         lead(line) OVER (PARTITION BY doc_id ORDER BY line_no) AS next_l
+  FROM ln
+),
+ctx AS (
+  SELECT doc_id, lang, line_no, line, line_b0,
+         array_to_string(
+           list_filter([prev_l, line, next_l], x -> x IS NOT NULL),
+           chr(10)) AS preview
+  FROM ctx0
+),
+m AS (
+  SELECT c.*, j,
+         strlen(array_to_string(
+           list_slice(string_split(c.line, '{GREP_RESULTS_LITERAL}'), 1, j),
+           '')) + (j - 1) * strlen('{GREP_RESULTS_LITERAL}') AS off
+  FROM ctx c, LATERAL (SELECT unnest(generate_series(1,
+         len(string_split(c.line, '{GREP_RESULTS_LITERAL}')) - 1)) AS j) t
+)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score, preview,
+       CAST(line_b0 + off AS BIGINT) AS byte_start,
+       CAST(line_b0 + off + strlen('{GREP_RESULTS_LITERAL}') AS BIGINT)
+         AS byte_end,
+       CAST(line_no AS INT) AS line_start,
+       CAST(line_no AS INT) AS line_end,
+       lang
+FROM m
+ORDER BY doc_id, line_start, byte_start"""
+
+
 _GREP_WW_SQL = f"""
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, '\\b{WW_PATTERN}\\b')
@@ -1548,6 +1623,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
         "bm25_results": _q_bm25_results,
+        "grep_results": _q_grep_results,
         "media_probe": _q_media_probe,
     }
 
@@ -1560,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _bm25_sql(["table", "join"], 20, mode="and"),
         "bm25_ubiquitous_term": _bm25_sql(["table"], 20),
         "bm25_results": _BM25_RESULTS_SQL,
+        "grep_results": _GREP_RESULTS_SQL,
         "bm25_norm_threshold": f"""{_bm25_scored_cte(["spark", "join", "window"])},
 top AS (
   SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20

@@ -127,6 +127,102 @@ def grep_spans(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
     )
 
 
+def grep_results(
+    corpus: DataFrame,
+    pattern: str,
+    before: int = 0,
+    after: int = 0,
+    fixed_string: bool = False,
+    whole_word: bool = False,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """ck `SearchResult`-shaped regex mode (the F1 output contract,
+    ck-engine/src/lib.rs:490-583): one row PER MATCH with span = the
+    match's byte range in the file, line_start = line_end = the match's
+    line, score = 1.0, and preview = the matched line — widened to the
+    [line-before, line+after] window under -A/-B/-C
+    (get_context_preview, lib.rs:1218-1229; out-of-range context simply
+    truncates). An empty pattern emits one row per line with the LINE's
+    byte span (grep compatibility, lib.rs:506-538). Line boundaries and
+    byte offsets follow split_lines_with_offsets (\\n, \\r\\n and bare
+    \\r endings, byte-exact); previews never include line endings.
+
+    Output matches BM25Index.fetch_search_results minus doc_id, so
+    service.results_to_jsonl serializes it unchanged — the reference's
+    one-result-type-for-every-mode design. Ordered by
+    (path, line_start, byte_start): the reference's (file, line_start)
+    sort (lib.rs:430-444) plus a deterministic within-line tiebreak."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from ck_spark.functions.chunker import split_lines_with_offsets
+
+    p = preprocess_pattern(pattern, fixed_string, whole_word, ignore_case)
+    rx = _re.compile(p)
+    is_empty_pat = pattern == ""
+    b_ctx, a_ctx = int(before), int(after)
+    hit_t = ArrayType(StructType([
+        StructField("line_no", IntegerType()),
+        StructField("byte_start", LongType()),
+        StructField("byte_end", LongType()),
+        StructField("preview", StringType()),
+    ]))
+
+    @F.pandas_udf(hit_t)
+    def find_hits(s: pd.Series) -> pd.Series:
+        def one(text):
+            out = []
+            if not text:
+                return out
+            lines = split_lines_with_offsets(text)
+            texts = [ln for _, _, ln in lines]
+
+            def ctx(i):
+                if b_ctx or a_ctx:
+                    lo = max(0, i - b_ctx)
+                    hi = min(len(texts), i + a_ctx + 1)
+                    return "\n".join(texts[lo:hi])
+                return texts[i]
+
+            for i, (b0, _b1, line) in enumerate(lines):
+                if is_empty_pat:
+                    out.append({
+                        "line_no": i + 1, "byte_start": b0,
+                        "byte_end": b0 + len(line.encode("utf-8")),
+                        "preview": ctx(i),
+                    })
+                    continue
+                for m in rx.finditer(line):
+                    pre = len(line[: m.start()].encode("utf-8"))
+                    mb = len(m.group(0).encode("utf-8"))
+                    out.append({
+                        "line_no": i + 1, "byte_start": b0 + pre,
+                        "byte_end": b0 + pre + mb, "preview": ctx(i),
+                    })
+            return out
+
+        return s.map(one)
+
+    return (
+        corpus.select("repo", "path", "lang",
+                      F.explode(find_hits("content")).alias("m"))
+        .select(
+            "repo", "path",
+            F.lit(1.0).alias("score"),
+            F.col("m.preview").alias("preview"),
+            F.col("m.byte_start").alias("byte_start"),
+            F.col("m.byte_end").alias("byte_end"),
+            F.col("m.line_no").alias("line_start"),
+            F.col("m.line_no").alias("line_end"),
+            "lang",
+        )
+        .orderBy("path", "line_start", "byte_start")
+    )
+
+
 def grep_with_context(
     corpus: DataFrame,
     pattern: str,

@@ -142,3 +142,89 @@ def test_count_matches(spark, corpus):
     rows = grep(df, "a", count_matches=True).limit(20).collect()
     for r in rows:
         assert r["n_matches"] == len(re.findall("a", r["line"]))
+
+
+# ---------------------------------------------------------------------------
+# grep_results: ck SearchResult-shaped regex mode (per-match spans, context
+# previews, score 1.0) — ck-engine/src/lib.rs:490-583
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def result_corpus(spark):
+    docs = [
+        ("r", "multi.py", "c", "python", "aXbXc\nplain\nX at end X"),
+        ("r", "crlf.go", "c", "go", "one X\r\ntwo\r\nthree X\r\n"),
+        ("r", "uni.rs", "c", "rust", "héllo X\nsecond ✓ X\n"),
+        ("r", "none.md", "c", "markdown", "nothing here\n"),
+        ("r", "empty.txt", "c", None, ""),
+    ]
+    return spark.createDataFrame(
+        docs, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_grep_results_per_match_spans(result_corpus):
+    from ck_spark.query.grep import grep_results
+
+    rows = grep_results(result_corpus, "X", fixed_string=True).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+    # multi.py line 1 'aXbXc': matches at bytes 1 and 3; line 3 at 0 and 9
+    m = [(r["line_start"], r["byte_start"], r["byte_end"]) for r in by_path["multi.py"]]
+    assert m == [(1, 1, 2), (1, 3, 4), (3, 12, 13), (3, 21, 22)]
+    # crlf.go: line 1 'one X' -> X at byte 4; line 3 starts at 7+5? no:
+    # 'one X\r\n' = 7 bytes, 'two\r\n' = 5 -> line 3 base 12, X at +6
+    c = [(r["line_start"], r["byte_start"]) for r in by_path["crlf.go"]]
+    assert c == [(1, 4), (3, 18)]
+    # unicode: 'héllo ' is 7 bytes (é=2)
+    u = [(r["line_start"], r["byte_start"], r["byte_end"]) for r in by_path["uni.rs"]]
+    assert u[0] == (1, 7, 8)
+    # 'second ✓ X': base 9 (line1 8+\n), ✓ is 3 bytes -> 'second ✓ ' = 11
+    assert u[1] == (2, 9 + 11, 9 + 12)
+    assert "none.md" not in by_path and "empty.txt" not in by_path
+    for r in rows:
+        assert r["score"] == 1.0
+        assert r["line_end"] == r["line_start"]
+        # previews carry the line, no endings
+        assert "\r" not in r["preview"] and "\n" not in r["preview"]
+
+
+def test_grep_results_context_preview_truncates(result_corpus):
+    from ck_spark.query.grep import grep_results
+
+    rows = grep_results(result_corpus, "X", fixed_string=True,
+                        before=1, after=1).collect()
+    prev = {(r["path"], r["line_start"], r["byte_start"]): r["preview"] for r in rows}
+    # first line: no before-context available
+    assert prev[("multi.py", 1, 1)] == "aXbXc\nplain"
+    # last line: no after-context
+    assert prev[("multi.py", 3, 12)] == "plain\nX at end X"
+    # middle line of crlf.go from line-1 match: after-context only reaches line 2
+    assert prev[("crlf.go", 1, 4)] == "one X\ntwo"
+    assert prev[("crlf.go", 3, 18)] == "two\nthree X"
+
+
+def test_grep_results_empty_pattern_line_spans(result_corpus):
+    from ck_spark.query.grep import grep_results
+
+    rows = [r for r in grep_results(result_corpus, "").collect()
+            if r["path"] == "crlf.go"]
+    # one row per line, span = the line WITHOUT its ending
+    assert [(r["line_start"], r["byte_start"], r["byte_end"]) for r in rows] == [
+        (1, 0, 5), (2, 7, 10), (3, 12, 19)
+    ]
+
+
+def test_grep_results_feeds_jsonl(result_corpus):
+    import json
+
+    from ck_spark.query.grep import grep_results
+    from ck_spark.service import results_to_jsonl
+
+    rows = grep_results(result_corpus, "X", fixed_string=True)
+    objs = [json.loads(r["line"]) for r in results_to_jsonl(rows).collect()]
+    assert objs and all(
+        list(o) == ["path", "span", "language", "snippet", "score"] for o in objs
+    )
+    assert {o["language"] for o in objs} == {"python", "go", "rust"}
