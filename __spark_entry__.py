@@ -1002,21 +1002,25 @@ def _q_bm25_results(spark, sf_dir):
     return search_documents_results(spark, sf_dir, "spark index", k=15)
 
 
-_BM25_RESULTS_SQL = f"""{_bm25_scored_cte(["spark", "index"])},
-top AS (
-  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15
-),
-lined AS (
+def _lined_cte(id_col: str) -> str:
+    """`lined` CTE: whole-doc text split into Rust str::lines() bodies
+    (trailing newline terminates, \\r stays for counting) for docs in
+    `top`, keyed by top.{id_col}."""
+    return f"""lined AS (
   SELECT d.doc_id, d.lang, d.text,
          CASE WHEN d.text = '' THEN CAST([] AS VARCHAR[])
               WHEN ends_with(d.text, chr(10))
                 THEN list_slice(string_split(d.text, chr(10)), 1,
                                 len(string_split(d.text, chr(10))) - 1)
               ELSE string_split(d.text, chr(10)) END AS lines
-  FROM documents d JOIN top t ON d.doc_id = t.doc_id
-)
-SELECT t.doc_id, round(t.score, 6) AS score,
-       array_to_string(
+  FROM documents d JOIN top t ON d.doc_id = t.{id_col}
+)"""
+
+
+# whole-file SearchResult columns off a `lined` row aliased l: preview =
+# first 3 lines (one trailing \r stripped each), span = bytes 0..strlen,
+# lines 1..count
+_SR_COLS = """array_to_string(
          list_slice(
            list_transform(l.lines,
              x -> CASE WHEN ends_with(x, chr(13))
@@ -1027,7 +1031,16 @@ SELECT t.doc_id, round(t.score, 6) AS score,
        CAST(strlen(l.text) AS BIGINT) AS byte_end,
        CAST(1 AS INT) AS line_start,
        CAST(len(l.lines) AS INT) AS line_end,
-       l.lang
+       l.lang"""
+
+
+_BM25_RESULTS_SQL = f"""{_bm25_scored_cte(["spark", "index"])},
+top AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 15
+),
+{_lined_cte("doc_id")}
+SELECT t.doc_id, round(t.score, 6) AS score,
+       {_SR_COLS}
 FROM top t JOIN lined l ON l.doc_id = t.doc_id
 ORDER BY score DESC, t.doc_id"""
 
@@ -1154,6 +1167,29 @@ def _q_semantic_topk(spark, sf_dir):
     )
 
 
+def _q_semantic_results(spark, sf_dir):
+    """ck SearchResult-shaped semantic mode: cosine top-k enriched with
+    the embedded unit's span + first-3-lines preview (doc-granular
+    vectors -> whole-file chunks, semantic_v3.rs:152-216)."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus
+    from ck_spark.query.semantic import (
+        corpus_as_whole_file_chunks, semantic_results, semantic_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    res = semantic_search(emb, _ann_query_vec(), k=ANN_K, threshold=None)
+    chunks = corpus_as_whole_file_chunks(
+        documents_as_corpus(_docs(spark, sf_dir))
+    ).withColumn("vec_id", F.col("path").cast("long"))
+    out = semantic_results(res, chunks, on=["vec_id"], score_col="cosine")
+    return out.select(
+        "vec_id", F.round("score", 6).alias("cosine"), "preview",
+        "byte_start", "byte_end", "line_start", "line_end", "lang",
+    ).orderBy(F.desc("cosine"), "vec_id")
+
+
 def _q_hybrid_lex_sem(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1199,6 +1235,25 @@ top AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K})
 SELECT t.vec_id, d.lang, round(t.cosine, 6) AS cosine
 FROM top t JOIN documents d ON t.vec_id = d.doc_id
 ORDER BY t.cosine DESC, t.vec_id"""
+
+
+def _semantic_results_sql() -> str:
+    q = _ann_vec_sql()
+    return f"""WITH z AS (
+  SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings
+),
+agg AS (
+  SELECT vec_id, sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1, sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+scored AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg),
+top AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {ANN_K}),
+{_lined_cte("vec_id")}
+SELECT t.vec_id, round(t.cosine, 6) AS cosine,
+       {_SR_COLS}
+FROM top t JOIN lined l ON l.doc_id = t.vec_id
+ORDER BY cosine DESC, t.vec_id"""
 
 
 def _hybrid_lex_sem_sql() -> str:
@@ -1615,6 +1670,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "semantic_topk": _q_semantic_topk,
+        "semantic_results": _q_semantic_results,
         "hybrid_lexical_semantic": _q_hybrid_lex_sem,
         "chunk_spans": _q_chunk_spans,
         "grep_full_section": _q_grep_full_section,
@@ -1732,6 +1788,7 @@ FROM h ORDER BY doc_id""",
         **TPCH_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "semantic_topk": _semantic_topk_sql(),
+        "semantic_results": _semantic_results_sql(),
         "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
         "chunk_spans": _CHUNK_SPANS_SQL,
         "grep_full_section": _GREP_FULL_SECTION_SQL,

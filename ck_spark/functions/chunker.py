@@ -173,8 +173,8 @@ def chunk_corpus(
     return (
         corpus.withColumn("doc_id", doc_id_expr())
         .select(
-            "doc_id", "repo", "path",
+            "doc_id", "repo", "path", "lang",
             F.explode(chunks_udf(max_tokens, overlap_lines)("content")).alias("c"),
         )
-        .select("doc_id", "repo", "path", "c.*")
+        .select("doc_id", "repo", "path", "lang", "c.*")
     )

@@ -717,27 +717,10 @@ class BM25Index:
             + ",".join(f"({i}L, CAST({scores[i]!r} AS DOUBLE))" for i in ids)
             + " AS t(doc_id, score)"
         )
-        raw = F.split(F.col("content"), "\n", -1)
-        lines = (
-            F.when(F.col("content") == "", F.array().cast("array<string>"))
-            .when(F.col("content").endswith("\n"),
-                  F.slice(raw, F.lit(1), F.size(raw) - 1))
-            .otherwise(raw)
-        )
-        # strip exactly ONE trailing \r per line (Rust lines() semantics).
-        # NOT a '\r$' regexp_replace: Java's $ also matches before a final
-        # line terminator, so 'a\r\r' would lose BOTH \r where Rust keeps
-        # the first.
-        stripped = F.transform(
-            lines,
-            lambda x: F.when(
-                x.endswith("\r"), x.substr(F.lit(1), F.length(x) - 1)
-            ).otherwise(x),
-        )
-        preview = (
-            F.col("content") if full_section
-            else F.array_join(F.slice(stripped, 1, 3), "\n")
-        )
+        from ck_spark.query.results import preview_expr, rust_lines
+
+        lines = rust_lines(F.col("content"))
+        preview = preview_expr(F.col("content"), full_section)
         return (
             self.doc_map_df.where(pred)
             .select(

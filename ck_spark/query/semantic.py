@@ -63,6 +63,95 @@ def semantic_search_with_near_miss(
     return res, near
 
 
+def corpus_as_whole_file_chunks(corpus: DataFrame) -> DataFrame:
+    """One whole-file chunk per doc: the degenerate chunk the reference's
+    lexical path uses for whole-file units (span = bytes 0..len, lines
+    1..line_count — ck-engine/src/lib.rs:794-811). Gives doc-granular
+    embeddings (one vector per file) the same enrichment surface as real
+    chunk tables from functions/chunker.chunk_corpus."""
+    from ck_spark.query.results import rust_lines
+
+    lines = rust_lines(F.col("content"))
+    return corpus.select(
+        "repo", "path", "lang",
+        F.lit(0).cast("int").alias("chunk_id"),
+        F.lit(0).cast("long").alias("byte_start"),
+        F.octet_length("content").cast("long").alias("byte_end"),
+        F.lit(1).cast("int").alias("line_start"),
+        F.size(lines).alias("line_end"),
+        F.col("content").alias("text"),
+    )
+
+
+# driver-side collect cap for the literal-IN chunk prefilter; above it the
+# plain broadcast join runs (the scan is result-bound anyway at that size)
+_RESULT_KEYS_COLLECT_MAX = 20_000
+
+
+def semantic_results(
+    results: DataFrame,
+    chunks: DataFrame,
+    on: list[str],
+    score_col: str = "cosine",
+    full_section: bool = False,
+) -> DataFrame:
+    """ck `SearchResult`-shaped semantic output (semantic_v3.rs:152-216):
+    span = the embedded unit's chunk span, preview = first 3 lines of the
+    chunk text (whole chunk under --full-section), score = cosine.
+
+    results: scored rows (top-k / threshold already applied upstream —
+    semantic_search output). chunks: a chunk frame carrying
+    (repo, path, lang, byte/line span, text) — functions/chunker.
+    chunk_corpus for real chunk tables, corpus_as_whole_file_chunks for
+    doc-granular vectors. on: the join key columns shared by both frames
+    (e.g. ['doc_id', 'chunk_id'], or the vec_id mapping).
+
+    Scale shape: the ≤k result keys collect driver-side and prefilter the
+    chunk frame with a parsed literal IN (row-value IN for compound keys)
+    BEFORE the broadcast join, so a materialized doc_id-sorted chunk
+    table reads rows proportional to the results; above
+    _RESULT_KEYS_COLLECT_MAX the prefilter is skipped."""
+    keyed = results.select(*on, F.col(score_col).alias("score"))
+    rows = keyed.limit(_RESULT_KEYS_COLLECT_MAX + 1).collect()
+    if not rows:
+        from ck_spark.plans.schemas import empty_df
+
+        key_types = {f.name: f.dataType.simpleString()
+                     for f in keyed.schema.fields}
+        cols = ", ".join(
+            [f"{c} {key_types[c]}" for c in on]
+            + ["repo string", "path string", "score double",
+               "preview string", "byte_start long", "byte_end long",
+               "line_start int", "line_end int", "lang string"]
+        )
+        return empty_df(results.sparkSession, cols)
+    side = chunks
+    if len(rows) <= _RESULT_KEYS_COLLECT_MAX:
+        def _lit(v):
+            return f"'{v}'" if isinstance(v, str) else str(int(v))
+
+        seen = sorted({tuple(r[c] for c in on) for r in rows})
+        if len(on) == 1:
+            pred = f"{on[0]} IN ({','.join(_lit(t[0]) for t in seen)})"
+        else:
+            tuples = ",".join(
+                "(" + ",".join(_lit(v) for v in t) + ")" for t in seen
+            )
+            pred = f"({','.join(on)}) IN ({tuples})"
+        side = chunks.where(pred)
+    from ck_spark.query.results import preview_expr
+
+    return (
+        side.join(F.broadcast(keyed), on)
+        .select(
+            *on, "repo", "path", "score",
+            preview_expr(F.col("text"), full_section).alias("preview"),
+            "byte_start", "byte_end", "line_start", "line_end", "lang",
+        )
+        .orderBy(F.desc("score"), *[F.asc(c) for c in on])
+    )
+
+
 def hybrid_lexical_semantic(
     lexical: DataFrame,
     semantic: DataFrame,
