@@ -1190,6 +1190,139 @@ def _q_semantic_results(spark, sf_dir):
     ).orderBy(F.desc("cosine"), "vec_id")
 
 
+def _q_hybrid_results(spark, sf_dir):
+    """ck SearchResult-level hybrid fusion: per-match regex list + cosine
+    top-k semantic list, RRF on (path, line_start) with every pushed
+    entry contributing, regex metadata precedence (lib.rs:1006-1060)."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_as_corpus, load_documents
+    from ck_spark.query.grep import grep_results
+    from ck_spark.query.hybrid import hybrid_results
+    from ck_spark.query.semantic import (
+        corpus_as_whole_file_chunks, semantic_results, semantic_search,
+    )
+
+    corpus = documents_as_corpus(load_documents(spark, sf_dir))
+    rx = grep_results(corpus, HYBRID_GREP, fixed_string=True)
+    emb = _emb(spark, sf_dir)
+    sem_scored = semantic_search(emb, _ann_query_vec(), k=ANN_K,
+                                 threshold=None)
+    chunks = corpus_as_whole_file_chunks(corpus).withColumn(
+        "vec_id", F.col("path").cast("long")
+    )
+    sm = semantic_results(sem_scored, chunks, on=["vec_id"],
+                          score_col="cosine")
+    out = hybrid_results(rx, sm, limit=30)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 9).alias("score"),
+        "preview", "byte_start", "byte_end", "line_start", "line_end",
+        "lang",
+    ).orderBy(F.desc("score"), "doc_id", "line_start")
+
+
+def _hybrid_results_sql() -> str:
+    q = _ann_vec_sql()
+    # regex ranks follow the engine's (path STRING, line, byte) order —
+    # path is the STRINGIFIED doc_id, so the oracle ranks by the varchar
+    # rendering, not numerically
+    return f"""
+WITH adj AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(rawls) > 0 AND rawls[len(rawls)] = ''
+              THEN list_slice(rawls, 1, len(rawls) - 1) ELSE rawls END AS rawls
+  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS rawls
+        FROM documents)
+),
+ln AS (
+  SELECT a.doc_id, a.lang, i AS line_no, a.rawls[i] AS raw,
+         CASE WHEN ends_with(a.rawls[i], chr(13))
+              THEN substr(a.rawls[i], 1, length(a.rawls[i]) - 1)
+              ELSE a.rawls[i] END AS line
+  FROM adj a, LATERAL (SELECT unnest(generate_series(1, len(a.rawls))) AS i) t
+),
+lb AS (
+  SELECT *, COALESCE(sum(strlen(raw) + 1) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_b0
+  FROM ln
+),
+m AS (
+  SELECT lb.*, j,
+         strlen(array_to_string(
+           list_slice(string_split(lb.line, '{HYBRID_GREP}'), 1, j),
+           '')) + (j - 1) * strlen('{HYBRID_GREP}') AS off
+  FROM lb, LATERAL (SELECT unnest(generate_series(1,
+         len(string_split(lb.line, '{HYBRID_GREP}')) - 1)) AS j) t
+),
+rxr AS (
+  SELECT doc_id, lang, line_no AS line_start, line AS preview,
+         line_b0 + off AS bs, line_b0 + off + strlen('{HYBRID_GREP}') AS be,
+         row_number() OVER (
+           ORDER BY CAST(doc_id AS VARCHAR), line_no, off) AS rank
+  FROM m
+  ORDER BY CAST(doc_id AS VARCHAR), line_no, off
+  LIMIT 30
+),
+z AS (SELECT vec_id, unnest(embedding) AS e, unnest({q}) AS qv FROM embeddings),
+agg AS (
+  SELECT vec_id, sum(CAST(e AS DOUBLE) * qv) AS dot,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS n1, sum(qv * qv) AS n2
+  FROM z GROUP BY vec_id
+),
+sc AS (SELECT vec_id, dot / (sqrt(n1) * sqrt(n2)) AS cosine FROM agg),
+top AS (SELECT * FROM sc ORDER BY cosine DESC, vec_id LIMIT {ANN_K}),
+smr AS (
+  SELECT t.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY t.cosine DESC, CAST(t.vec_id AS VARCHAR)) AS rank
+  FROM top t
+),
+{_lined_cte("vec_id")},
+smm AS (
+  SELECT s.doc_id, s.rank, l.lang,
+         array_to_string(
+           list_slice(
+             list_transform(l.lines,
+               x -> CASE WHEN ends_with(x, chr(13))
+                         THEN substr(x, 1, length(x) - 1) ELSE x END),
+             1, 3),
+           chr(10)) AS preview,
+         CAST(0 AS BIGINT) AS bs,
+         CAST(strlen(l.text) AS BIGINT) AS be,
+         CAST(len(l.lines) AS INT) AS line_end
+  FROM smr s JOIN lined l ON l.doc_id = s.doc_id
+),
+unioned AS (
+  SELECT doc_id, line_start, rank FROM rxr
+  UNION ALL SELECT doc_id, 1 AS line_start, rank FROM smm
+),
+fused AS (
+  SELECT doc_id, line_start, sum(1.0 / (60 + rank)) AS rrf
+  FROM unioned GROUP BY 1, 2
+),
+rxm AS (
+  SELECT doc_id, line_start,
+         min_by(preview, rank) AS preview, min_by(bs, rank) AS bs,
+         min_by(be, rank) AS be, min_by(lang, rank) AS lang
+  FROM rxr GROUP BY 1, 2
+)
+SELECT f.doc_id, round(f.rrf, 9) AS score,
+       COALESCE(r.preview, s.preview) AS preview,
+       CAST(COALESCE(r.bs, s.bs) AS BIGINT) AS byte_start,
+       CAST(COALESCE(r.be, s.be) AS BIGINT) AS byte_end,
+       CAST(f.line_start AS INT) AS line_start,
+       CAST(COALESCE(CASE WHEN r.doc_id IS NOT NULL
+                          THEN f.line_start END, s.line_end) AS INT)
+         AS line_end,
+       COALESCE(r.lang, s.lang) AS lang
+FROM fused f
+LEFT JOIN rxm r ON r.doc_id = f.doc_id AND r.line_start = f.line_start
+LEFT JOIN smm s ON s.doc_id = f.doc_id AND f.line_start = 1
+ORDER BY score DESC, f.doc_id, f.line_start"""
+
+
 def _q_hybrid_lex_sem(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1671,6 +1804,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "semantic_topk": _q_semantic_topk,
         "semantic_results": _q_semantic_results,
+        "hybrid_results": _q_hybrid_results,
         "hybrid_lexical_semantic": _q_hybrid_lex_sem,
         "chunk_spans": _q_chunk_spans,
         "grep_full_section": _q_grep_full_section,
@@ -1789,6 +1923,7 @@ FROM h ORDER BY doc_id""",
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "semantic_topk": _semantic_topk_sql(),
         "semantic_results": _semantic_results_sql(),
+        "hybrid_results": _hybrid_results_sql(),
         "hybrid_lexical_semantic": _hybrid_lex_sem_sql(),
         "chunk_spans": _CHUNK_SPANS_SQL,
         "grep_full_section": _GREP_FULL_SECTION_SQL,

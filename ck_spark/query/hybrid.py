@@ -43,6 +43,78 @@ def add_rank(
     )
 
 
+_SR_META = ["repo", "preview", "byte_start", "byte_end", "line_end", "lang",
+            "score"]
+
+
+def hybrid_results(
+    regex_results: DataFrame,
+    semantic_results: DataFrame,
+    limit: int = 30,
+    k: int | None = None,
+    threshold: float | None = None,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """ck `SearchResult`-level hybrid fusion (ck-engine/src/lib.rs:
+    1006-1060): both inputs are SearchResult-shaped frames (grep_results /
+    semantic_results); the merge key is (path, line_start); the RRF score
+    sums 1/(rrf_k + rank) over EVERY pushed entry — a line with several
+    regex matches contributes once per match, exactly like ck's
+    per-key Vec of (rank, result). The merged row's metadata
+    (span/preview/lang) comes from the first entry pushed for its key:
+    the regex list's lowest-rank row when present (regex inserts first),
+    else the semantic row. score is replaced by the RRF sum; an optional
+    threshold filters RAW rrf scores (lib.rs:1036-1043); output is
+    (score desc, path, line_start) with top-k truncation.
+
+    Ranks are assigned in each mode's own output order — regex
+    (path, line_start, byte_start), semantic (score desc) — bounded to
+    `limit` rows each (the RRF cutoff), so every frame past the inputs
+    is driver-sized and the joins stay broadcast."""
+    key = ["path", "line_start"]
+    rx = add_rank(
+        regex_results,
+        [F.asc("path"), F.asc("line_start"), F.asc("byte_start")],
+        limit,
+    )
+    sm = add_rank(
+        semantic_results,
+        [F.desc("score"), F.asc("path"), F.asc("line_start")],
+        limit,
+    )
+    fused = rrf_fuse([rx, sm], key, k=None, rrf_k=rrf_k)
+
+    def first_meta(df: DataFrame, prefix: str) -> DataFrame:
+        # the key's lowest-rank row carries the metadata (ranks[0].1)
+        return df.groupBy(*key).agg(
+            F.min_by(F.struct(*_SR_META), F.col("rank")).alias("m")
+        ).select(*key, *[F.col(f"m.{c}").alias(f"{prefix}{c}")
+                         for c in _SR_META])
+
+    rxm = first_meta(rx, "r_")
+    smm = first_meta(sm, "s_")
+    meta = rxm.join(smm, key, "full_outer").select(
+        *key,
+        *[F.coalesce(F.col(f"r_{c}"), F.col(f"s_{c}")).alias(c)
+          for c in _SR_META if c != "score"],
+    )
+    out = (
+        fused.join(meta, key)
+        .select(
+            "repo", "path",
+            F.col("rrf_score").alias("score"),
+            "preview", "byte_start", "byte_end", "line_start", "line_end",
+            "lang",
+        )
+    )
+    if threshold is not None:
+        out = out.where(F.col("score") >= F.lit(threshold))
+    out = out.orderBy(F.desc("score"), F.asc("path"), F.asc("line_start"))
+    if k is not None:
+        out = out.limit(k)
+    return out
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     key_cols: list[str],

@@ -329,6 +329,56 @@ def results_to_jsonl(results: DataFrame, no_snippet: bool = False) -> DataFrame:
     return results.select(F.to_json(F.struct(*fields)).alias("line"))
 
 
+# serde's DEFAULT enum representation is the VARIANT name — the --json
+# schema serializes Language as "Rust"/"Cpp"/"CSharp" (unlike JSONL, which
+# goes through Display and is lowercase). ck-core/src/lib.rs:39-60.
+_LANG_VARIANTS = {
+    "rust": "Rust", "python": "Python", "javascript": "JavaScript",
+    "typescript": "TypeScript", "haskell": "Haskell", "go": "Go",
+    "java": "Java", "c": "C", "cpp": "Cpp", "csharp": "CSharp",
+    "ruby": "Ruby", "php": "Php", "swift": "Swift", "kotlin": "Kotlin",
+    "zig": "Zig", "dart": "Dart", "elixir": "Elixir",
+    "markdown": "Markdown", "pdf": "Pdf",
+}
+
+
+def results_to_json(results: DataFrame, model: str = "none") -> DataFrame:
+    """Serialize an enriched result frame to the reference's --json v1
+    schema (ck-core/src/lib.rs:251-262 JsonSearchResult, emitted at
+    ck-cli/src/main.rs:1993-2008): keys file, span, lang, symbol, score,
+    signals{lex_rank, vec_rank, rrf_score}, preview, model in serde field
+    order. Unlike JSONL, JsonSearchResult has NO skip_serializing_if —
+    null lang/symbol/lex_rank/vec_rank serialize as explicit nulls — and
+    lang uses serde's default enum representation (the VARIANT name,
+    "Rust" not "rust"). The CLI stubs signals as
+    {null, null, rrf_score=score} and model as "none"; this mirrors
+    that."""
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in _LANG_VARIANTS.items() for x in kv]
+    )
+    obj = F.struct(
+        F.col("path").alias("file"),
+        F.struct(
+            F.col("byte_start"), F.col("byte_end"),
+            F.col("line_start"), F.col("line_end"),
+        ).alias("span"),
+        lang_map[F.col("lang")].alias("lang"),
+        (F.col("symbol") if "symbol" in results.columns
+         else F.lit(None).cast("string")).alias("symbol"),
+        F.col("score"),
+        F.struct(
+            F.lit(None).cast("long").alias("lex_rank"),
+            F.lit(None).cast("long").alias("vec_rank"),
+            F.col("score").alias("rrf_score"),
+        ).alias("signals"),
+        F.col("preview"),
+        F.lit(model).alias("model"),
+    )
+    return results.select(
+        F.to_json(obj, {"ignoreNullFields": "false"}).alias("line")
+    )
+
+
 def rerank(results: DataFrame, score_fn, k: int,
            text_col: str = "section", score_col: str = "score") -> DataFrame:
     """T5 rerank seam: re-score a result frame with a pluggable scorer

@@ -37,3 +37,69 @@ def test_rrf_topk_and_tiebreak(spark, two_lists):
     assert [r["doc_id"] for r in rows[:2]] == [1, 3]
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# hybrid_results: SearchResult-level fusion (ck-engine/src/lib.rs:1006-1060)
+# ---------------------------------------------------------------------------
+
+
+def _sr_frame(spark, rows):
+    vals = ",".join(
+        f"('r','{p}',CAST({s} AS DOUBLE),'{pv}',{b0}L,{b1}L,{ls},{le},'x')"
+        for p, ls, le, b0, b1, s, pv in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(repo, path, score, preview, "
+        "byte_start, byte_end, line_start, line_end, lang)"
+    )
+
+
+def test_hybrid_results_rrf_and_metadata_precedence(spark):
+    from ck_spark.query.hybrid import hybrid_results
+
+    # regex list in its natural order: two matches on a.py line 1, one on
+    # b.py line 2 -> ranks 1, 2, 3
+    rx = _sr_frame(spark, [
+        ("a.py", 1, 1, 0, 3, 1.0, "ra1"),
+        ("a.py", 1, 1, 5, 8, 1.0, "ra2"),
+        ("b.py", 2, 2, 10, 13, 1.0, "rb"),
+    ])
+    # semantic list: a.py line 1 (rank 1), c.py line 1 (rank 2)
+    sm = _sr_frame(spark, [
+        ("a.py", 1, 9, 0, 90, 0.9, "sa"),
+        ("c.py", 1, 7, 0, 70, 0.8, "sc"),
+    ])
+    out = {(r["path"], r["line_start"]): r
+           for r in hybrid_results(rx, sm, limit=30).collect()}
+    # every pushed entry contributes: a.py:1 gets regex ranks 1+2 AND sem 1
+    assert abs(out[("a.py", 1)]["score"] - (1/61 + 1/62 + 1/61)) < 1e-12
+    assert abs(out[("b.py", 2)]["score"] - 1/63) < 1e-12
+    assert abs(out[("c.py", 1)]["score"] - 1/62) < 1e-12
+    # metadata = first pushed entry: regex rank-1 row wins over semantic
+    a = out[("a.py", 1)]
+    assert (a["preview"], a["byte_start"], a["byte_end"], a["line_end"]) == \
+        ("ra1", 0, 3, 1)
+    # semantic-only key keeps semantic metadata
+    c = out[("c.py", 1)]
+    assert (c["preview"], c["byte_end"], c["line_end"]) == ("sc", 70, 7)
+
+
+def test_hybrid_results_threshold_topk_order(spark):
+    from ck_spark.query.hybrid import hybrid_results
+
+    rx = _sr_frame(spark, [
+        ("a.py", 1, 1, 0, 3, 1.0, "ra"),
+        ("b.py", 2, 2, 0, 3, 1.0, "rb"),
+    ])
+    sm = _sr_frame(spark, [("a.py", 1, 9, 0, 90, 0.9, "sa")])
+    rows = hybrid_results(rx, sm, limit=30, threshold=0.02).collect()
+    # only the doubly-ranked key (1/61 + 1/61 ≈ .0328) clears 0.02;
+    # single-list keys max out at 1/61 ≈ .0164
+    assert [(r["path"], r["line_start"]) for r in rows] == [("a.py", 1)]
+    rows = hybrid_results(rx, sm, limit=30, k=1).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "a.py"
+    # deterministic order: score desc then (path, line_start)
+    rows = hybrid_results(rx, sm, limit=30).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -137,3 +137,40 @@ def test_jsonl_shape_and_no_snippet(ridx):
     nulled = enr.withColumn("lang", F.lit(None).cast("string"))
     objs = [json.loads(r["line"]) for r in results_to_jsonl(nulled).collect()]
     assert all("language" not in o for o in objs)
+
+
+def test_json_v1_shape(ridx):
+    from ck_spark.service import results_to_json
+
+    res = ridx.search("needle", k=5)
+    enr = ridx.fetch_search_results(res)
+    # give one row a known lang, leave 'x' (unknown) for the rest
+    objs = [json.loads(r["line"]) for r in results_to_json(enr).collect()]
+    for o in objs:
+        assert list(o) == ["file", "span", "lang", "symbol", "score",
+                           "signals", "preview", "model"]
+        # explicit nulls, not omitted (JsonSearchResult has no serde skip)
+        assert o["symbol"] is None
+        assert o["signals"]["lex_rank"] is None
+        assert o["signals"]["vec_rank"] is None
+        assert o["signals"]["rrf_score"] == o["score"]
+        assert o["model"] == "none"
+        # 'x' is not a ck Language -> null lang
+        assert o["lang"] is None
+
+
+def test_json_v1_lang_variant_names(spark, tmp_path_factory):
+    from ck_spark.query.grep import grep_results
+    from ck_spark.service import results_to_json
+
+    corpus = spark.createDataFrame(
+        [("r", "a.rs", "c", "rust", "hit"),
+         ("r", "b.cs", "c", "csharp", "hit"),
+         ("r", "c.md", "c", "markdown", "hit")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = results_to_json(grep_results(corpus, "hit", fixed_string=True))
+    langs = {json.loads(r["line"])["file"]: json.loads(r["line"])["lang"]
+             for r in out.collect()}
+    # serde variant case, not Display case
+    assert langs == {"a.rs": "Rust", "b.cs": "CSharp", "c.md": "Markdown"}
