@@ -100,6 +100,10 @@ def main() -> None:
         timed("bm25_and", lambda: idx.search("table join", k=100, mode="and").collect())
         timed("bm25_ubiquitous", lambda: idx.search("table", k=100).collect())
         timed("bm25_wand", lambda: idx.search("table value row", k=10, strategy="wand").collect())
+        # ck SearchResult enrichment: candidate-only stored-content fetch
+        # (preview/span/lang) on top of a top-100 search
+        timed("bm25_results_fetch", lambda: idx.fetch_search_results(
+            idx.search("spark join", k=100)).collect())
         timed("grep_regex", lambda: grep(corpus, "row|window", count_matches=True).collect())
         timed("grep_files_without", lambda: files_without_matches(corpus, "row|window").collect())
 

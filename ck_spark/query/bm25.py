@@ -698,16 +698,13 @@ class BM25Index:
         scores = {int(r["doc_id"]): float(r["score"]) for r in rows}
         ids = sorted(scores)
         n_seg = int(self.meta["n_segments"])
-        # JVM-only literal relations (SQL text, never python-local rows or
-        # per-value py4j Column.isin literals — both cost seconds at k~10^3)
-        arr = ",".join(f"{i}L" for i in ids)
-        segs = sorted(
-            int(r["seg"])
-            for r in self.spark.sql(
-                f"SELECT DISTINCT pmod(xxhash64(id), {n_seg}) AS seg "
-                f"FROM (SELECT explode(array({arr})) AS id)"
-            ).collect()
-        )
+        # segments derive in pure driver arithmetic (functions/xxh.py is
+        # bit-identical to the JVM xxhash64-over-BIGINT) — no Spark job;
+        # the relations below stay SQL text, never python-local rows or
+        # per-value py4j Column.isin literals (both cost seconds at k~10^3)
+        from ck_spark.functions.xxh import seg_of_doc_id
+
+        segs = sorted({seg_of_doc_id(i, n_seg) for i in ids})
         pred = (
             f"seg IN ({','.join(map(str, segs))}) AND "
             f"doc_id IN ({','.join(map(str, ids))})"

@@ -159,6 +159,37 @@ def main() -> None:
         "\n".join(bcast),
     ))
 
+    # ck SearchResult fetch: stored-content enrichment reads doc_map with
+    # literal seg PartitionFilters + a doc_id In pushed filter; content
+    # bytes read scale with the ≤k results, not the corpus
+    fr = plan_of(idx.fetch_search_results(idx.search("parse buffer", k=10)))
+    fr_scan = [ln for ln in fr.splitlines()
+               if "doc_map" in ln and "FileScan" in ln]
+    assert fr_scan, "fetch must scan doc_map"
+    assert any("seg" in ln.split("PartitionFilters")[-1][:120]
+               for ln in fr_scan), "fetch must prune seg partitions"
+    assert any("doc_id" in ln.split("PushedFilters")[-1][:260]
+               for ln in fr_scan if "PushedFilters" in ln), \
+        "fetch must push the doc_id IN filter"
+    assert "content" in fr, "fetch reads the stored content column"
+    frl = []
+    for ln in fr.splitlines():
+        if "FileScan" in ln or "Broadcast" in ln:
+            frl.append(ln.strip()[:160] + " …")
+            for frag in re.findall(
+                r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])", ln
+            ):
+                frl.append("  " + frag[:220])
+    sections.append((
+        "SearchResult fetch — candidate-only stored-content read",
+        "fetch_search_results (preview/span/lang enrichment, the tantivy "
+        "STORED-field fetch analogue) reads doc_map with literal seg "
+        "PartitionFilters and a doc_id In(...) PushedFilter over the "
+        "doc_id-sorted files, then broadcast-joins the ≤k scores back — "
+        "content bytes read scale with the RESULTS, not the corpus.",
+        "\n".join(frl[:12]),
+    ))
+
     # narrow doc_map reader prunes the tfm map column at the parquet scan
     # (single-pass build: tf maps ride in doc_map; readers that don't need
     # them never deserialize them)

@@ -174,3 +174,23 @@ def test_json_v1_lang_variant_names(spark, tmp_path_factory):
              for r in out.collect()}
     # serde variant case, not Display case
     assert langs == {"a.rs": "Rust", "b.cs": "CSharp", "c.md": "Markdown"}
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/xxh.py must stay bit-identical to the JVM expression —
+    the fetch's seg pruning silently misses docs otherwise."""
+    import random
+
+    from ck_spark.functions.xxh import seg_of_doc_id, xxhash64_long
+
+    random.seed(7)
+    vals = [0, 1, -1, 2**62 - 1, -(2**62), (1 << 63) - 1, -(1 << 63)]
+    vals += [random.randrange(-2**63, 2**63) for _ in range(40)]
+    csv = ",".join(f"{v}L" for v in vals)
+    rows = spark.sql(
+        f"SELECT id, xxhash64(id) AS h, pmod(xxhash64(id), 7) AS s "
+        f"FROM (SELECT explode(array({csv})) AS id)"
+    ).collect()
+    for r in rows:
+        assert xxhash64_long(r["id"]) == r["h"], r["id"]
+        assert seg_of_doc_id(r["id"], 7) == r["s"], r["id"]
