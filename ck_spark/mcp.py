@@ -58,6 +58,14 @@ _PAGING = {
     "page_size": {"type": "integer"},
 }
 
+# snippet config shared by the search requests (mcp_server.rs:152-220;
+# defaults/clamps in mcp/session.rs: include_snippet true, length 500,
+# cap 2000)
+_SNIPPET = {
+    "include_snippet": {"type": "boolean", "default": True},
+    "snippet_length": {"type": "integer", "default": 500},
+}
+
 
 def tool_descriptors() -> list[dict]:
     """The tools/list payload (names and shapes mirror mcp_server.rs)."""
@@ -68,6 +76,7 @@ def tool_descriptors() -> list[dict]:
              "query": {"type": "string"},
              "top_k": {"type": "integer", "default": 10},
              "mode": {"type": "string", "enum": ["or", "and", "syntax"]},
+             **_SNIPPET,
              **_PAGING,
          }, ["query"])},
         {"name": "regex_search",
@@ -79,6 +88,7 @@ def tool_descriptors() -> list[dict]:
              "whole_word": {"type": "boolean"},
              "ignore_case": {"type": "boolean"},
              "full_section": {"type": "boolean"},
+             **_SNIPPET,
              **_PAGING,
          }, ["pattern"])},
         {"name": "semantic_search",

@@ -215,11 +215,26 @@ class CkService:
         cursor: str | None = None, page_size: int | None = None,
         include_prefixes: list[str] | None = None,
         exclude_globs: list[str] | None = None,
+        include_snippet: bool | None = None,
+        snippet_length: int | None = None,
     ) -> dict:
+        """include_snippet / snippet_length opt into the reference MCP's
+        snippet config (mcp/session.rs:211-222): rows gain the
+        SearchResult preview/span columns, truncated or omitted per the
+        config. Left at None, the row shape is the classic
+        (doc_id, score, path) page."""
         idx = self._index()
-        res = idx.search(query, k=top_k, mode=mode, with_paths=True,
-                         include_prefixes=include_prefixes,
-                         exclude_globs=exclude_globs)
+        if include_snippet is not None or snippet_length is not None:
+            res = idx.search(query, k=top_k, mode=mode,
+                             include_prefixes=include_prefixes,
+                             exclude_globs=exclude_globs)
+            enr = idx.fetch_search_results(res)
+            res = _apply_snippet(enr, "preview",
+                                 include_snippet is not False, snippet_length)
+        else:
+            res = idx.search(query, k=top_k, mode=mode, with_paths=True,
+                             include_prefixes=include_prefixes,
+                             exclude_globs=exclude_globs)
         out = _page(res, [("score", "desc"), ("doc_id", "asc")], cursor, page_size)
         out["summary"] = f"lexical top-{top_k} for {query!r}"
         return out
@@ -255,6 +270,8 @@ class CkService:
     def regex_search(
         self, pattern: str, cursor: str | None = None,
         page_size: int | None = None, full_section: bool = False,
+        include_snippet: bool | None = None,
+        snippet_length: int | None = None,
         **grep_kw,
     ) -> dict:
         if full_section:
@@ -270,6 +287,11 @@ class CkService:
             else:
                 hits = grep(self._scan_source(), pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
+        if include_snippet is not None or snippet_length is not None:
+            col = "section" if full_section else "line"
+            hits = _apply_snippet(hits, col,
+                                  include_snippet is not False,
+                                  snippet_length)
         out = _page(hits, order, cursor, page_size)
         out["summary"] = f"regex matches for {pattern!r}"
         return out
@@ -303,6 +325,33 @@ class CkService:
                     cursor, page_size)
         out["summary"] = f"hybrid (RRF k=60) top-{top_k} for {query!r}"
         return out
+
+
+# reference MCP snippet-config clamps (ck-cli/src/mcp/session.rs:20-29,
+# 100-101): page_size 1..200, snippet_length capped at 2000, default 500
+MAX_SNIPPET_LENGTH = 2000
+DEFAULT_SNIPPET_LENGTH = 500
+
+
+def _apply_snippet(results: DataFrame, col: str, include_snippet: bool,
+                   snippet_length: int | None) -> DataFrame:
+    """The reference MCP's per-page snippet pass (mcp/session.rs:211-222):
+    truncate the snippet column to snippet_length + '...', or replace it
+    with '[snippet omitted]'. Truncation counts CHARACTERS where Rust's
+    String::truncate counts bytes — the two only diverge inside a
+    multibyte character at the cut point (where the reference would
+    panic)."""
+    if not include_snippet:
+        return results.withColumn(col, F.lit("[snippet omitted]"))
+    n = min(int(snippet_length or DEFAULT_SNIPPET_LENGTH),
+            MAX_SNIPPET_LENGTH)
+    return results.withColumn(
+        col,
+        F.when(
+            F.length(col) > n,
+            F.concat(F.substring(col, 1, n), F.lit("...")),
+        ).otherwise(F.col(col)),
+    )
 
 
 def results_to_jsonl(results: DataFrame, no_snippet: bool = False) -> DataFrame:

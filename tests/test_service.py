@@ -189,3 +189,42 @@ def test_mcp_stdio_over_real_service(spark, tmp_path):
         (r["doc_id"], r["score"]) for r in direct
     ] and len(wire) > 0
     assert resps[3]["result"]["structuredContent"]["meta"]["version"] == 6
+
+
+def test_snippet_config_lexical(service):
+    # opt-in: rows gain SearchResult preview/span columns
+    out = service.lexical_search("parse buffer", include_snippet=True)
+    row = out["results"][0]
+    assert {"preview", "byte_start", "byte_end", "line_start",
+            "line_end", "lang"} <= set(row)
+    assert row["preview"]
+    # truncation: snippet_length chars + '...'
+    trunc = service.lexical_search("parse buffer", snippet_length=5)
+    r = trunc["results"][0]
+    assert len(r["preview"]) == 8 and r["preview"].endswith("...")
+    # include_snippet=False replaces the preview (mcp/session.rs:218-221)
+    omitted = service.lexical_search("parse buffer", include_snippet=False)
+    assert all(r["preview"] == "[snippet omitted]" for r in omitted["results"])
+    # default shape untouched when the config is absent
+    plain = service.lexical_search("parse buffer")
+    assert "preview" not in plain["results"][0]
+
+
+def test_snippet_config_regex(service):
+    out = service.regex_search("parse", include_snippet=False)
+    assert out["results"] and all(
+        r["line"] == "[snippet omitted]" for r in out["results"]
+    )
+    trunc = service.regex_search("parse", snippet_length=4)
+    assert all(len(r["line"]) <= 7 for r in trunc["results"])
+    assert any(r["line"].endswith("...") for r in trunc["results"])
+
+
+def test_snippet_length_clamped(service):
+    from ck_spark.service import MAX_SNIPPET_LENGTH
+
+    out = service.lexical_search("parse buffer",
+                                 snippet_length=10 * MAX_SNIPPET_LENGTH)
+    # no preview can exceed cap + ellipsis
+    assert all(len(r["preview"]) <= MAX_SNIPPET_LENGTH + 3
+               for r in out["results"])
