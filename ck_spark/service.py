@@ -253,6 +253,95 @@ class CkService:
         out = idx.fetch_search_results(res, full_section=full_section)
         return results_to_jsonl(out, no_snippet=no_snippet) if jsonl else out
 
+    def _stored_doc(self, path: str):
+        """The stored (content, lang) row for one path, or None. A pushed
+        path filter over doc_map — single-file introspection, not a hot
+        path (the reference reads the file from disk here)."""
+        idx = self._index()
+        if not idx.meta.get("store_content"):
+            raise ValueError(
+                "inspect/dump_chunks need a store_content index"
+            )
+        rows = (
+            idx.doc_map_df.where(F.col("path") == F.lit(path))
+            .select("content", "lang")
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def inspect(self, path: str, display_limit: int = 10) -> dict:
+        """--inspect (ck-cli/src/main.rs:769-871): per-file metadata +
+        chunk/token analysis — size, Rust-lines count, token estimate,
+        language, symbol-aware chunks with min/max/avg tokens and up to
+        `display_limit` per-chunk details (type, name, span, stride,
+        preview = first non-empty line's first 80 chars)."""
+        from ck_spark.functions.chunker import estimate_tokens
+        from ck_spark.functions.symbols import chunk_code
+
+        row = self._stored_doc(path)
+        if row is None:
+            return {"exists": False, "path": path,
+                    "summary": f"{path}: not indexed"}
+        content, lang = row["content"] or "", row["lang"]
+        lines = content.split("\n")
+        if content.endswith("\n"):
+            lines = lines[:-1]
+        n_lines = 0 if content == "" else len(lines)
+        chunks = chunk_code(content, lang)
+        toks = [c.estimated_tokens for c in chunks]
+        details = []
+        for c in chunks[:display_limit]:
+            first = next(
+                (ln for ln in c.text.split("\n") if ln.strip()), ""
+            )[:80]
+            d = {"chunk_type": c.chunk_type, "name": c.name,
+                 "line_start": c.line_start, "line_end": c.line_end,
+                 "tokens": c.estimated_tokens, "preview": first}
+            if c.stride_index is not None:
+                d["stride"] = f"{c.stride_index + 1}/{c.total_strides}"
+            details.append(d)
+        return {
+            "exists": True,
+            "path": path,
+            "size_bytes": len(content.encode("utf-8")),
+            "lines": n_lines,
+            "tokens": estimate_tokens(content),
+            "language": lang,
+            "chunks": {
+                "n": len(chunks),
+                "min_tokens": min(toks) if toks else 0,
+                "max_tokens": max(toks) if toks else 0,
+                "avg_tokens": (sum(toks) / len(toks)) if toks else 0.0,
+                "details": details,
+            },
+            "summary": f"inspect {path}: {len(chunks)} chunks",
+        }
+
+    def dump_chunks(self, path: str) -> dict:
+        """--dump-chunks: every chunk of one file with its full span and
+        text (the embedding units, ck-cli/src/main.rs:333,1515+)."""
+        from ck_spark.functions.symbols import chunk_code
+
+        row = self._stored_doc(path)
+        if row is None:
+            return {"exists": False, "path": path,
+                    "summary": f"{path}: not indexed"}
+        chunks = chunk_code(row["content"] or "", row["lang"])
+        return {
+            "exists": True,
+            "path": path,
+            "chunks": [
+                {"chunk_id": c.chunk_id, "chunk_type": c.chunk_type,
+                 "name": c.name, "breadcrumb": c.breadcrumb,
+                 "byte_start": c.byte_start, "byte_end": c.byte_end,
+                 "line_start": c.line_start, "line_end": c.line_end,
+                 "tokens": c.estimated_tokens, "text": c.text}
+                for c in chunks
+            ],
+            "summary": f"{path}: {len(chunks)} chunks",
+        }
+
     def _scan_source(self) -> DataFrame:
         """The regex/section scan source: the caller-held corpus when one
         was given, else the index's own stored content (v6) — the service

@@ -228,3 +228,36 @@ def test_snippet_length_clamped(service):
     # no preview can exceed cap + ellipsis
     assert all(len(r["preview"]) <= MAX_SNIPPET_LENGTH + 3
                for r in out["results"])
+
+
+def test_inspect_and_dump_chunks(service, spark):
+    # pick a real python doc from the service's corpus
+    path = service.corpus.where(F.col("lang") == "python") \
+        .select("path").first()["path"]
+    content = service.corpus.where(F.col("path") == path) \
+        .select("content").first()["content"]
+    info = service.inspect(path)
+    assert info["exists"] and info["path"] == path
+    assert info["size_bytes"] == len(content.encode("utf-8"))
+    exp_lines = content.split("\n")
+    if content.endswith("\n"):
+        exp_lines = exp_lines[:-1]
+    assert info["lines"] == len(exp_lines)
+    ch = info["chunks"]
+    assert ch["n"] >= 1 and len(ch["details"]) <= 10
+    assert ch["min_tokens"] <= ch["avg_tokens"] <= ch["max_tokens"]
+    for d in ch["details"]:
+        assert len(d["preview"]) <= 80
+        assert d["line_start"] >= 1 and d["line_end"] >= d["line_start"]
+
+    dump = service.dump_chunks(path)
+    assert dump["exists"] and dump["chunks"]
+    # chunk texts are exact byte slices of the file
+    data = content.encode("utf-8")
+    for c in dump["chunks"]:
+        assert c["text"] == data[c["byte_start"]:c["byte_end"]].decode("utf-8")
+
+    # unknown file is reported, not raised
+    missing = service.inspect("no/such/file.py")
+    assert missing["exists"] is False
+    assert service.dump_chunks("no/such/file.py")["exists"] is False
