@@ -136,6 +136,28 @@ def main() -> None:
         "executor_crit_s": round(c, 3),
     }
 
+    # ck SearchResult enrichment at scale: the stored-content fetch must
+    # read bytes proportional to the ≤k RESULTS (seg PartitionFilters +
+    # doc_id In pushdown over the doc_id-sorted doc_map files), never the
+    # corpus — the inputBytes witness below stays ~flat as n_docs grows
+    idx.fetch_search_results(idx.search("parse buffer", k=100)).collect()
+    walls, mbs, crits = [], [], []
+    for _ in range(3):
+        w, c, _ts, ib = timed(lambda: idx.fetch_search_results(
+            idx.search("parse buffer", k=100)).collect())
+        walls.append(w)
+        crits.append(c)
+        mbs.append(ib)
+    latencies["results_fetch (k=100)"] = round(statistics.median(walls), 2)
+    breakdown["results_fetch"] = {
+        "k": 100,
+        "wall_median_s": round(statistics.median(walls), 3),
+        "executor_crit_median_s": round(statistics.median(crits), 3),
+        "input_mb_median": round(statistics.median(mbs), 2),
+        "note": "preview/span/lang enrichment; input bytes ~ results "
+                "(compare any scan_input_mb below to see the corpus size)",
+    }
+
     # trigram-accelerated grep vs full-scan grep on the SAME materialized
     # corpus parquet (the 100 TB deployment reads an Iceberg table, not a
     # generator): the trigram index turns a regex query from scan-the-world
