@@ -28,6 +28,7 @@ from __future__ import annotations
 import re
 from typing import Iterable, List
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, MapType, StringType
@@ -172,13 +173,159 @@ def term_freqs_udf(mode: str = "code"):
     return _udf
 
 
-def positions_series(s: pd.Series, mode: str = "code") -> pd.Series:
-    """Vectorized equivalent of ``term_positions_text`` over a Series."""
-    s = s.fillna("")
+_STOP_BYTES = frozenset(w.encode("ascii") for w in CODE_STOPWORDS)
+
+
+def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
+    """Numpy byte-level twin of ``term_positions_text`` for a batch of
+    pure-ASCII documents — the index build's hot path (VERDICT r3 #3).
+
+    The whole batch is tokenized as ONE flat byte buffer: boolean masks
+    find token-run boundaries (including the camelCase zero-width splits),
+    raw positions come from a cumulative count BEFORE the length/stoplist
+    filter (gap numbering, see ``term_positions_text``), tokens are
+    deduplicated per length bucket with ``np.unique`` over void views (one
+    Python string per DISTINCT token, not per occurrence), and the final
+    (doc, term) grouping is a single stable ``np.lexsort``. Property-tested
+    byte-for-byte equal to the scalar path in tests/test_tokenizer.py.
+
+    On ASCII, bytes == chars, so the byte-length cutoff and the ASCII-only
+    camel classes ([a-z0-9]/[A-Z]) of ``_CAMEL_RE`` match exactly.
+    """
+    n_docs = len(docs)
+    if n_docs == 0:
+        return []
+    buf = b"\n".join(docs)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return [dict() for _ in docs]
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n_docs)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+
+    lower_m = (arr >= 97) & (arr <= 122)
+    upper_m = (arr >= 65) & (arr <= 90)
+    digit_m = (arr >= 48) & (arr <= 57)
+    alnum = lower_m | upper_m | digit_m
+    prev_alnum = np.empty_like(alnum)
+    prev_alnum[0] = False
+    prev_alnum[1:] = alnum[:-1]
+    next_alnum = np.empty_like(alnum)
+    next_alnum[-1] = False
+    next_alnum[:-1] = alnum[1:]
     if mode == "code":
-        s = s.str.replace(_CAMEL_RE, " ", regex=True)
-    raw = s.str.lower().str.findall(_TOKEN_RE)
-    return raw.map(lambda ts: _positions_from_raw(ts, mode))
+        # _CAMEL_RE: (?<=[a-z0-9])(?=[A-Z]) | (?<=[A-Z])(?=[A-Z][a-z])
+        lowdig = lower_m | digit_m
+        prev_lowdig = np.empty_like(lowdig)
+        prev_lowdig[0] = False
+        prev_lowdig[1:] = lowdig[:-1]
+        prev_upper = np.empty_like(upper_m)
+        prev_upper[0] = False
+        prev_upper[1:] = upper_m[:-1]
+        next_lower = np.empty_like(lower_m)
+        next_lower[-1] = False
+        next_lower[:-1] = lower_m[1:]
+        camel = (prev_lowdig & upper_m) | (prev_upper & upper_m & next_lower)
+        camel_next = np.empty_like(camel)
+        camel_next[-1] = False
+        camel_next[:-1] = camel[1:]
+        starts = np.flatnonzero(alnum & (~prev_alnum | camel))
+        ends = np.flatnonzero(alnum & (~next_alnum | camel_next)) + 1
+    else:
+        starts = np.flatnonzero(alnum & ~prev_alnum)
+        ends = np.flatnonzero(alnum & ~next_alnum) + 1
+    if starts.size == 0:
+        return [dict() for _ in docs]
+
+    did = np.searchsorted(doc_starts, starts, side="right") - 1
+    # raw (pre-filter) position numbering: token index within its doc
+    first_tok = np.searchsorted(starts, doc_starts)
+    rawpos = np.arange(starts.size, dtype=np.int64) - first_tok[did]
+
+    tok_len = ends - starts
+    keep = tok_len < MAX_TOKEN_LEN
+    starts, did, rawpos, tok_len = starts[keep], did[keep], rawpos[keep], tok_len[keep]
+    if starts.size == 0:
+        return [dict() for _ in docs]
+
+    low = np.where(upper_m, arr + 32, arr).astype(np.uint8)
+
+    # term-id assignment: per length bucket, view the (k, L) token matrix as
+    # void rows and np.unique them — one Python bytes object per DISTINCT
+    # token in the batch.
+    term_ids = np.empty(starts.size, dtype=np.int64)
+    uniq: List[bytes] = []
+    for L in np.unique(tok_len).tolist():
+        sel = np.flatnonzero(tok_len == L)
+        mat = low[starts[sel, None] + np.arange(L)]
+        view = np.ascontiguousarray(mat).view(np.dtype((np.void, L))).ravel()
+        u, inv = np.unique(view, return_inverse=True)
+        term_ids[sel] = len(uniq) + inv
+        ub = u.tobytes()
+        uniq.extend(ub[i:i + L] for i in range(0, len(ub), L))
+
+    if mode == "code":
+        stop_ids = [i for i, t in enumerate(uniq) if t in _STOP_BYTES]
+        if stop_ids:
+            keep2 = ~np.isin(term_ids, np.asarray(stop_ids, dtype=np.int64))
+            term_ids, did, rawpos = term_ids[keep2], did[keep2], rawpos[keep2]
+            if term_ids.size == 0:
+                return [dict() for _ in docs]
+
+    terms = [t.decode("ascii") for t in uniq]
+    # stable sort by (doc, term): equal keys keep buffer order, so each
+    # group's positions stay strictly increasing
+    order = np.lexsort((term_ids, did))
+    did_s, tid_s, pos_s = did[order], term_ids[order], rawpos[order]
+    res: List[dict] = [dict() for _ in docs]
+    bnd = np.flatnonzero((did_s[1:] != did_s[:-1]) | (tid_s[1:] != tid_s[:-1])) + 1
+    grp_starts = np.concatenate(([0], bnd)).tolist()
+    grp_ends = np.concatenate((bnd, [did_s.size])).tolist()
+    pos_list = pos_s.tolist()
+    for gs, ge in zip(grp_starts, grp_ends):
+        res[did_s[gs]][terms[tid_s[gs]]] = pos_list[gs:ge]
+    return res
+
+
+# Per-call flat-buffer budget for the numpy batch tokenizer. Keeping each
+# batch's working set around 1 MiB makes every numpy temporary land in
+# already-faulted, cache-warm arena pages: on this host a single 6 MB
+# first-touch batch costs ~8 s in page faults while 8x 0.8 MB sub-batches
+# of the same corpus run in 0.47 s total (and warm throughput is equal).
+_BATCH_BUDGET_BYTES = 1 << 20
+
+
+def positions_series(s: pd.Series, mode: str = "code") -> pd.Series:
+    """Vectorized equivalent of ``term_positions_text`` over a Series.
+
+    ASCII documents (virtually all source code) take the numpy batch path
+    (``_ascii_positions_batch``), sliced into ~1 MiB sub-batches (see
+    ``_BATCH_BUDGET_BYTES``); any non-ASCII document falls back to the
+    scalar regex path — both produce identical maps by property test.
+    """
+    s = s.fillna("")
+    vals = s.tolist()
+    enc: List[bytes] = []
+    fallback: List[int] = []
+    for i, v in enumerate(vals):
+        try:
+            enc.append(v.encode("ascii"))
+        except UnicodeEncodeError:
+            enc.append(b"")
+            fallback.append(i)
+    res: List[dict] = []
+    lo = 0
+    budget = 0
+    for i, e in enumerate(enc):
+        if budget + len(e) > _BATCH_BUDGET_BYTES and i > lo:
+            res.extend(_ascii_positions_batch(enc[lo:i], mode))
+            lo, budget = i, 0
+        budget += len(e)
+    res.extend(_ascii_positions_batch(enc[lo:], mode))
+    for i in fallback:
+        res[i] = term_positions_text(vals[i], mode)
+    return pd.Series(res, index=s.index)
 
 
 def term_positions_udf(mode: str = "code"):

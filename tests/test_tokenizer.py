@@ -70,6 +70,47 @@ def test_term_freqs():
     assert term_freqs([]) == {}
 
 
+# alphabet chosen to exercise every branch of the numpy ASCII batch path:
+# camel boundaries (case changes), digits, separators, a stopword, plus a
+# non-ASCII char that forces the scalar fallback for that document.
+_POS_ALPHA = st.text(
+    alphabet="abAB01_ .\né" + "x" * 5, max_size=120
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_POS_ALPHA, max_size=12), st.sampled_from(["code", "simple"]))
+def test_positions_series_matches_scalar(texts, mode):
+    from ck_spark.tokenizer import positions_series, term_positions_text
+
+    s = pd.Series(texts, dtype="object")
+    vec = list(positions_series(s, mode))
+    ref = [term_positions_text(t, mode) for t in texts]
+    assert vec == ref
+
+
+def test_positions_batch_edges():
+    from ck_spark.tokenizer import positions_series, term_positions_text
+
+    long_tok = "z" * 45  # >= MAX_TOKEN_LEN: dropped but still numbered
+    docs = [
+        "",
+        "getUserName the HTTPServer x86",
+        f"alpha {long_tok} beta",          # gap numbering across long token
+        "the a of and",                     # all stopwords (code mode)
+        "héllo wörld getUser",             # non-ASCII -> scalar fallback
+        "A" * 39 + " " + "B" * 40,         # exactly-at-cutoff boundary
+        "a1B2c3 DEF2ghi",                  # digit/camel interplay
+    ]
+    for mode in ("code", "simple"):
+        out = list(positions_series(pd.Series(docs), mode))
+        exp = [term_positions_text(d, mode) for d in docs]
+        assert out == exp, mode
+    # and the gap is real: beta sits at raw position 2, not 1
+    m = term_positions_text(f"alpha {long_tok} beta", "simple")
+    assert m == {"alpha": [0], "beta": [2]}
+
+
 @pytest.mark.parametrize("mode", ["code", "simple"])
 def test_udfs_match_driver_side(spark, mode):
     from pyspark.sql import functions as F
