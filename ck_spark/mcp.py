@@ -134,9 +134,9 @@ class McpStdioServer:
 
     # -- tool dispatch ------------------------------------------------------
 
-    def _call_tool(self, name: str, arguments: dict) -> dict:
+    def _tool_fns(self, arguments: dict) -> dict[str, Callable[[], Any]]:
         svc = self.service
-        tools: dict[str, Callable[[], Any]] = {
+        return {
             "lexical_search": lambda: svc.lexical_search(**arguments),
             "regex_search": lambda: svc.regex_search(**arguments),
             "semantic_search": lambda: svc.semantic_search(**arguments),
@@ -150,9 +150,8 @@ class McpStdioServer:
                 "summary": "Default .ckignore patterns for ck",
             },
         }
-        if name not in tools:
-            raise KeyError(name)
-        structured = tools[name]()
+    def _call_tool(self, fn: Callable[[], Any], name: str) -> dict:
+        structured = fn()
         summary = structured.get("summary") if isinstance(structured, dict) else None
         summary = summary or f"{name} ok"
         # CallToolResult shape (mcp_server.rs:652-663): text summary +
@@ -211,11 +210,17 @@ class McpStdioServer:
                 name = params.get("name")
                 if not isinstance(name, str):
                     return err(INVALID_PARAMS, "tools/call needs params.name")
-                try:
-                    return ok(self._call_tool(name, params.get("arguments") or {}))
-                except KeyError:
+                # resolve the tool BEFORE invoking it, so a KeyError raised
+                # inside a tool body surfaces as INTERNAL_ERROR, not as a
+                # bogus "unknown tool"
+                fn = self._tool_fns(params.get("arguments") or {}).get(name)
+                if fn is None:
                     return err(INVALID_PARAMS, f"unknown tool {name!r}")
+                try:
+                    return ok(self._call_tool(fn, name))
                 except TypeError as e:
+                    # bad kwargs for the tool signature (the **arguments
+                    # splat) — the JSON-RPC invalid-params class
                     return err(INVALID_PARAMS, str(e))
             return err(METHOD_NOT_FOUND, f"method {method!r} not found")
         except Exception as e:  # tool raised: surface as internal error

@@ -145,6 +145,16 @@ def test_error_classes(server):
     resp = rpc(server, "tools/call",
                {"name": "index_status", "arguments": {"bogus": 1}})
     assert resp["error"]["code"] == INVALID_PARAMS
+    # a KeyError raised INSIDE a tool body is an internal error, NOT a
+    # bogus "unknown tool" invalid-params (regression: the unknown-tool
+    # sentinel used to share the exception type with tool internals)
+    class KeyErroring(StubService):
+        def health_check(self):
+            raise KeyError("missing-meta-key")
+    resp = rpc(McpStdioServer(KeyErroring()), "tools/call",
+               {"name": "health_check"})
+    assert resp["error"]["code"] == INTERNAL_ERROR
+    assert "missing-meta-key" in resp["error"]["message"]
 
 
 def test_serve_pumps_lines_and_skips_notification_responses(server):
