@@ -420,6 +420,12 @@ def repair_index(spark: SparkSession, out_dir: str,
             refresh_trigram_segments(spark, out_dir, marker["segs"])
         else:
             shutil.rmtree(_tri_dir, ignore_errors=True)
+    # content blob store: same pure function of doc_map — re-derive the
+    # flagged segments (its marker was dropped at the start of the update
+    # window, so until this completes readers fetch from parquet)
+    from ck_spark.index.content_store import refresh_content_store_segments
+
+    refresh_content_store_segments(spark, out_dir, marker["segs"])
     n_terms = _write_term_stats(spark, paths)
     meta.update({
         "avgdl": avgdl, "n_docs": n_docs_nb,
@@ -508,6 +514,19 @@ def build_index(
         man.invalidate("postings", "term_stats")
         for stale in (paths.postings, paths.term_stats):
             shutil.rmtree(stale, ignore_errors=True)
+        # derived stores beside this root (trigram candidates, content
+        # blobs) are pure functions of the OLD doc_map: a fresh tokenize
+        # over changed content would leave them silently stale (missed
+        # grep matches / wrong fetched bytes). Drop their completion
+        # markers — readers fall back to the always-correct scan/parquet
+        # paths until the caller rebuilds them.
+        from ck_spark.index.content_store import (
+            invalidate_content_store_marker,
+        )
+        from ck_spark.query.trigram import invalidate_trigram_marker
+
+        invalidate_trigram_marker(out_dir)
+        invalidate_content_store_marker(out_dir)
 
     # ---- stage: corpus_stats (computed in the SAME scan as the summary
     # above — the stage record remains for lineage/compat) ------------------
@@ -743,6 +762,14 @@ def update_index(
         "update_inprogress",
         {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
     )
+    # the content blob store derives from the affected segments' content:
+    # invalidate before the swap so a crash anywhere in the window leaves
+    # readers on the parquet fallback, never on stale pointers
+    from ck_spark.index.content_store import (
+        invalidate_content_store_marker, refresh_content_store_segments,
+    )
+
+    invalidate_content_store_marker(out_dir)
 
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
@@ -752,6 +779,10 @@ def update_index(
     _reencode_segments(spark, paths, meta, affected, avgdl)
     if tri_refresh:
         maybe_compact_trigram(spark, out_dir)
+    # re-derive the affected segments' blobs+pointers from the swapped
+    # doc_map (content storage is doc-partitioned, so this touches only
+    # the segments the update itself rewrote); restores the marker
+    refresh_content_store_segments(spark, out_dir, affected)
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 

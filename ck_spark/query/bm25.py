@@ -154,6 +154,21 @@ class BM25Index:
             self.__dict__["_doc_map_df"] = df
         return df
 
+    @property
+    def content_store(self):
+        """Point-read blob store (index.content_store) when a complete one
+        exists beside the index, else None — the stored-field fetch then
+        uses the doc_map parquet. Probed once per handle."""
+        if "_content_store" not in self.__dict__:
+            from ck_spark.index.content_store import ContentStore
+
+            try:
+                cs = ContentStore.load(self.spark, self.paths.root)
+            except FileNotFoundError:
+                cs = None
+            self.__dict__["_content_store"] = cs
+        return self.__dict__["_content_store"]
+
     def term_stats(self, terms: list[str]) -> pd.DataFrame:
         """df/bucket lookup for query terms. For small indexes the whole
         term dictionary is cached driver-side after the first query (the
@@ -680,13 +695,17 @@ class BM25Index:
         lines. byte_end counts UTF-8 BYTES (octet_length), not chars.
 
         Scale shape: the ≤k result rows collect driver-side (top-k is
-        driver-sized by definition), their segments derive from one tiny
-        JVM-literal job (seg = pmod(xxhash64(doc_id), S) — no doc_map
-        scan), and the stored rows are fetched with parsed
-        `seg IN (...) AND doc_id IN (...)` literals: seg prunes doc_map
-        partitions, doc_id skips row groups of the doc_id-sorted files.
-        Content bytes read are proportional to the RESULTS, not the
-        corpus. Requires a store_content index (v6 default)."""
+        driver-sized by definition), their segments derive in pure driver
+        arithmetic (seg = pmod(xxhash64(doc_id), S) — no doc_map scan),
+        and the stored rows are fetched with parsed `seg IN (...) AND
+        doc_id IN (...)` literals. With a content store
+        (index.content_store blobs) the fetch is a narrow pointer lookup
+        + k ranged blob reads — content bytes read ∝ the RESULTS. Without
+        one it falls back to the doc_map parquet, where seg partition
+        pruning still applies but every row group containing a hit is
+        read whole (k hash-spread ids can touch most row groups — build
+        the content store to close that). Requires a store_content index
+        (v6 default)."""
         if not self.meta.get("store_content"):
             raise ValueError(
                 "index was built with store_content=False — stored-content "
@@ -718,8 +737,16 @@ class BM25Index:
 
         lines = rust_lines(F.col("content"))
         preview = preview_expr(F.col("content"), full_section)
+        store = self.content_store
+        if store is not None:
+            # blob point reads: bytes ∝ the k results (the parquet path
+            # below reads every row group containing a hit — k spread-out
+            # ids can touch most of the content column)
+            base = store.fetch_pred(segs, ids)
+        else:
+            base = self.doc_map_df.where(pred)
         return (
-            self.doc_map_df.where(pred)
+            base
             .select(
                 "doc_id", "repo", "path",
                 preview.alias("preview"),

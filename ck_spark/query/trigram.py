@@ -800,6 +800,8 @@ class TrigramIndex:
             self.df = self.df.cache()
         self._doc_map_df: DataFrame | None = None
         self._gram_stats: dict | None = None
+        self._content_store = None
+        self._content_store_checked = False
 
     @classmethod
     def load(cls, spark: SparkSession, root: str, cache: bool = False) -> "TrigramIndex":
@@ -814,6 +816,21 @@ class TrigramIndex:
         if self._gram_stats is None:
             self._gram_stats = _read_gram_stats(self.root)
         return self._gram_stats
+
+    @property
+    def content_store(self):
+        """Point-read blob store handle when a complete one exists beside
+        the index, else None (fetch then uses the parquet doc_map). The
+        probe is cached: marker checks are cheap but per-query adds up."""
+        if not self._content_store_checked:
+            from ck_spark.index.content_store import ContentStore
+
+            try:
+                self._content_store = ContentStore.load(self.spark, self.root)
+            except FileNotFoundError:
+                self._content_store = None
+            self._content_store_checked = True
+        return self._content_store
 
     @property
     def doc_map_df(self) -> DataFrame:
@@ -1127,7 +1144,7 @@ def _grep_indexed_impl(
         # the union branch is skipped when the manifest proves the corpus
         # has no binary docs (total rows == indexed non-binary n_docs).
         dm = idx.doc_map_df
-        scoped = _fetch_candidates(dm, cands)
+        scoped = _fetch_candidates(dm, cands, store=idx.content_store)
         if scoped is None:  # candidate overflow: the plain scan is cheaper
             return grep(dm, pattern, fixed_string, whole_word, ignore_case,
                         topk=topk, count_matches=count_matches)
@@ -1166,16 +1183,21 @@ def _may_have_binary_docs(meta: dict) -> bool:
     return total != int(n_docs)
 
 
-def _fetch_candidates(dm: DataFrame, cands: DataFrame) -> DataFrame:
+def _fetch_candidates(dm: DataFrame, cands: DataFrame,
+                      store=None) -> DataFrame:
     """Content rows for the candidate (seg, doc_id) set, reading bytes
     proportional to the CANDIDATES, not the corpus.
 
     Small sets (the common case — selective literals) collect driver-side
-    (bounded by CANDIDATE_COLLECT_MAX) and become literal pushed-down
-    filters: seg IN (...) prunes doc_map partitions, doc_id IN (...)
-    skips parquet row groups/pages because the build wrote rows
-    doc_id-sorted. Large sets fall back to a distributed semi-join (the
-    scan is candidate-bound anyway at that size)."""
+    (bounded by CANDIDATE_COLLECT_MAX). With a ``store``
+    (index.content_store.ContentStore) the fetch is a narrow pointer
+    lookup + ranged blob reads — bytes ∝ Σ candidate sizes by
+    construction, the Zoekt stored-content path. Without one it degrades
+    to literal pushed-down filters on the doc_map parquet: seg IN (...)
+    prunes partitions, but doc_id row-group skipping only engages when
+    candidates cluster — hash-spread ids make this path read most of the
+    content column (measured; hence the blob store). Large sets fall
+    back to the plain scan (candidate-bound anyway at that size)."""
     rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
     narrow = ["repo", "path", "content"]
     if len(rows) > CANDIDATE_COLLECT_MAX:
@@ -1187,6 +1209,8 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame) -> DataFrame:
         return dm.select(*narrow).limit(0)
     segs = sorted({r["seg"] for r in rows})
     ids = sorted(r["doc_id"] for r in rows)
+    if store is not None:
+        return store.fetch_pred(segs, ids).select(*narrow)
     # SQL-text IN lists, not Column.isin: building an In expression
     # over thousands of py4j literals costs seconds of pure driver
     # time (measured 4.1 s construct + 3.2 s run vs 0.6 + 0.5 for the

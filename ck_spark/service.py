@@ -192,6 +192,20 @@ class CkService:
         self._tri = TrigramIndex.load(self.spark, self.root)
         return {"summary": "trigram index built", "rows": rows}
 
+    def build_content_store(self) -> dict:
+        """Build/rebuild the point-read blob store (index.content_store)
+        so candidate/result content fetches are ranged blob reads instead
+        of parquet row-group reads. Needs a stored-content (v6) index —
+        the blobs derive from doc_map itself."""
+        from ck_spark.index.content_store import build_content_store
+
+        self._index()
+        n = build_content_store(self.spark, self.root)
+        # cached handles probe the store lazily — force a re-probe
+        self._idx = BM25Index.load(self.spark, self.root)
+        self._tri = None
+        return {"summary": "content store built", "docs": n}
+
     def _trigram(self):
         if self._tri is None:
             import os

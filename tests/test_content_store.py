@@ -1,0 +1,206 @@
+"""Point-read content store (index/content_store.py): blob round-trip
+exactness, fetch-path identity (grep + result fetch), update/repair
+refresh, and the marker fallback discipline.
+
+The invariant: every consumer that can use the blob store produces
+ROW-IDENTICAL results to the parquet stored-content path — the store
+only changes WHERE bytes come from, never what they are."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from ck_spark.corpus import generate_corpus
+from ck_spark.index.content_store import (
+    ContentStore,
+    build_content_store,
+    content_store_exists,
+    invalidate_content_store_marker,
+)
+
+
+@pytest.fixture(scope="module")
+def stored(spark):
+    from ck_spark.index.builder import build_index
+    from ck_spark.query.trigram import build_trigram_index
+
+    pdf = generate_corpus(150, seed=42)
+    corpus = spark.createDataFrame(pdf)
+    root = tempfile.mkdtemp(prefix="ck_cstore_")
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=8, resume=False)
+    build_trigram_index(spark, corpus, root)
+    n = build_content_store(spark, root)
+    assert n == len(pdf)  # generate_corpus appends edge docs beyond n_docs
+    return corpus, root
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_round_trip_every_doc_exact(spark, stored):
+    """fetch_pred over ALL (seg, doc_id) pairs returns byte-identical
+    content for every doc — including the edge docs (empty content, CRLF,
+    long identifiers, the NUL-byte binary doc)."""
+    _, root = stored
+    dm = spark.read.parquet(root + "/doc_map")
+    pairs = [(r["seg"], r["doc_id"]) for r in
+             dm.select("seg", "doc_id").collect()]
+    store = ContentStore.load(spark, root)
+    got = store.fetch_pred(sorted({s for s, _ in pairs}),
+                           [d for _, d in pairs])
+    cols = ["doc_id", "repo", "path", "lang", "content"]
+    assert _rows(got, cols) == _rows(dm.select(*cols), cols)
+
+
+def test_fetch_is_point_read_not_parquet_scan(spark, stored):
+    """The fetch plan must not contain a doc_map parquet scan — its only
+    file source is the (content-free) pointer table."""
+    _, root = stored
+    store = ContentStore.load(spark, root)
+    dm = spark.read.parquet(root + "/doc_map")
+    some = dm.select("seg", "doc_id").limit(5).collect()
+    plan = store.fetch_pred(
+        [r["seg"] for r in some], [r["doc_id"] for r in some]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "doc_map" not in plan
+    assert "content_store/ptr" in plan.replace("\\", "/")
+
+
+def test_grep_indexed_uses_blobs_and_matches_scan(spark, stored):
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import grep_indexed
+
+    corpus, root = stored
+    cols = ["path", "line_no", "line"]
+    for pattern in ["zephyr", "return|import", "def "]:
+        base = _rows(grep(corpus, pattern), cols)
+        got = _rows(grep_indexed(spark, corpus, root, pattern), cols)
+        assert got == base, pattern
+    # corpus-free stored path too
+    got = _rows(grep_indexed(spark, None, root, "zephyr"), cols)
+    assert got == _rows(grep(corpus, "zephyr"), cols)
+
+
+def test_fetch_search_results_identical_with_and_without_store(spark, stored):
+    from ck_spark.query.bm25 import BM25Index
+
+    _, root = stored
+    idx = BM25Index.load(spark, root)
+    assert idx.content_store is not None
+    res = idx.search("def return", k=10, mode="or")
+    cols = ["doc_id", "repo", "path", "score", "preview", "byte_start",
+            "byte_end", "line_start", "line_end", "lang"]
+    with_store = _rows(idx.fetch_search_results(res), cols)
+    # force the parquet path on a fresh handle
+    idx2 = BM25Index.load(spark, root)
+    idx2.__dict__["_content_store"] = None
+    without = _rows(idx2.fetch_search_results(res), cols)
+    assert with_store == without
+    assert len(with_store) == 10
+
+
+def test_update_refreshes_store_segments(spark, tmp_path):
+    """After update_index, fetches return the NEW content and the marker
+    is restored — without a full store rebuild (unchanged segs' blob
+    files are untouched)."""
+    import os
+
+    from ck_spark.index.builder import build_index, update_index
+
+    pdf = generate_corpus(80, seed=7)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=8, resume=False)
+    build_content_store(spark, root)
+
+    def blob_files():
+        out = {}
+        bdir = os.path.join(root, "content_store", "blobs")
+        for seg in os.listdir(bdir):
+            for f in os.listdir(os.path.join(bdir, seg)):
+                out[f"{seg}/{f}"] = os.path.getmtime(
+                    os.path.join(bdir, seg, f))
+        return out
+
+    before = blob_files()
+    pdf2 = pdf.copy()
+    pdf2.loc[3, "content"] = "def zzz_updated_marker_fn():\n    return 99\n"
+    update_index(spark, spark.createDataFrame(pdf2), root)
+    assert content_store_exists(root)
+    store = ContentStore.load(spark, root)
+    dm = spark.read.parquet(root + "/doc_map")
+    row = dm.where(dm.path == pdf2.loc[3, "path"]).select(
+        "seg", "doc_id", "content").collect()[0]
+    got = store.fetch_pred([row["seg"]], [row["doc_id"]]).collect()
+    assert got[0]["content"] == pdf2.loc[3, "content"] == row["content"]
+    after = blob_files()
+    untouched = set(before) & set(after)
+    assert untouched, "expected some unchanged segments' blobs to survive"
+    assert all(before[f] == after[f] for f in untouched)
+
+
+def test_missing_marker_falls_back_everywhere(spark, stored):
+    """Marker dropped (crash simulation): ContentStore.load refuses; the
+    trigram grep and result fetch silently use the parquet path with
+    identical results."""
+    from ck_spark.query.bm25 import BM25Index
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import grep_indexed
+
+    corpus, root = stored
+    import json
+    import os
+
+    marker = os.path.join(root, "content_store", "_CONTENT_STORE_COMPLETE")
+    saved = open(marker).read()
+    try:
+        invalidate_content_store_marker(root)
+        with pytest.raises(FileNotFoundError):
+            ContentStore.load(spark, root)
+        cols = ["path", "line_no", "line"]
+        assert _rows(grep_indexed(spark, corpus, root, "zephyr"), cols) == \
+            _rows(grep(corpus, "zephyr"), cols)
+        idx = BM25Index.load(spark, root)
+        assert idx.content_store is None
+        res = idx.search("def", k=5)
+        assert idx.fetch_search_results(res).count() == 5
+        # codec mismatch refuses too
+        bad = dict(json.loads(saved), codec="zstd99")
+        with open(marker, "w") as f:
+            json.dump(bad, f)
+        with pytest.raises(FileNotFoundError):
+            ContentStore.load(spark, root)
+    finally:
+        with open(marker, "w") as f:
+            f.write(saved)
+
+
+def test_fresh_build_invalidates_stale_store(spark, tmp_path):
+    """A full rebuild over CHANGED content must not leave the old store
+    (or trigram index) marker valid — both derive from the old bytes."""
+    from ck_spark.index.builder import build_index
+    from ck_spark.query.trigram import (
+        build_trigram_index, trigram_index_exists,
+    )
+
+    pdf = generate_corpus(40, seed=3)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, corpus, root)
+    build_content_store(spark, root)
+    assert content_store_exists(root) and trigram_index_exists(root)
+
+    pdf2 = pdf.copy()
+    pdf2["content"] = pdf2["content"] + "\nqqzz_new_token_after_rebuild\n"
+    build_index(spark, spark.createDataFrame(pdf2), root, mode="code",
+                n_segments=2, term_buckets=4, resume=False,
+                snapshot_id="changed")
+    assert not content_store_exists(root)
+    assert not trigram_index_exists(root)
