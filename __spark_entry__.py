@@ -324,6 +324,26 @@ def _q_grep_trigram_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_grep_trigram_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed grep with the point-read content store present
+    (index/content_store.py): candidate content arrives via pointer
+    lookup + ranged blob reads (per-doc zlib round-trip) instead of the
+    doc_map parquet. Oracle stays the PLAIN full-scan regex SQL over the
+    ORIGINAL parquet — hash-identity proves the blob copy is byte-faithful
+    end-to-end, on top of pruning soundness."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_content_store_root
+    from ck_spark.query.trigram import grep_indexed
+
+    root = documents_content_store_root(spark, sf_dir)
+    hits = grep_indexed(spark, None, root, TRIGRAM_PATTERN, count_matches=True)
+    return hits.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    ).orderBy("doc_id")
+
+
 TRIGRAM_ALT_PATTERN = r"window|join"
 
 
@@ -1780,6 +1800,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_count": _q_grep_count,
         "grep_trigram": _q_grep_trigram,
         "grep_trigram_stored": _q_grep_trigram_stored,
+        "grep_trigram_blob": _q_grep_trigram_blob,
         "grep_trigram_alt": _q_grep_trigram_alt,
         "grep_files_without": _q_grep_files_without,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -1867,6 +1888,12 @@ FROM documents
 WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
 ORDER BY doc_id""",
         "grep_trigram_stored": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+ORDER BY doc_id""",
+        "grep_trigram_blob": f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{TRIGRAM_PATTERN}')) AS BIGINT) AS n_matches
 FROM documents

@@ -148,6 +148,18 @@ def main() -> None:
         timed2("grep_trigram", lambda: tri.grep(
             corpus, r"window \w+", count_matches=True).collect())
 
+        # point-read content store: candidate/result fetches become
+        # pointer lookup + ranged blob reads (bytes ∝ candidates)
+        from ck_spark.index.content_store import build_content_store
+
+        timed("content_store_build", lambda: build_content_store(spark, root))
+        tri = TrigramIndex.load(spark, root)  # re-probe the store
+        timed2("grep_trigram_blob", lambda: tri.grep(
+            None, r"window \w+", count_matches=True).collect())
+        idx = BM25Index.load(spark, root)
+        timed2("bm25_results_fetch_blob", lambda: idx.fetch_search_results(
+            idx.search("spark join", k=100)).collect())
+
         def hybrid():
             bm = add_rank(idx.search("spark join", k=100),
                           [F.desc("score"), F.asc("doc_id")], 100)
@@ -235,7 +247,7 @@ def main() -> None:
         root2 = tempfile.mkdtemp(prefix="ck_bench_idx2_")
         try:
             for name in ("index_build", "trigram_build",
-                         "incremental_update_2pct"):
+                         "content_store_build", "incremental_update_2pct"):
                 run1[name] = timings[name]
             t0 = time.time()
             build_index(spark, corpus, root2, mode="simple",
@@ -247,6 +259,12 @@ def main() -> None:
             build_trigram_index(spark, corpus, root2)
             timings["trigram_build"] = min(
                 timings["trigram_build"], round(time.time() - t0, 3))
+            # content store on root2 too: keeps BOTH incremental-update
+            # trials on the same setup (the update refreshes store segs)
+            t0 = time.time()
+            build_content_store(spark, root2)
+            timings["content_store_build"] = min(
+                timings["content_store_build"], round(time.time() - t0, 3))
             t0 = time.time()
             update_index(spark, delta_corpus, root2, full_snapshot=False)
             timings["incremental_update_2pct"] = min(

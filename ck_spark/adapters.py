@@ -216,3 +216,17 @@ def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
                   max(2, docs.count() // 512))
         build_trigram_index(spark, documents_as_corpus(docs).repartition(par), root)
     return root
+
+
+def documents_content_store_root(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the point-read content store (index/content_store.py) exists
+    beside the documents index (and the trigram index — together they make
+    indexed grep read candidate bytes only); returns the shared root."""
+    root = documents_trigram_root(spark, sf_dir)
+    from ck_spark.index.content_store import (
+        build_content_store, content_store_exists,
+    )
+
+    if not content_store_exists(root):
+        build_content_store(spark, root)
+    return root
