@@ -139,7 +139,7 @@ def main() -> None:
                for ln in dm_scan if "PushedFilters" in ln), \
         "candidate fetch must push the doc_id IN filter"
     sections.append((
-        "trigram-accelerated grep — candidate-only content fetch",
+        "trigram-accelerated grep — candidate fetch (parquet fallback)",
         "The trigram scan prunes bucket partitions and pushes the gram "
         "filter; the content fetch is a doc_map scan with literal seg "
         "PartitionFilters and a doc_id In(...) PushedFilter over "
@@ -181,13 +181,59 @@ def main() -> None:
             ):
                 frl.append("  " + frag[:220])
     sections.append((
-        "SearchResult fetch — candidate-only stored-content read",
+        "SearchResult fetch — stored-content read (parquet fallback)",
         "fetch_search_results (preview/span/lang enrichment, the tantivy "
         "STORED-field fetch analogue) reads doc_map with literal seg "
         "PartitionFilters and a doc_id In(...) PushedFilter over the "
         "doc_id-sorted files, then broadcast-joins the ≤k scores back — "
         "content bytes read scale with the RESULTS, not the corpus.",
         "\n".join(frl[:12]),
+    ))
+
+    # point-read content store: once built, candidate/result fetches stop
+    # scanning doc_map entirely — the only file source is the content-free
+    # pointer table (literal seg PartitionFilters + doc_id pushdown over
+    # ~80-byte rows), and content arrives via ranged blob reads inside the
+    # MapInPandas node. Captured AFTER the parquet-fallback sections above
+    # so PLANS.md shows both layouts.
+    from ck_spark.index.content_store import build_content_store
+
+    build_content_store(spark, root)
+    tri_b = TrigramIndex.load(spark, root)
+    tgb = plan_of(tri_b.grep(pattern="parse_buffer", topk=10))
+    assert "content_store" in tgb.replace("\\", "/"), \
+        "blob grep must read the pointer table"
+    assert not [ln for ln in tgb.splitlines()
+                if "doc_map" in ln and "FileScan" in ln
+                and "is_binary" not in ln], \
+        "blob grep must not scan doc_map for candidate content"
+    assert "MapInPandas" in tgb, "blob inflation runs in MapInPandas"
+    idx_b = BM25Index.load(spark, root)
+    frb = plan_of(idx_b.fetch_search_results(idx_b.search("parse buffer", k=10)))
+    assert "content_store" in frb.replace("\\", "/") and \
+        "MapInPandas" in frb, "result fetch must use the blob path"
+    assert "doc_map" not in frb, "blob result fetch must not scan doc_map"
+    blines = []
+    for src in (tgb, frb):
+        for ln in src.splitlines():
+            if "FileScan" in ln or "MapInPandas" in ln:
+                blines.append(ln.strip()[:160] + " …")
+                for frag in re.findall(
+                    r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])",
+                    ln,
+                ):
+                    blines.append("  " + frag[:220])
+        blines.append("---")
+    sections.append((
+        "content store — point-read fetch plans (blob layout)",
+        "With the content store built, BOTH the trigram candidate fetch "
+        "and the SearchResult fetch stop scanning doc_map: the only file "
+        "source is the content-free pointer table (seg PartitionFilters + "
+        "doc_id pushdown over ~80-byte rows), and content inflates from "
+        "ranged blob reads inside MapInPandas — bytes ∝ the requested "
+        "docs. The doc_map sections above remain the fallback when no "
+        "store exists (marker discipline).",
+        "\n".join(blines[:14]),
     ))
 
     # narrow doc_map reader prunes the tfm map column at the parquet scan
