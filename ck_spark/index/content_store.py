@@ -325,3 +325,51 @@ class ContentStore:
         return ptr_rows.select(
             "doc_id", "repo", "path", "lang", "file", "off", "clen"
         ).mapInPandas(_blob_reader(self.blobs_dir), FETCH_SCHEMA)
+
+    # driver-side fetch cap: k results are driver-sized by definition (the
+    # caller returns them to the user), so reading k docs' bytes on the
+    # driver adds no new scale class — it removes two Spark job dispatches
+    # (~0.3-0.7 s each) from the latency path. Above the cap, distribute.
+    # 4096 docs × ~few KB ≈ tens of MB driver-side, shipped back via ONE
+    # Arrow batch — well under any sane driver budget.
+    LOCAL_FETCH_MAX = 4096
+
+    def fetch_pred_local(self, segs, doc_ids) -> "pd.DataFrame | None":
+        """Driver-side point read (NO Spark job): pyarrow filters the
+        hive-partitioned pointer table, then ranged reads inflate the
+        blobs. Returns a pandas frame with FETCH_SCHEMA's columns, or
+        None when the set exceeds LOCAL_FETCH_MAX (use fetch_pred). On a
+        cluster the blobs sit on the shared store — the same ranged reads
+        through its fs client (pyarrow handles file/hdfs/s3 URIs)."""
+        import zlib
+
+        import pyarrow.dataset as pads
+
+        ids = sorted({int(i) for i in doc_ids})
+        if len(ids) > self.LOCAL_FETCH_MAX:
+            return None
+        dset = pads.dataset(
+            os.path.join(_store_dir(self.root), PTR_SUBDIR),
+            format="parquet", partitioning="hive",
+        )
+        tbl = dset.to_table(
+            columns=["doc_id", "repo", "path", "lang", "file", "off",
+                     "clen"],
+            filter=(
+                pads.field("seg").isin([int(s) for s in set(segs)])
+                & pads.field("doc_id").isin(ids)
+            ),
+        )
+        pdf = tbl.to_pandas()
+        contents = np.empty(len(pdf), dtype=object)
+        for fname, grp in pdf.groupby("file", sort=False):
+            grp = grp.sort_values("off")
+            with open(os.path.join(self.blobs_dir, fname), "rb") as fh:
+                for pos, off, clen in zip(grp.index, grp["off"], grp["clen"]):
+                    fh.seek(int(off))
+                    contents[pos] = zlib.decompress(
+                        fh.read(int(clen))
+                    ).decode("utf-8")
+        out = pdf[["doc_id", "repo", "path", "lang"]].copy()
+        out["content"] = contents
+        return out

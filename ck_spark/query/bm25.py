@@ -738,12 +738,22 @@ class BM25Index:
         lines = rust_lines(F.col("content"))
         preview = preview_expr(F.col("content"), full_section)
         store = self.content_store
+        base = None
         if store is not None:
             # blob point reads: bytes ∝ the k results (the parquet path
             # below reads every row group containing a hit — k spread-out
-            # ids can touch most of the content column)
-            base = store.fetch_pred(segs, ids)
-        else:
+            # ids can touch most of the content column). k ≤ the local cap
+            # fetches DRIVER-SIDE (pyarrow + ranged reads, zero Spark
+            # jobs) and ships the ≤k rows back via Arrow createDataFrame —
+            # the enrichment expressions below stay identical either way.
+            local = store.fetch_pred_local(segs, ids)
+            if local is not None:
+                from ck_spark.index.content_store import FETCH_SCHEMA
+
+                base = self.spark.createDataFrame(local, FETCH_SCHEMA)
+            else:
+                base = store.fetch_pred(segs, ids)
+        if base is None:
             base = self.doc_map_df.where(pred)
         return (
             base

@@ -1210,6 +1210,14 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
     segs = sorted({r["seg"] for r in rows})
     ids = sorted(r["doc_id"] for r in rows)
     if store is not None:
+        # small sets read driver-side (pyarrow + ranged reads — no ptr
+        # Spark job) and ship back via Arrow; the regex verify still runs
+        # distributed over the created frame
+        local = store.fetch_pred_local(segs, ids)
+        if local is not None:
+            return dm.sparkSession.createDataFrame(
+                local[narrow], "repo string, path string, content string"
+            )
         return store.fetch_pred(segs, ids).select(*narrow)
     # SQL-text IN lists, not Column.isin: building an In expression
     # over thousands of py4j literals costs seconds of pure driver
