@@ -199,7 +199,23 @@ def main() -> None:
     from ck_spark.index.content_store import build_content_store
 
     build_content_store(spark, root)
+    # (a) driver-side point read (sets ≤ LOCAL_FETCH_MAX): NO file source
+    # at all — pyarrow read the pointers + blobs on the driver; the plan's
+    # only doc_map touch is the is_binary union branch
     tri_b = TrigramIndex.load(spark, root)
+    tgd = plan_of(tri_b.grep(pattern="parse_buffer", topk=10))
+    assert not [ln for ln in tgd.splitlines()
+                if "doc_map" in ln and "FileScan" in ln
+                and "is_binary" not in ln], \
+        "driver-side blob grep must not scan doc_map for candidate content"
+    idx_b = BM25Index.load(spark, root)
+    frd = plan_of(idx_b.fetch_search_results(idx_b.search("parse buffer", k=10)))
+    assert "doc_map" not in frd, "blob result fetch must not scan doc_map"
+    assert "FileScan" not in frd, \
+        "driver-side result fetch must have no file source"
+    # (b) distributed blob path (sets above the cap): the only file source
+    # is the content-free pointer table; content inflates in MapInPandas
+    tri_b.content_store.LOCAL_FETCH_MAX = 0
     tgb = plan_of(tri_b.grep(pattern="parse_buffer", topk=10))
     assert "content_store" in tgb.replace("\\", "/"), \
         "blob grep must read the pointer table"
@@ -208,32 +224,30 @@ def main() -> None:
                 and "is_binary" not in ln], \
         "blob grep must not scan doc_map for candidate content"
     assert "MapInPandas" in tgb, "blob inflation runs in MapInPandas"
-    idx_b = BM25Index.load(spark, root)
-    frb = plan_of(idx_b.fetch_search_results(idx_b.search("parse buffer", k=10)))
-    assert "content_store" in frb.replace("\\", "/") and \
-        "MapInPandas" in frb, "result fetch must use the blob path"
-    assert "doc_map" not in frb, "blob result fetch must not scan doc_map"
-    blines = []
-    for src in (tgb, frb):
-        for ln in src.splitlines():
-            if "FileScan" in ln or "MapInPandas" in ln:
-                blines.append(ln.strip()[:160] + " …")
-                for frag in re.findall(
-                    r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])",
-                    ln,
-                ):
-                    blines.append("  " + frag[:220])
-        blines.append("---")
+    blines = ["-- driver-side point read (k <= 4096): no file source --"]
+    for ln in frd.splitlines()[:6]:
+        blines.append(ln.strip()[:160])
+    blines.append("-- distributed blob path (> 4096): pointer-table scan --")
+    for ln in tgb.splitlines():
+        if "FileScan" in ln or "MapInPandas" in ln:
+            blines.append(ln.strip()[:160] + " …")
+            for frag in re.findall(
+                r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])",
+                ln,
+            ):
+                blines.append("  " + frag[:220])
     sections.append((
         "content store — point-read fetch plans (blob layout)",
-        "With the content store built, BOTH the trigram candidate fetch "
-        "and the SearchResult fetch stop scanning doc_map: the only file "
-        "source is the content-free pointer table (seg PartitionFilters + "
-        "doc_id pushdown over ~80-byte rows), and content inflates from "
-        "ranged blob reads inside MapInPandas — bytes ∝ the requested "
-        "docs. The doc_map sections above remain the fallback when no "
-        "store exists (marker discipline).",
-        "\n".join(blines[:14]),
+        "With the content store built, neither the trigram candidate "
+        "fetch nor the SearchResult fetch scans doc_map. Driver-sized "
+        "sets (≤4096) read pointers+blobs driver-side — the plan has NO "
+        "file source, content arrives as one Arrow local relation. "
+        "Larger sets scan only the content-free pointer table (seg "
+        "PartitionFilters + doc_id pushdown over ~80-byte rows) and "
+        "inflate ranged blob reads inside MapInPandas — bytes ∝ the "
+        "requested docs either way. The doc_map sections above remain "
+        "the fallback when no store exists (marker discipline).",
+        "\n".join(blines[:18]),
     ))
 
     # narrow doc_map reader prunes the tfm map column at the parquet scan
