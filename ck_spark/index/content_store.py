@@ -211,6 +211,10 @@ def _derive(spark: SparkSession, root: str, docs: DataFrame) -> None:
         .sortWithinPartitions("seg", "doc_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        # small row groups: a k-id point lookup reads ~k row groups of
+        # ~2 MB instead of whole 128 MB-block pointer files (doc_id min/max
+        # stats prune per row group because rows are doc_id-sorted)
+        .option("parquet.block.size", str(2 << 20))
         .partitionBy("seg")
         .parquet(ptr_dir)
     )
