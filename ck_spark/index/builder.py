@@ -758,18 +758,29 @@ def update_index(
     # are consistent again (crash => repair_index restores/completes the
     # swap from the surviving staging/aside state, then re-derives
     # postings)
+    # content blob store, stage half — MUST evaluate before the swap
+    # (the fresh/changed plans diff the caller corpus against the
+    # PRE-swap doc_map; see stage_content_store_delta). LSM blob append:
+    # compresses only the changed docs' bytes, stages the affected
+    # segments' pointer partitions. Marker moved aside inside — a crash
+    # anywhere in the window leaves readers on the parquet fallback,
+    # never on stale pointers.
+    from ck_spark.index.content_store import (
+        COMPACT, build_content_store, commit_content_store_delta,
+        stage_content_store_delta,
+    )
+
+    cs_stage = stage_content_store_delta(
+        spark, out_dir, affected,
+        docs_new,
+        dead.unionByName(fresh_ids).distinct(),
+        stats["added"] + stats["modified"],
+    )
+
     man.save_marker(
         "update_inprogress",
         {"segs": affected, "tmp": tmp_dm, "ts": time.time()},
     )
-    # the content blob store derives from the affected segments' content:
-    # invalidate before the swap so a crash anywhere in the window leaves
-    # readers on the parquet fallback, never on stale pointers
-    from ck_spark.index.content_store import (
-        invalidate_content_store_marker, refresh_content_store_segments,
-    )
-
-    invalidate_content_store_marker(out_dir)
 
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
@@ -779,10 +790,12 @@ def update_index(
     _reencode_segments(spark, paths, meta, affected, avgdl)
     if tri_refresh:
         maybe_compact_trigram(spark, out_dir)
-    # re-derive the affected segments' blobs+pointers from the swapped
-    # doc_map (content storage is doc-partitioned, so this touches only
-    # the segments the update itself rewrote); restores the marker
-    refresh_content_store_segments(spark, out_dir, affected)
+    # content blob store, commit half (pure renames) — or the deferred
+    # compaction, which must see the POST-swap doc_map
+    if cs_stage == COMPACT:
+        build_content_store(spark, out_dir)
+    elif cs_stage is not None:
+        commit_content_store_delta(spark, out_dir, affected, *cs_stage)
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 

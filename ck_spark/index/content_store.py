@@ -83,16 +83,23 @@ def content_store_exists(root: str) -> bool:
 def invalidate_content_store_marker(root: str) -> None:
     """Drop the completion marker — readers then fall back to the parquet
     fetch (loud, correct). Called at the start of any mutation window so
-    a crash can never leave silently stale pointers."""
+    a crash can never leave silently stale pointers. The marker is moved
+    aside (not deleted) so the refresh that follows can carry over its
+    delta-docs accounting; readers gate on the exact MARKER name, so the
+    aside file never revalidates anything."""
     with contextlib.suppress(FileNotFoundError):
-        os.remove(os.path.join(_store_dir(root), MARKER))
+        os.replace(os.path.join(_store_dir(root), MARKER),
+                   os.path.join(_store_dir(root), MARKER + ".prev"))
 
 
-def _write_marker(root: str, n_docs: int) -> None:
+def _write_marker(root: str, n_docs: int, delta_docs: int = 0) -> None:
+    # delta_docs counts docs covered only by LSM blob appends since the
+    # last full derive — the compaction trigger's accumulator
     d = _store_dir(root)
     fd, tmp = tempfile.mkstemp(dir=d)
     with os.fdopen(fd, "w") as f:
-        json.dump({"n_docs": int(n_docs), "codec": CODEC}, f)
+        json.dump({"n_docs": int(n_docs), "codec": CODEC,
+                   "delta_docs": int(delta_docs)}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(d, MARKER))
@@ -101,6 +108,19 @@ def _write_marker(root: str, n_docs: int) -> None:
 def _read_marker(root: str) -> dict:
     try:
         with open(os.path.join(_store_dir(root), MARKER)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _read_any_marker(root: str) -> dict:
+    """Committed marker, or the moved-aside one from an open mutation
+    window — bookkeeping only (delta accounting), never gating."""
+    m = _read_marker(root)
+    if m:
+        return m
+    try:
+        with open(os.path.join(_store_dir(root), MARKER + ".prev")) as f:
             return json.load(f)
     except (OSError, ValueError):
         return {}
@@ -241,16 +261,111 @@ def build_content_store(spark: SparkSession, root: str) -> int:
     return int(n)
 
 
+# compaction trigger: when delta-appended docs exceed this fraction of
+# the corpus, rebuild the store wholesale — bounds blob-file garbage
+# (old versions of modified/removed docs stay on disk unreferenced until
+# compaction; the pointer table itself is always exact)
+DELTA_COMPACT_FRACTION = 0.25
+
+
+COMPACT = "COMPACT"  # stage sentinel: delta budget exhausted, rebuild
+
+
+def stage_content_store_delta(
+    spark: SparkSession, root: str, segs: list[int],
+    fresh_docs: DataFrame, changed_ids: DataFrame, n_fresh: int,
+):
+    """Incremental refresh, stage half (the update_index hook) —
+    LSM-style: append blob bytes for ONLY the added/modified docs and
+    stage the affected segments' POINTER partitions (tiny ~80-byte rows)
+    as old-minus-changed ∪ fresh. Unchanged docs keep their existing
+    blob pointers; old versions of changed docs become unreferenced
+    garbage bytes, bounded by the compaction trigger. So a 2% update
+    compresses 2% of the content — a full per-segment re-derive costs
+    O(affected segments), which under hash-scattered segments is the
+    whole corpus.
+
+    MUST run BEFORE the doc_map swap: ``fresh_docs``/``changed_ids`` are
+    plans over the caller's corpus diffed against the PRE-swap doc_map —
+    evaluated after the swap they would see no changes and silently
+    leave stale pointers. All Spark evaluation happens here; the commit
+    half is pure renames. Returns None (no store), COMPACT (caller must
+    build_content_store AFTER the swap), or (stage_dir, delta_docs) to
+    pass to commit_content_store_delta.
+
+    Crash protocol: the marker is moved aside first — a crash anywhere
+    between here and commit leaves readers on the parquet fallback and
+    repair_index re-derives the flagged segments wholesale."""
+    import uuid
+
+    from ck_spark.index.manifest import Manifest
+
+    store = _store_dir(root)
+    if not os.path.isdir(store):
+        return None
+    invalidate_content_store_marker(root)
+    marker = _read_any_marker(root)
+    n_total = max(int(Manifest(root).load_meta().get("n_docs") or 1), 1)
+    delta_docs = int(marker.get("delta_docs", 0)) + int(n_fresh)
+    if delta_docs > n_total * DELTA_COMPACT_FRACTION:
+        return COMPACT
+    blobs_dir = os.path.join(store, BLOBS_SUBDIR)
+    fresh_ptr = fresh_docs.select(*_DM_COLS).mapInPandas(
+        _blob_writer(blobs_dir), _PTR_TABLE_SCHEMA
+    )
+    seg_list = [int(s) for s in segs]
+    merged = (
+        _ptr_df(spark, root)
+        .where(F.col("seg").isin(seg_list))
+        .join(changed_ids.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(fresh_ptr)
+    )
+    stage = os.path.join(store, f"_ptr_stage_{uuid.uuid4().hex}")
+    (
+        merged.repartition("seg")
+        .sortWithinPartitions("seg", "doc_id")
+        .write.option("parquet.block.size", str(2 << 20))
+        .partitionBy("seg")
+        .parquet(stage)
+    )
+    return stage, delta_docs
+
+
+def commit_content_store_delta(
+    spark: SparkSession, root: str, segs: list[int],
+    stage: str, delta_docs: int,
+) -> None:
+    """Commit half: swap the staged pointer partitions in (pure
+    filesystem renames — safe after the doc_map swap) and restore the
+    marker. The pointer table stays EXACT — stale rows were anti-joined
+    out at stage time, so a fetch can never return removed or outdated
+    content."""
+    ptr_dir = os.path.join(_store_dir(root), PTR_SUBDIR)
+    for s in [int(x) for x in segs]:
+        dst = os.path.join(ptr_dir, f"seg={s}")
+        src = os.path.join(stage, f"seg={s}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    n = _ptr_df(spark, root).count()
+    _write_marker(root, n, delta_docs=delta_docs)
+
+
 def refresh_content_store_segments(
     spark: SparkSession, root: str, segs: list[int]
 ) -> None:
-    """Re-derive the given segments' blobs + pointers from the (already
-    swapped) doc_map — the update_index / crash-repair hook. Cost is
-    proportional to the AFFECTED segments' content, the same unit the
-    doc_map swap itself already rewrote; stale blobs die with their seg
-    dir, so pointers can never reference removed or outdated docs."""
+    """Re-derive the given segments' blobs + pointers WHOLESALE from the
+    (already swapped) doc_map — the crash-REPAIR hook (repair doesn't
+    know which docs changed, only which segments the interrupted update
+    touched). update_index itself uses the cheaper
+    refresh_content_store_delta. Stale blobs die with their seg dir, so
+    pointers can never reference removed or outdated docs."""
     if not os.path.isdir(_store_dir(root)):
         return
+    # other segments may still carry delta-appended blobs — keep their
+    # garbage accounted (over-counting only compacts earlier, never later)
+    old_delta = int(_read_any_marker(root).get("delta_docs", 0))
     invalidate_content_store_marker(root)
     store = _store_dir(root)
     for s in segs:
@@ -268,7 +383,7 @@ def refresh_content_store_segments(
     if not dm.isEmpty():
         _derive(spark, root, dm)
     n = _ptr_df(spark, root).count()
-    _write_marker(root, n)
+    _write_marker(root, n, delta_docs=old_delta)
 
 
 def _ptr_df(spark: SparkSession, root: str) -> DataFrame:

@@ -103,10 +103,10 @@ def test_fetch_search_results_identical_with_and_without_store(spark, stored):
     assert len(with_store) == 10
 
 
-def test_update_refreshes_store_segments(spark, tmp_path):
-    """After update_index, fetches return the NEW content and the marker
-    is restored — without a full store rebuild (unchanged segs' blob
-    files are untouched)."""
+def test_update_refreshes_store_delta(spark, tmp_path):
+    """After update_index, fetches return the NEW content, removed docs
+    vanish, and the refresh was an LSM delta: every pre-existing blob
+    file survives untouched (only changed docs' bytes were appended)."""
     import os
 
     from ck_spark.index.builder import build_index, update_index
@@ -127,10 +127,15 @@ def test_update_refreshes_store_segments(spark, tmp_path):
                     os.path.join(bdir, seg, f))
         return out
 
+    dm0 = spark.read.parquet(root + "/doc_map")
+    removed_row = dm0.where(dm0.path == pdf.loc[5, "path"]).select(
+        "seg", "doc_id").collect()[0]
     before = blob_files()
     pdf2 = pdf.copy()
     pdf2.loc[3, "content"] = "def zzz_updated_marker_fn():\n    return 99\n"
-    update_index(spark, spark.createDataFrame(pdf2), root)
+    pdf2 = pdf2.drop(index=5)  # removal (full snapshot)
+    update_index(spark, spark.createDataFrame(pdf2), root,
+                 full_snapshot=True)
     assert content_store_exists(root)
     store = ContentStore.load(spark, root)
     dm = spark.read.parquet(root + "/doc_map")
@@ -138,10 +143,52 @@ def test_update_refreshes_store_segments(spark, tmp_path):
         "seg", "doc_id", "content").collect()[0]
     got = store.fetch_pred([row["seg"]], [row["doc_id"]]).collect()
     assert got[0]["content"] == pdf2.loc[3, "content"] == row["content"]
+    # removed doc: pointer gone (fetch returns nothing)
+    gone = store.fetch_pred([removed_row["seg"]],
+                            [removed_row["doc_id"]]).collect()
+    assert gone == []
     after = blob_files()
-    untouched = set(before) & set(after)
-    assert untouched, "expected some unchanged segments' blobs to survive"
-    assert all(before[f] == after[f] for f in untouched)
+    assert set(before) <= set(after), "delta refresh must not drop blobs"
+    assert all(before[f] == after[f] for f in before), \
+        "pre-existing blob files must be untouched (append-only delta)"
+    # and the pointer table is globally exact vs doc_map
+    pairs = dm.select("seg", "doc_id").collect()
+    cols = ["doc_id", "repo", "path", "lang", "content"]
+    got_all = store.fetch_pred([r["seg"] for r in pairs],
+                               [r["doc_id"] for r in pairs])
+    assert _rows(got_all, cols) == _rows(dm.select(*cols), cols)
+
+
+def test_update_compacts_past_delta_budget(spark, tmp_path, monkeypatch):
+    """Changing more than DELTA_COMPACT_FRACTION of the corpus folds the
+    delta into a fresh store build (delta_docs resets, fetches exact)."""
+    import json
+    import os
+
+    import ck_spark.index.content_store as cs
+    from ck_spark.index.builder import build_index, update_index
+
+    monkeypatch.setattr(cs, "DELTA_COMPACT_FRACTION", 0.10)
+    pdf = generate_corpus(40, seed=13)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_content_store(spark, root)
+    pdf2 = pdf.copy()
+    pdf2["content"] = pdf2["content"] + "\nzz_bulk_edit_token\n"
+    update_index(spark, spark.createDataFrame(pdf2), root)
+    assert content_store_exists(root)
+    marker = json.load(open(os.path.join(
+        root, "content_store", "_CONTENT_STORE_COMPLETE")))
+    assert marker["delta_docs"] == 0, "compaction must reset the delta"
+    store = ContentStore.load(spark, root)
+    dm = spark.read.parquet(root + "/doc_map")
+    pairs = dm.select("seg", "doc_id").collect()
+    cols = ["doc_id", "repo", "path", "lang", "content"]
+    got = store.fetch_pred([r["seg"] for r in pairs],
+                           [r["doc_id"] for r in pairs])
+    assert _rows(got, cols) == _rows(dm.select(*cols), cols)
 
 
 def test_missing_marker_falls_back_everywhere(spark, stored):
