@@ -795,7 +795,10 @@ def update_index(
     if cs_stage == COMPACT:
         build_content_store(spark, out_dir)
     elif cs_stage is not None:
-        commit_content_store_delta(spark, out_dir, affected, *cs_stage)
+        commit_content_store_delta(
+            spark, out_dir, affected, *cs_stage,
+            n_change=stats["added"] - stats["removed"],
+        )
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 

@@ -333,13 +333,15 @@ def stage_content_store_delta(
 
 def commit_content_store_delta(
     spark: SparkSession, root: str, segs: list[int],
-    stage: str, delta_docs: int,
+    stage: str, delta_docs: int, n_change: int = 0,
 ) -> None:
     """Commit half: swap the staged pointer partitions in (pure
     filesystem renames — safe after the doc_map swap) and restore the
     marker. The pointer table stays EXACT — stale rows were anti-joined
     out at stage time, so a fetch can never return removed or outdated
-    content."""
+    content. The marker's informational n_docs updates arithmetically
+    (prior ± added-removed) — no count job per update."""
+    n = int(_read_any_marker(root).get("n_docs", 0)) + int(n_change)
     ptr_dir = os.path.join(_store_dir(root), PTR_SUBDIR)
     for s in [int(x) for x in segs]:
         dst = os.path.join(ptr_dir, f"seg={s}")
@@ -348,7 +350,6 @@ def commit_content_store_delta(
         if os.path.isdir(src):
             os.replace(src, dst)
     shutil.rmtree(stage, ignore_errors=True)
-    n = _ptr_df(spark, root).count()
     _write_marker(root, n, delta_docs=delta_docs)
 
 
