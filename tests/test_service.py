@@ -156,6 +156,39 @@ def test_regex_search_trigram_acceleration(spark, tmp_path):
     assert svc2.build_trigram()["rows"] > 0
 
 
+def test_service_content_store(spark, tmp_path):
+    """build_content_store flips fetches to blob point reads with
+    identical results (lexical enrichment + regex), and reindex keeps
+    the store live (delta refresh) — never stale, never corpus-bound."""
+    from ck_spark.corpus import generate_corpus
+    from ck_spark.index.content_store import content_store_exists
+    from ck_spark.service import CkService
+
+    pdf = generate_corpus(80, seed=9)
+    corpus = spark.createDataFrame(pdf)
+    svc = CkService(spark, str(tmp_path / "idx"), corpus=corpus, mode="code",
+                    build_opts=dict(n_segments=2, term_buckets=4))
+    svc.build_trigram()
+    plain_lex = svc.lexical_search("def return", top_k=5)["results"]
+    plain_rx = svc.regex_search(r"def \w+_ctx\(")["results"]
+    out = svc.build_content_store()
+    assert out["docs"] == len(pdf)
+    assert svc._index().content_store is not None
+    lex = svc.lexical_search("def return", top_k=5)["results"]
+    assert lex == plain_lex and len(lex) == 5
+    rx = svc.regex_search(r"def \w+_ctx\(")["results"]
+    assert [(r["path"], r["line_no"]) for r in rx] == [
+        (r["path"], r["line_no"]) for r in plain_rx
+    ] and rx
+    # reindex: store refreshed (marker restored), new content served
+    pdf2 = pdf.copy()
+    pdf2.loc[2, "content"] = "def qq_store_refresh_ctx(a):\n    return a\n"
+    svc.reindex(spark.createDataFrame(pdf2.loc[[2]]))
+    assert content_store_exists(svc.root)
+    hits = svc.regex_search("qq_store_refresh_ctx")["results"]
+    assert len(hits) == 1 and hits[0]["path"] == pdf2.loc[2, "path"]
+
+
 def test_mcp_stdio_over_real_service(spark, tmp_path):
     """The full wire path: JSON-RPC lines -> McpStdioServer -> CkService
     -> engine, results identical to direct service calls."""
