@@ -65,7 +65,6 @@ from ck_spark.constants import (
     DEFAULT_TERM_BUCKETS,
 )
 from ck_spark.index.manifest import Manifest
-from ck_spark.tokenizer import term_positions_udf
 
 # v3: merged doc_map+tfm layout; v4: <40-byte token filter; v5: positions
 # (posm in doc_map, pos_blocks in postings — phrase queries resolve
@@ -136,17 +135,46 @@ def seg_expr(n_segments: int):
 
 
 def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFrame:
-    pos_udf = term_positions_udf(mode)
-    return (
+    """The single tokenize pass. Positions are produced ARROW-NATIVELY
+    via mapInArrow (tokenizer.positions_map_arrow): pandas_udf map
+    returns pay a per-row Python ``convert_map`` in the serializer that
+    measured ~2.5 s of a 4.75 s 48k-doc stage — mapInArrow ships the
+    numpy-built MapArray buffers straight through. Binary docs are
+    excluded from the index: null maps (no posting storage), doc_len 0
+    (matches corpus_stats' ~is_binary filter). tf and doc_len are
+    derived JVM-side (tf == number of positions by construction)."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, MapType, StringType, StructField, StructType,
+    )
+
+    from ck_spark.tokenizer import positions_map_arrow
+
+    base = (
         corpus.withColumn("doc_id", doc_id_expr())
         .withColumn("seg", seg_expr(n_segments))
         .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         .withColumn("content_sha256", F.sha2("content", 256))
-        # binary docs are excluded from the index: null maps (no posting
-        # storage), doc_len 0 (matches corpus_stats' ~is_binary filter).
-        # ONE tokenize pass emits positions; tf and doc_len are derived
-        # JVM-side (tf == number of positions by construction).
-        .withColumn("posm", F.when(~F.col("is_binary"), pos_udf("content")))
+    )
+    out_type = StructType(
+        base.schema.fields
+        + [StructField("posm", MapType(StringType(), ArrayType(IntegerType())))]
+    )
+
+    def add_posm(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            posm = positions_map_arrow(
+                b.column(b.schema.get_field_index("content")), mode
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [posm],
+                names=list(b.schema.names) + ["posm"],
+            )
+
+    return (
+        base.mapInArrow(add_posm, out_type)
+        .withColumn("posm", F.when(~F.col("is_binary"), F.col("posm")))
         .withColumn("tfm", F.transform_values("posm", lambda _, v: F.size(v)))
         .withColumn(
             "doc_len",
@@ -770,9 +798,17 @@ def update_index(
         stage_content_store_delta,
     )
 
+    # light projection for the blob stage: it needs content + identity
+    # columns only, and mapInArrow inside docs_new is a pruning barrier
+    # that would re-tokenize the fresh docs just to throw the maps away
+    fresh_light = (
+        fresh_corpus.withColumn("doc_id", doc_id_expr())
+        .withColumn("seg", seg_expr(n_segments))
+        .withColumn("is_binary", F.contains("content", F.lit("\x00")))
+    )
     cs_stage = stage_content_store_delta(
         spark, out_dir, affected,
-        docs_new,
+        fresh_light,
         dead.unionByName(fresh_ids).distinct(),
         stats["added"] + stats["modified"],
     )

@@ -176,9 +176,14 @@ def term_freqs_udf(mode: str = "code"):
 _STOP_BYTES = frozenset(w.encode("ascii") for w in CODE_STOPWORDS)
 
 
-def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
-    """Numpy byte-level twin of ``term_positions_text`` for a batch of
-    pure-ASCII documents — the index build's hot path (VERDICT r3 #3).
+def _ascii_positions_groups(docs: List[bytes], mode: str):
+    """Numpy byte-level tokenization of a batch of pure-ASCII documents —
+    the index build's hot path (VERDICT r3 #3). Returns the grouped form
+    ``(did_s, tid_s, pos_s, group_starts, terms)`` — rows sorted by
+    (doc, term-id), ``group_starts`` indexing each (doc, term) group's
+    first row — or None when no token survives. Consumed by the dict
+    builder (``_ascii_positions_batch``, the pandas path) and the
+    arrow-native builder (``_ascii_positions_map_array``).
 
     The whole batch is tokenized as ONE flat byte buffer: boolean masks
     find token-run boundaries (including the camelCase zero-width splits),
@@ -193,12 +198,10 @@ def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
     camel classes ([a-z0-9]/[A-Z]) of ``_CAMEL_RE`` match exactly.
     """
     n_docs = len(docs)
-    if n_docs == 0:
-        return []
     buf = b"\n".join(docs)
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
-        return [dict() for _ in docs]
+        return None
     lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n_docs)
     doc_starts = np.zeros(n_docs, dtype=np.int64)
     if n_docs > 1:
@@ -236,7 +239,7 @@ def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
         starts = np.flatnonzero(alnum & ~prev_alnum)
         ends = np.flatnonzero(alnum & ~next_alnum) + 1
     if starts.size == 0:
-        return [dict() for _ in docs]
+        return None
 
     did = np.searchsorted(doc_starts, starts, side="right") - 1
     # raw (pre-filter) position numbering: token index within its doc
@@ -247,7 +250,7 @@ def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
     keep = tok_len < MAX_TOKEN_LEN
     starts, did, rawpos, tok_len = starts[keep], did[keep], rawpos[keep], tok_len[keep]
     if starts.size == 0:
-        return [dict() for _ in docs]
+        return None
 
     low = np.where(upper_m, arr + 32, arr).astype(np.uint8)
 
@@ -271,17 +274,30 @@ def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
             keep2 = ~np.isin(term_ids, np.asarray(stop_ids, dtype=np.int64))
             term_ids, did, rawpos = term_ids[keep2], did[keep2], rawpos[keep2]
             if term_ids.size == 0:
-                return [dict() for _ in docs]
+                return None
 
     terms = [t.decode("ascii") for t in uniq]
     # stable sort by (doc, term): equal keys keep buffer order, so each
     # group's positions stay strictly increasing
     order = np.lexsort((term_ids, did))
     did_s, tid_s, pos_s = did[order], term_ids[order], rawpos[order]
-    res: List[dict] = [dict() for _ in docs]
     bnd = np.flatnonzero((did_s[1:] != did_s[:-1]) | (tid_s[1:] != tid_s[:-1])) + 1
-    grp_starts = np.concatenate(([0], bnd)).tolist()
-    grp_ends = np.concatenate((bnd, [did_s.size])).tolist()
+    return did_s, tid_s, pos_s, np.concatenate(([0], bnd)), terms
+
+
+def _ascii_positions_batch(docs: List[bytes], mode: str) -> List[dict]:
+    """Per-doc {term: positions} dicts for a pure-ASCII batch — the
+    pandas-path consumer of ``_ascii_positions_groups``."""
+    n_docs = len(docs)
+    if n_docs == 0:
+        return []
+    g = _ascii_positions_groups(docs, mode)
+    res: List[dict] = [dict() for _ in docs]
+    if g is None:
+        return res
+    did_s, tid_s, pos_s, gstart, terms = g
+    grp_starts = gstart.tolist()
+    grp_ends = np.concatenate((gstart[1:], [did_s.size])).tolist()
     pos_list = pos_s.tolist()
     for gs, ge in zip(grp_starts, grp_ends):
         res[did_s[gs]][terms[tid_s[gs]]] = pos_list[gs:ge]
@@ -304,13 +320,13 @@ def positions_series(s: pd.Series, mode: str = "code") -> pd.Series:
     ``_BATCH_BUDGET_BYTES``); any non-ASCII document falls back to the
     scalar regex path — both produce identical maps by property test.
 
-    Known headroom (measured, not yet taken): the per-(doc, term) Python
-    dict/list construction here plus its Arrow map re-serialization now
-    dominates the doc_map stage (~2.5 s of a 4.75 s 48k-doc stage at 8
-    cores; the numpy tokenize itself is ~0.5 s). Returning
-    pyarrow-native MapArray/ListArray built straight from the numpy
-    offsets (ArrowDtype pass-through, zero Python objects) is the next
-    2-3x on index build.
+    NOTE: the per-(doc, term) Python dict/list construction here plus the
+    pandas_udf serializer's per-row map conversion dominates a doc_map
+    build (~2.5 s of a 4.75 s 48k-doc stage at 8 cores; the numpy
+    tokenize itself is ~0.5 s) — the index build therefore uses the
+    arrow-native ``positions_map_arrow`` via mapInArrow instead; this
+    pandas path remains for per-row/driver-side callers and as the
+    property-test twin.
     """
     s = s.fillna("")
     vals = s.tolist()
@@ -334,6 +350,98 @@ def positions_series(s: pd.Series, mode: str = "code") -> pd.Series:
     for i in fallback:
         res[i] = term_positions_text(vals[i], mode)
     return pd.Series(res, index=s.index)
+
+
+def _posm_pa_type():
+    import pyarrow as pa
+
+    return pa.map_(pa.string(), pa.list_(pa.int32()))
+
+
+def _empty_maps(n: int):
+    import pyarrow as pa
+
+    return pa.MapArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)),
+        pa.array([], type=pa.string()),
+        pa.ListArray.from_arrays(
+            pa.array([0], type=pa.int32()), pa.array([], type=pa.int32())
+        ),
+    )
+
+
+def _ascii_positions_map_array(docs: List[bytes], mode: str):
+    """pa.MapArray twin of ``_ascii_positions_batch``: the same numpy
+    group arrays become the map/list child buffers DIRECTLY — zero
+    per-(doc, term) Python objects (only one Python str per distinct
+    term, shared via a C++ ``take``)."""
+    import pyarrow as pa
+
+    n_docs = len(docs)
+    g = _ascii_positions_groups(docs, mode) if n_docs else None
+    if g is None:
+        return _empty_maps(n_docs)
+    did_s, tid_s, pos_s, gstart, terms = g
+    gdid = did_s[gstart]
+    gtid = tid_s[gstart]
+    counts = np.bincount(gdid, minlength=n_docs)
+    moff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=moff[1:])
+    keys = pa.compute.take(
+        pa.array(terms, type=pa.string()), pa.array(gtid)
+    )
+    items = pa.ListArray.from_arrays(
+        pa.array(
+            np.concatenate((gstart, [pos_s.size])).astype(np.int32)
+        ),
+        pa.array(pos_s.astype(np.int32)),
+    )
+    return pa.MapArray.from_arrays(
+        pa.array(moff.astype(np.int32)), keys, items
+    )
+
+
+def positions_map_arrow(contents, mode: str = "code"):
+    """Arrow-native ``positions_series``: term -> positions maps for an
+    arrow StringArray of documents, returned as a
+    ``map<string, list<int32>>`` pa.Array — the mapInArrow index-build
+    path. No per-row Python dicts and no serializer map conversion
+    (pandas_udf's per-row ``convert_map`` lambda was the measured
+    dominator of the doc_map stage). A batch containing any non-ASCII or
+    null document falls back wholesale to the scalar-dict path (rare for
+    source code); both paths produce equal maps (property-tested)."""
+    import pyarrow as pa
+
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    vals = contents.to_pylist()
+    enc: List[bytes] = []
+    fallback = False
+    for v in vals:
+        if v is None:
+            fallback = True
+            break
+        try:
+            enc.append(v.encode("ascii"))
+        except UnicodeEncodeError:
+            fallback = True
+            break
+    if fallback:
+        rows = [
+            list(term_positions_text(v or "", mode).items())
+            for v in vals
+        ]
+        return pa.array(rows, type=_posm_pa_type())
+    chunks = []
+    lo = 0
+    budget = 0
+    for i, e in enumerate(enc):
+        if budget + len(e) > _BATCH_BUDGET_BYTES and i > lo:
+            chunks.append(_ascii_positions_map_array(enc[lo:i], mode))
+            lo, budget = i, 0
+        budget += len(e)
+    chunks.append(_ascii_positions_map_array(enc[lo:], mode))
+    return pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
 
 
 def term_positions_udf(mode: str = "code"):

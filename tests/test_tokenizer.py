@@ -133,3 +133,40 @@ def test_udfs_match_driver_side(spark, mode):
         assert r["toks"] == exp
         assert r["tf"] == term_freqs(exp)
         assert r["dl"] == len(exp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_POS_ALPHA | st.none(), max_size=12),
+    st.sampled_from(["code", "simple"]),
+)
+def test_positions_map_arrow_matches_scalar(texts, mode):
+    import pyarrow as pa
+
+    from ck_spark.tokenizer import positions_map_arrow, term_positions_text
+
+    arr = pa.array(texts, type=pa.string())
+    out = positions_map_arrow(arr, mode).to_pylist()
+    assert len(out) == len(texts)
+    for got, t in zip(out, texts):
+        assert dict(got) == term_positions_text(t or "", mode)
+
+
+def test_positions_map_arrow_chunking(monkeypatch):
+    """Force the intra-batch budget split and a ChunkedArray input."""
+    import pyarrow as pa
+
+    import ck_spark.tokenizer as tok
+
+    monkeypatch.setattr(tok, "_BATCH_BUDGET_BYTES", 32)
+    docs = [
+        "getUserName the HTTPServer x86",
+        "alpha beta gamma delta " * 4,
+        "",
+        "a1B2c3 DEF2ghi foo_bar",
+        "zz " * 30,
+    ]
+    arr = pa.chunked_array([pa.array(docs[:2]), pa.array(docs[2:])])
+    out = tok.positions_map_arrow(arr, "code").to_pylist()
+    exp = [tok.term_positions_text(d, "code") for d in docs]
+    assert [dict(m) for m in out] == exp
