@@ -76,6 +76,7 @@ def tool_descriptors() -> list[dict]:
              "query": {"type": "string"},
              "top_k": {"type": "integer", "default": 10},
              "mode": {"type": "string", "enum": ["or", "and", "syntax"]},
+             "rerank": {"type": "boolean", "default": False},
              **_SNIPPET,
              **_PAGING,
          }, ["query"])},

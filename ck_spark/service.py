@@ -231,18 +231,35 @@ class CkService:
         exclude_globs: list[str] | None = None,
         include_snippet: bool | None = None,
         snippet_length: int | None = None,
+        rerank: bool = False,
     ) -> dict:
         """include_snippet / snippet_length opt into the reference MCP's
         snippet config (mcp/session.rs:211-222): rows gain the
         SearchResult preview/span columns, truncated or omitted per the
         config. Left at None, the row shape is the classic
-        (doc_id, score, path) page."""
+        (doc_id, score, path) page.
+
+        rerank=True reruns the fetched top-k through the built-in
+        proximity reranker (query/rerank.py — the options.rerank slot,
+        ck-engine/src/semantic_v3.rs:230-291) before paging; the boost is
+        computed over the FULL stored text, the returned preview still
+        honors the snippet config."""
         idx = self._index()
-        if include_snippet is not None or snippet_length is not None:
+        if rerank or include_snippet is not None or snippet_length is not None:
             res = idx.search(query, k=top_k, mode=mode,
                              include_prefixes=include_prefixes,
                              exclude_globs=exclude_globs)
-            enr = idx.fetch_search_results(res)
+            enr = idx.fetch_search_results(res, full_section=rerank)
+            if rerank:
+                from ck_spark.query.rerank import proximity_rerank
+
+                enr = proximity_rerank(
+                    enr, query, k=top_k,
+                    mode=idx.meta["tokenizer_mode"], text_col="preview")
+                from ck_spark.query.results import preview_expr
+
+                enr = enr.withColumn("preview",
+                                     preview_expr(F.col("preview")))
             res = _apply_snippet(enr, "preview",
                                  include_snippet is not False, snippet_length)
         else:
@@ -256,15 +273,28 @@ class CkService:
     def lexical_results(
         self, query: str, top_k: int = DEFAULT_MCP_TOP_K, mode: str = "or",
         full_section: bool = False, jsonl: bool = False,
-        no_snippet: bool = False,
+        no_snippet: bool = False, rerank: bool = False,
     ) -> DataFrame:
         """ck `SearchResult`-shaped lexical search: top-k plus
         stored-content preview/span/lang (candidate-only fetch). With
         jsonl=True, serialized to the --jsonl agent wire format
-        (ck-cli/src/main.rs:1988)."""
+        (ck-cli/src/main.rs:1988). rerank=True applies the proximity
+        reranker over the full stored text (query/rerank.py)."""
         idx = self._index()
         res = idx.search(query, k=top_k, mode=mode)
-        out = idx.fetch_search_results(res, full_section=full_section)
+        out = idx.fetch_search_results(res,
+                                       full_section=full_section or rerank)
+        if rerank:
+            from ck_spark.query.rerank import proximity_rerank
+
+            out = proximity_rerank(out, query, k=top_k,
+                                   mode=idx.meta["tokenizer_mode"],
+                                   text_col="preview")
+            if not full_section:
+                from ck_spark.query.results import preview_expr
+
+                out = out.withColumn("preview",
+                                     preview_expr(F.col("preview")))
         return results_to_jsonl(out, no_snippet=no_snippet) if jsonl else out
 
     def _stored_doc(self, path: str):
