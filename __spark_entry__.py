@@ -990,6 +990,58 @@ def _q_bm25_paged(spark, sf_dir):
     return page.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_rerank(spark, sf_dir):
+    """Retrieve-then-rerank (T5): BM25 top-40 rescored by the proximity
+    reranker (query/rerank.py — coverage + min-span proximity + adjacent
+    -phrase bonus, multiplicative), cut to 20. The oracle replicates the
+    boost in SQL over ordinality positions (shift-invariant vs the
+    engine's raw-stream numbering: boundary empties only offset, and both
+    sides let >39-byte tokens keep their slot)."""
+    from ck_spark.adapters import search_documents_rerank
+
+    return search_documents_rerank(spark, sf_dir, "table hash",
+                                   k=20, base_k=40)
+
+
+# rerank oracle: base top-40 by BM25 (tie-exact ORDER BY score DESC,
+# doc_id), boost = 1 + 0.5*coverage + 0.3/(1+min_span) + 0.2*phrase
+# (constants = ck_spark/query/rerank.py W_COV/W_PROX/W_PHRASE)
+_BM25_RERANK_SQL = f"""{_bm25_scored_cte(["table", "hash"])},
+base AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 40
+),
+rpos AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM base)
+),
+kept AS (SELECT doc_id, term, pos FROM rpos
+         WHERE term <> '' AND length(term) <= 39),
+p1 AS (SELECT doc_id, pos FROM kept WHERE term = 'table'),
+p2 AS (SELECT doc_id, pos FROM kept WHERE term = 'hash'),
+prox AS (
+  SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS ms,
+         max(CASE WHEN p2.pos = p1.pos + 1 THEN 1 ELSE 0 END) AS ph
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id GROUP BY p1.doc_id
+),
+boosted AS (
+  SELECT b.doc_id,
+         b.score * (1.0
+           + 0.5 * ((CASE WHEN EXISTS (SELECT 1 FROM p1
+                          WHERE p1.doc_id = b.doc_id) THEN 1 ELSE 0 END
+                   + CASE WHEN EXISTS (SELECT 1 FROM p2
+                          WHERE p2.doc_id = b.doc_id) THEN 1 ELSE 0 END)
+                    / 2.0)
+           + coalesce(0.3 / (1.0 + prox.ms), 0.0)
+           + CASE WHEN prox.ph = 1 THEN 0.2 ELSE 0.0 END) AS score
+  FROM base b LEFT JOIN prox ON b.doc_id = prox.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM boosted ORDER BY boosted.score DESC, doc_id LIMIT 20"""
+
+
 NEAR_MISS_THRESHOLD = 0.55
 
 
@@ -1833,6 +1885,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_whole_word": _q_grep_whole_word,
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
+        "bm25_rerank": _q_bm25_rerank,
         "bm25_results": _q_bm25_results,
         "grep_results": _q_grep_results,
         "media_probe": _q_media_probe,
@@ -1958,4 +2011,5 @@ FROM h ORDER BY doc_id""",
         "grep_whole_word": _GREP_WW_SQL,
         "bm25_paged": _BM25_PAGED_SQL,
         "bm25_near_miss": _BM25_NEAR_MISS_SQL,
+        "bm25_rerank": _BM25_RERANK_SQL,
     }

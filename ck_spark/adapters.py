@@ -230,3 +230,45 @@ def documents_content_store_root(spark: SparkSession, sf_dir: str) -> str:
     if not content_store_exists(root):
         build_content_store(spark, root)
     return root
+
+
+def search_documents_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int,
+    base_k: int,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank over documents, keyed by the
+    ORIGINAL doc_id: BM25 top-``base_k`` (tie-exact, search_documents),
+    then the proximity reranker (query/rerank.py — the reference's
+    options.rerank rescore→resort→recut contract) cut to ``k``.
+
+    Scale shape: the base result collects ≤base_k rows driver-side
+    (top-k is driver-sized by definition), the candidate text fetch is a
+    pushed ``doc_id IN (...)`` parquet read — content bytes ∝ the
+    candidate set, never the corpus — and the boost kernel is one Arrow
+    batch over base_k rows."""
+    from ck_spark.query.rerank import proximity_rerank
+
+    base = search_documents(spark, sf_dir, query, k=base_k).collect()
+    if not base:
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, "doc_id long, score double")
+    ids = sorted(int(r["doc_id"]) for r in base)
+    score_rel = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(f"({int(r['doc_id'])}L, CAST({float(r['score'])!r} AS DOUBLE))"
+                   for r in base)
+        + " AS t(doc_id, score)"
+    )
+    cand = (
+        load_documents(spark, sf_dir)
+        .where(f"doc_id IN ({','.join(map(str, ids))})")
+        .select("doc_id", "text")
+        .join(F.broadcast(score_rel), "doc_id")
+    )
+    out = proximity_rerank(cand, query, k=k, mode="simple",
+                           text_col="text", score_col="score")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
