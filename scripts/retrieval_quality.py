@@ -106,6 +106,9 @@ def main() -> int:
     #   mid_df      4 mid-frequency tokens (df 5..60) — weakly
     #               discriminative, ranking carries all the weight
     #   phrase      a distinctive adjacent bigram as a "syntax" phrase
+    #   prox_bigram the phrase-class bigram issued as a BAG-OF-WORDS query
+    #               — BM25 is adjacency-blind here, so the class isolates
+    #               the proximity reranker's contribution
     #   near_dup    rare-token query for a doc whose near-duplicate is in
     #               the index — gold must beat its own copy
     queries, gold, qclass = [], [], []
@@ -141,6 +144,10 @@ def main() -> int:
                 break
         if big:
             add("phrase", f'"{big[0]} {big[1]}"', "syntax", gid)
+            # the SAME bigram as a bag-of-words query: BM25 cannot see
+            # adjacency, so this class isolates what the proximity
+            # reranker adds (phrase class resolves it index-side instead)
+            add("prox_bigram", f"{big[0]} {big[1]}", "or", gid)
         if row["path"] + "_neardup" in dup_paths and len(rare) >= 3:
             add("near_dup", " ".join(rare[:4]), "or", gid)
 
@@ -262,7 +269,9 @@ def main() -> int:
                 "rare = rarest-token queries (the old ceiling class); "
                 "distractor = 2 rare + 2 ubiquitous noise terms; mid_df = "
                 "only mid-frequency terms; phrase = adjacent-bigram syntax "
-                "query; near_dup = gold must outrank its own near-duplicate."
+                "query; prox_bigram = the same bigram as bag-of-words "
+                "(adjacency invisible to BM25 — the reranker's showcase); "
+                "near_dup = gold must outrank its own near-duplicate."
                 "\n\n"
                 "| round | class | n | Recall@10 | MRR |\n"
                 "|---|---|---|---|---|\n"
