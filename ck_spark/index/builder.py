@@ -420,11 +420,38 @@ def repair_index(spark: SparkSession, out_dir: str,
     consistent index no matter where in the window the crash landed.
     A segment whose update was lost entirely simply reverts to its
     pre-update state; rerunning the update re-detects the diff.
+    Also heals the LSM paths (index/lsm.py): an interrupted compaction
+    (compact_inprogress — the staged fold completed before the marker, so
+    heal always rolls forward) and an interrupted content-store pointer
+    commit (cs_refresh_pending — re-derives the flagged segments from the
+    live view). An interrupted delta APPEND needs no repair at all: the
+    generation only becomes visible at the atomic meta commit, and its
+    orphan directories are GC'd by the next update.
+
     Returns True if a repair ran."""
     man = Manifest(out_dir)
+    ran = False
+    cs_marker = man.load_marker("cs_refresh_pending")
+    if cs_marker is not None:
+        from ck_spark.index.content_store import refresh_content_store_segments
+
+        refresh_content_store_segments(spark, out_dir, cs_marker["segs"])
+        man.clear_marker("cs_refresh_pending")
+        ran = True
+    cmarker = man.load_marker("compact_inprogress")
+    if cmarker is not None:
+        if store is None:
+            from ck_spark.index.format import ParquetDirStore
+
+            store = ParquetDirStore()
+        _finish_compact(
+            spark, out_dir, store, man, man.load_meta(), cmarker["tmp"],
+            heal=True,
+        )
+        return True
     marker = man.load_marker("update_inprogress")
     if marker is None:
-        return False
+        return ran
     if store is None:
         from ck_spark.index.format import ParquetDirStore
 
@@ -626,6 +653,7 @@ def update_index(
     out_dir: str,
     full_snapshot: bool = True,
     store: "SegmentStore | None" = None,
+    strategy: str = "delta",
 ) -> dict:
     """Incrementally update an existing index.
 
@@ -633,28 +661,40 @@ def update_index(
     (ck-index/src/lib.rs:841-906): sha256 mismatch / new doc_id = changed,
     missing doc_id = removed (removal applies only when full_snapshot=True;
     with full_snapshot=False `corpus` is an upsert batch — the streaming
-    ingestion mode — and absent docs are left alone).
+    ingestion mode — and absent docs are left alone). ONLY added/modified
+    docs are re-tokenized; either strategy keeps the updated index
+    result-identical to a from-scratch build (asserted in tests).
 
-    ONLY added/modified docs are re-tokenized; unchanged docs in affected
-    segments are carried over from the stored doc_map partitions (the
-    chunk-cache reuse analogue, ck-index/src/lib.rs:1113-1135 — here at
-    doc granularity with tf maps instead of embeddings). Affected seg
-    partitions are rebuilt and swapped in atomically, bracketed by an
-    update-in-progress marker: a crash anywhere between the swap and the
-    postings re-encode is detected on the next update/load (repair_index)
-    and repaired by re-deriving the flagged segments from doc_map. Global
-    stats are recomputed exactly, so the updated index is result-identical
-    to a from-scratch build (asserted in tests).
+    strategy='delta' (default — the tantivy/Lucene segment model,
+    index/lsm.py): the changed docs are written as a NEW generation
+    (doc_map + postings), dead versions become tombstone rows, and the
+    global stats (n_docs, avgdl, per-term df, even the manifest's
+    bit_xor corpus fingerprint) are maintained ARITHMETICALLY EXACTLY —
+    write volume is proportional to the CHANGE. The generation becomes
+    visible in one atomic meta commit, so a crash anywhere mid-append
+    leaves the index at its exact prior state (orphan dirs are GC'd on
+    the next update). Compaction folds generations back into the base
+    when lsm.needs_compaction trips.
+
+    strategy='rewrite' (the pre-LSM path, kept for the SegmentStore swap
+    protocol and as the compaction engine): affected seg partitions are
+    rebuilt wholesale and swapped atomically, bracketed by an
+    update-in-progress marker that repair_index knows how to heal. Under
+    hash-scattered doc ids ANY spread-out change marks every segment
+    affected, making this a near-full rewrite — which is exactly why
+    delta is the default. Requires a generation-less index (call
+    compact_index first; done automatically).
 
     Returns UpdateStats-style counters (SURVEY §2.4 A6):
     {added, removed, modified, unchanged, affected_segments, build_ms,
-    repaired}.
+    repaired, gen?, compacted?}.
     """
     if store is None:
         from ck_spark.index.format import ParquetDirStore
 
         store = ParquetDirStore()
-    paths = IndexPaths(out_dir)
+    from ck_spark.index import lsm
+
     man = Manifest(out_dir)
     repaired = repair_index(spark, out_dir, store=store)
     meta = man.load_meta()
@@ -666,6 +706,34 @@ def update_index(
             "positions layout (v5) — incremental update cannot migrate it; "
             "rebuild with build_index"
         )
+    lsm.gc_orphan_gens(out_dir, meta)
+    if strategy == "delta":
+        return _update_delta(
+            spark, corpus, out_dir, full_snapshot, store, man, meta, repaired
+        )
+    if strategy != "rewrite":
+        raise ValueError(f"unknown update strategy {strategy!r}")
+    if lsm.live_gens(meta):
+        # the rewrite path stages against the BASE table only — fold the
+        # delta generations in first so it rewrites the true live view
+        compact_index(spark, out_dir, store=store)
+        meta = man.load_meta()
+    return _update_rewrite(
+        spark, corpus, out_dir, full_snapshot, store, man, meta, repaired
+    )
+
+
+def _update_rewrite(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    full_snapshot: bool,
+    store: "SegmentStore",
+    man: Manifest,
+    meta: dict,
+    repaired: bool,
+) -> dict:
+    paths = IndexPaths(out_dir)
     store_content = bool(meta.get("store_content", False))
     n_segments = int(meta["n_segments"])
     mode = meta["tokenizer_mode"]
@@ -849,3 +917,417 @@ def update_index(
                 f"+{stats['added']} ~{stats['modified']} -{stats['removed']}",
     )
     return stats
+
+
+def _update_delta(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    full_snapshot: bool,
+    store: "SegmentStore",
+    man: Manifest,
+    meta: dict,
+    repaired: bool,
+) -> dict:
+    """The LSM append path (index/lsm.py; strategy='delta' above).
+
+    Write volume ∝ the change: one new generation's doc_map + postings
+    for the added/modified docs, tombstone rows for the superseded/
+    removed versions, a full rewrite of the (small) term dictionary, and
+    the content-store/trigram delta hooks. No segment of the base table
+    is touched. Global stats are maintained arithmetically exactly —
+    total_tokens is an exact integer, so avgdl' = total'/n_docs' is the
+    same float64 a full rebuild computes, and the manifest fingerprint
+    updates by XOR self-inversion (lsm.merge_snapshot). The single
+    commit point is the atomic meta write adding the generation to
+    meta['gens'].
+
+    doc_id collisions: the base build aborts on countDistinct(doc_id)
+    mismatch; here a colliding NEW key is indistinguishable from a
+    modification of the colliding doc (the diff is id-keyed), so the
+    within-batch check below is the detection surface — at 2^62 id space
+    the cross-batch risk is the same ~n²/2^63 the reference accepts."""
+    from ck_spark.index import lsm
+
+    paths = IndexPaths(out_dir)
+    store_content = bool(meta.get("store_content", False))
+    n_segments = int(meta["n_segments"])
+    mode = meta["tokenizer_mode"]
+    term_buckets = int(meta["term_buckets"])
+    t_start = time.time()
+    gen = lsm.next_gen(meta)
+
+    live = lsm.live_doc_map(spark, out_dir, meta)
+    live_g = live if "gen" in live.columns else live.withColumn("gen", F.lit(0))
+
+    new_min = corpus.select(
+        doc_id_expr().alias("doc_id"),
+        F.sha2("content", 256).alias("content_sha256"),
+    ).withColumn("seg", seg_expr(n_segments))
+    old_min = live_g.select(
+        "doc_id", F.col("content_sha256").alias("old_sha"), "seg",
+        F.col("gen").alias("old_gen"),
+    )
+    join_type = "full_outer" if full_snapshot else "left_outer"
+    diff = new_min.alias("n").join(old_min.alias("o"), "doc_id", join_type).select(
+        "doc_id",
+        F.col("n.content_sha256").alias("new_sha"),
+        F.col("o.old_sha").alias("old_sha"),
+        F.coalesce(F.col("n.seg"), F.col("o.seg")).alias("seg"),
+        F.col("o.old_gen").alias("old_gen"),
+    )
+    counts = diff.agg(
+        F.sum(F.when(F.col("old_sha").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("new_sha").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(
+            F.when(
+                F.col("old_sha").isNotNull()
+                & F.col("new_sha").isNotNull()
+                & (F.col("old_sha") != F.col("new_sha")),
+                1,
+            ).otherwise(0)
+        ).alias("modified"),
+        F.sum(
+            F.when(
+                F.col("old_sha").isNotNull() & (F.col("new_sha") == F.col("old_sha")), 1
+            ).otherwise(0)
+        ).alias("unchanged"),
+    ).collect()[0]
+    stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
+    stats["repaired"] = repaired
+    if stats["added"] + stats["removed"] + stats["modified"] == 0:
+        stats["affected_segments"] = []
+        stats["build_ms"] = int((time.time() - t_start) * 1000)
+        return stats
+    stats["gen"] = gen
+
+    changed = diff.where(
+        F.col("old_sha").isNull()
+        | F.col("new_sha").isNull()
+        | (F.col("old_sha") != F.col("new_sha"))
+    )
+    affected = sorted(r["seg"] for r in changed.select("seg").distinct().collect())
+    stats["affected_segments"] = affected
+    dead_ids = changed.where(F.col("old_sha").isNotNull()).select("doc_id")
+    fresh_ids = changed.where(F.col("new_sha").isNotNull()).select("doc_id")
+
+    # ---- dead versions: ONE narrow pass over their stored rows gives the
+    # tombstones (written), the exact stat corrections (observed on that
+    # same write job), and — lazily, for the term_stats merge below — the
+    # per-term doc counts from the stored tfm maps (never a re-tokenize)
+    dead_rows = live_g.join(F.broadcast(dead_ids), "doc_id", "left_semi")
+    nb = ~F.col("is_binary")
+    obs_dead = Observation()
+    (
+        dead_rows.observe(
+            obs_dead,
+            F.count(F.lit(1)).alias("n_dead"),
+            F.count(F.when(nb, 1)).alias("dead_nb"),
+            F.sum(F.when(nb, F.col("doc_len"))).alias("dead_dl"),
+            F.bit_xor(
+                F.xxhash64("repo", "path", "commit", "content_sha256")
+            ).alias("dead_xor"),
+        )
+        .select(
+            F.col("gen").cast("int").alias("gen"),
+            F.col("seg").cast("int").alias("seg"),
+            "doc_id",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(lsm.tombstones_dir(out_dir, gen))
+    )
+    dead_stats = obs_dead.get
+    dead_terms = (
+        dead_rows.where(nb)
+        .select(F.explode(F.map_keys("tfm")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ddf"))
+    )
+
+    # ---- fresh docs: tokenize ONLY them, write the new generation's
+    # doc_map (stats observed on the same job)
+    fresh_corpus = (
+        corpus.withColumn("doc_id", doc_id_expr())
+        .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+        .drop("doc_id")
+    )
+    docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
+    gen_dm_dir = lsm.delta_doc_map_dir(out_dir, gen)
+    obs_new = Observation()
+    (
+        docs_new.select(*doc_map_cols(store_content))
+        .observe(
+            obs_new,
+            F.count(F.lit(1)).alias("n_new"),
+            F.count(F.when(nb, 1)).alias("new_nb"),
+            F.sum(F.when(nb, F.col("doc_len"))).alias("new_dl"),
+            F.bit_xor(
+                F.xxhash64("repo", "path", "commit", "content_sha256")
+            ).alias("new_xor"),
+        )
+        .repartition(min(n_segments, max(len(affected), 1)), "seg")
+        .sortWithinPartitions("seg", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(gen_dm_dir)
+    )
+    new_stats = obs_new.get
+    # within-batch collision check (countDistinct is not allowed inside
+    # observed metrics) — one narrow doc_id-only scan of the small delta
+    ndist = (
+        spark.read.parquet(gen_dm_dir)
+        .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
+    )
+    if int(new_stats["n_new"]) != int(ndist):
+        shutil.rmtree(gen_dm_dir, ignore_errors=True)
+        raise RuntimeError(
+            "doc_id collision inside the update batch — rehash with a salt"
+        )
+
+    # ---- exact arithmetic stats (see module docstring of index/lsm.py)
+    n_docs_nb = int(meta["n_docs"]) - int(dead_stats["dead_nb"] or 0) + int(
+        new_stats["new_nb"] or 0
+    )
+    total_old = meta.get("total_tokens")
+    if total_old is None:
+        # pre-LSM meta: one narrow doc_len scan upgrades it (then never again)
+        total_old = int(
+            spark.read.parquet(paths.doc_map)
+            .agg(F.sum(F.when(nb, F.col("doc_len")))).collect()[0][0] or 0
+        )
+    total_tokens = (
+        int(total_old) - int(dead_stats["dead_dl"] or 0)
+        + int(new_stats["new_dl"] or 0)
+    )
+    avgdl = (total_tokens / n_docs_nb) if n_docs_nb > 0 else 0.0
+    snapshot = lsm.merge_snapshot(
+        meta["input_snapshot"],
+        int(dead_stats["n_dead"] or 0), int(dead_stats["dead_xor"] or 0),
+        int(new_stats["n_new"] or 0), int(new_stats["new_xor"] or 0),
+    )
+
+    # ---- new generation's postings, encoded under the NEW avgdl (the
+    # per-row avgdl_enc + WAND bound scaling keep older generations sound)
+    docs_delta = spark.read.parquet(gen_dm_dir)
+    pairs = _pairs_df(docs_delta, term_buckets)
+    gen_post_dir = lsm.delta_postings_dir(out_dir, gen)
+    _encode_and_write_postings(
+        spark, pairs, gen_post_dir, avgdl,
+        float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+        n_groups=max(len(affected), 1) * term_buckets,
+    )
+    os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty delta
+
+    # ---- term dictionary: exact arithmetic merge, written whole (the
+    # dict is tiny next to the corpus), committed via the meta pointer
+    new_terms = (
+        docs_delta.where(nb)
+        .select(F.explode(F.map_keys("tfm")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ndf"))
+    )
+    tdelta = new_terms.join(dead_terms, "term", "full_outer").select(
+        "term",
+        (F.coalesce("ndf", F.lit(0)) - F.coalesce("ddf", F.lit(0))).alias("delta"),
+    )
+    old_ts = spark.read.parquet(lsm.term_stats_path(out_dir, meta))
+    merged_ts = (
+        old_ts.join(tdelta, "term", "full_outer")
+        .select(
+            F.coalesce(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
+            ).alias("bucket"),
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("delta", F.lit(0)))
+            .cast("long").alias("df"),
+            F.coalesce("n_segments", F.lit(1)).alias("n_segments"),
+        )
+        .where(F.col("df") > 0)
+    )
+    obs_ts = Observation()
+    ts_dir = lsm.term_stats_gen_dir(out_dir, gen)
+    merged_ts.observe(obs_ts, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(ts_dir)
+    n_terms = int(obs_ts.get["rows"])
+
+    # ---- derived-store delta hooks (each with its own crash fallback)
+    from ck_spark.query.trigram import (
+        TRIGRAM_DIR, maybe_compact_trigram, refresh_trigram_append,
+    )
+
+    _tri_dir = os.path.join(out_dir, TRIGRAM_DIR)
+    tri_refresh = os.path.exists(_tri_dir) and store_content
+    if os.path.exists(_tri_dir) and not store_content:
+        shutil.rmtree(_tri_dir, ignore_errors=True)
+    if tri_refresh:
+        # grams for only the fresh docs; extra entries for dead versions
+        # are dropped by the live-view fetch/verify (over-approximation
+        # soundness — trigram.py module docstring). A crash mid-append
+        # leaves the completion marker absent => full-scan fallback.
+        refresh_trigram_append(
+            spark, out_dir,
+            docs_delta.where(nb).select(
+                "doc_id", F.col("seg").cast("int").alias("seg"), "content"
+            ) if store_content else
+            corpus.withColumn("doc_id", doc_id_expr())
+            .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+            .withColumn("seg", seg_expr(n_segments))
+            .select("doc_id", "seg", "content"),
+            n_fresh=stats["added"] + stats["modified"],
+            allow_compact=False,
+        )
+
+    from ck_spark.index.content_store import (
+        COMPACT, build_content_store, commit_content_store_delta,
+        stage_content_store_delta,
+    )
+
+    fresh_light = (
+        fresh_corpus.withColumn("doc_id", doc_id_expr())
+        .withColumn("seg", seg_expr(n_segments))
+        .withColumn("is_binary", F.contains("content", F.lit("\x00")))
+    )
+    cs_stage = stage_content_store_delta(
+        spark, out_dir, affected, fresh_light,
+        dead_ids.unionByName(fresh_ids).distinct(),
+        stats["added"] + stats["modified"],
+    )
+    if cs_stage is not None:
+        # bracket the pointer-table commit: it lands AFTER the meta commit
+        # below, so a crash between the two would otherwise leave the new
+        # generation's docs permanently missing from the pointer table
+        # (readers are safe meanwhile — the store's completion marker is
+        # already invalidated, so fetches use the parquet live view);
+        # repair_index re-derives the flagged segments and clears this.
+        man.save_marker("cs_refresh_pending", {"segs": affected})
+
+    # ---- THE commit point: one atomic meta write makes gen live
+    meta.update({
+        "gens": lsm.live_gens(meta) + [gen],
+        "n_docs": n_docs_nb,
+        "avgdl": avgdl,
+        "total_tokens": total_tokens,
+        "input_snapshot": snapshot,
+        "n_terms": n_terms,
+        "term_stats_dir": os.path.relpath(ts_dir, out_dir),
+        "n_tombstones": int(meta.get("n_tombstones") or 0)
+        + int(dead_stats["n_dead"] or 0),
+    })
+    man.save_meta(meta)
+
+    # corpus_stats side table (no query-path readers; kept consistent for
+    # external tooling) — cheap 1-row literal write
+    spark.range(1).select(
+        F.lit(n_docs_nb).cast("long").alias("n_docs"),
+        (F.lit(float(avgdl)) if n_docs_nb > 0 else F.lit(None).cast("double")
+         ).alias("avgdl"),
+        F.lit(total_tokens).cast("long").alias("total_tokens"),
+    ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+
+    if tri_refresh:
+        maybe_compact_trigram(spark, out_dir)
+    if cs_stage == COMPACT:
+        build_content_store(spark, out_dir)
+        man.clear_marker("cs_refresh_pending")
+    elif cs_stage is not None:
+        commit_content_store_delta(
+            spark, out_dir, affected, *cs_stage,
+            n_change=stats["added"] - stats["removed"],
+        )
+        man.clear_marker("cs_refresh_pending")
+
+    stats["build_ms"] = int((time.time() - t_start) * 1000)
+    man.complete(
+        "update", int(time.time()), snapshot,
+        stats["added"] + stats["modified"], n_terms, stats["build_ms"],
+        lineage=f"delta gen={gen} +{stats['added']} ~{stats['modified']} "
+                f"-{stats['removed']}",
+    )
+    if lsm.needs_compaction(meta):
+        compact_index(spark, out_dir, store=store)
+        stats["compacted"] = True
+    return stats
+
+
+def compact_index(spark: SparkSession, out_dir: str,
+                  store: "SegmentStore | None" = None) -> bool:
+    """Fold every LSM delta generation back into the base (generation 0)
+    — the Lucene merge analogue, and the amortized cost the delta path
+    defers. The folded doc_map stages COMPLETELY before the
+    compact-in-progress marker is written, so the rename-aside heal
+    always rolls FORWARD: a crash anywhere in the window converges to
+    the compacted index on the next repair. Verifies the arithmetic
+    stats against a full recompute (the fingerprint must match — a
+    mismatch means an exactness bug and raises). Returns True if a
+    compaction ran."""
+    if store is None:
+        from ck_spark.index.format import ParquetDirStore
+
+        store = ParquetDirStore()
+    from ck_spark.index import lsm
+
+    man = Manifest(out_dir)
+    meta = man.load_meta()
+    if not lsm.live_gens(meta):
+        return False
+    paths = IndexPaths(out_dir)
+    live = lsm.live_doc_map(spark, out_dir, meta)
+    cols = doc_map_cols(bool(meta.get("store_content", False)))
+    tmp = store.stage(live.select(*cols), paths.root, int(meta["n_segments"]))
+    man.save_marker("compact_inprogress", {"tmp": tmp, "ts": time.time()})
+    _finish_compact(spark, out_dir, store, man, meta, tmp, heal=False)
+    return True
+
+
+def _finish_compact(spark: SparkSession, out_dir: str, store: "SegmentStore",
+                    man: Manifest, meta: dict, tmp: str, heal: bool) -> None:
+    """Swap (or heal) the folded base in, then restore the gen-less
+    single-table layout: postings re-encoded from the new base, term
+    dictionary recomputed to the base path, deltas GC'd. Shared by
+    compact_index and repair_index (crash recovery)."""
+    from ck_spark.index import lsm
+
+    paths = IndexPaths(out_dir)
+    all_segs = list(range(int(meta["n_segments"])))
+    if heal:
+        store.heal(paths.doc_map, all_segs, tmp)
+    else:
+        store.swap(paths.doc_map, all_segs, tmp)
+    store.cleanup(tmp)
+    # base now IS the live view: retire generations/tombstones FIRST so no
+    # reader anti-joins an old gen-0 tombstone against a freshly folded
+    # row (queries inside the remaining window are bracketed by the
+    # marker, same consistency model as the rewrite path's update window)
+    arith_snapshot = meta.get("input_snapshot")
+    meta.update({"gens": [], "n_tombstones": 0})
+    man.save_meta(meta)
+    n, nd, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
+    if n != nd:
+        raise RuntimeError(
+            f"doc_id collision surfaced by compaction: {n} rows, {nd} ids"
+        )
+    if arith_snapshot is not None and snapshot != arith_snapshot:
+        raise RuntimeError(
+            "LSM arithmetic-stats drift: compacted fingerprint "
+            f"{snapshot} != maintained {arith_snapshot} — exactness bug"
+        )
+    _reencode_segments(spark, paths, meta, all_segs, avgdl)
+    n_terms = _write_term_stats(spark, paths)
+    total_tokens = int(
+        spark.read.parquet(paths.corpus_stats).collect()[0]["total_tokens"] or 0
+    )
+    meta.update({
+        "avgdl": avgdl, "n_docs": n_docs_nb, "n_terms": int(n_terms),
+        "input_snapshot": snapshot, "term_stats_dir": "term_stats",
+        "total_tokens": total_tokens,
+    })
+    man.save_meta(meta)
+    man.clear_marker("compact_inprogress")
+    lsm.clear_deltas(out_dir)
+    man.complete(
+        "compact", int(time.time()), snapshot, n, n_terms, 0,
+        lineage="lsm-compaction: generations folded into base",
+    )

@@ -254,7 +254,9 @@ def build_content_store(spark: SparkSession, root: str) -> int:
     invalidate_content_store_marker(root)
     shutil.rmtree(_store_dir(root), ignore_errors=True)
     os.makedirs(_store_dir(root), exist_ok=True)
-    dm = spark.read.parquet(os.path.join(root, "doc_map")).select(*_DM_COLS)
+    from ck_spark.index.lsm import live_doc_map
+
+    dm = live_doc_map(spark, root, meta).select(*_DM_COLS)
     _derive(spark, root, dm)
     n = _ptr_df(spark, root).count()
     _write_marker(root, n)
@@ -376,8 +378,10 @@ def refresh_content_store_segments(
         shutil.rmtree(
             os.path.join(store, PTR_SUBDIR, f"seg={s}"), ignore_errors=True
         )
+    from ck_spark.index.lsm import live_doc_map
+
     dm = (
-        spark.read.parquet(os.path.join(root, "doc_map"))
+        live_doc_map(spark, root)
         .where(F.col("seg").isin([int(s) for s in segs]))
         .select(*_DM_COLS)
     )

@@ -56,12 +56,15 @@ _OR_SCORERS = {
 
 def _score_boolean_segment(by_term: dict, plan: dict, idfs: dict,
                            avgdl: float, k1: float, b: float, k: int,
-                           allowed, block_size: int):
+                           allowed, block_size: int, tombstoned=None):
     """One boolean-query evaluation inside one segment: must/should/not
     clauses plus (index-only) positive and negative phrases. Shared by
-    search_query and search_many(mode='syntax'). Returns (ids, scores)
-    or None when no doc in this segment can match."""
-    import numpy as np  # noqa: F401  (allowed arrays flow through)
+    search_query and search_many(mode='syntax'). `tombstoned` (sorted ids)
+    is the LSM dead-version set for this (gen, seg) group — merged into
+    score_boolean's exclusion set, so a superseded doc version can match
+    a phrase but never reach the result. Returns (ids, scores) or None
+    when no doc in this segment can match."""
+    import numpy as np
 
     m = [by_term[t] for t in plan["must"] if t in by_term]
     if plan["must"] and len(m) < len(plan["must"]):
@@ -79,6 +82,11 @@ def _score_boolean_segment(by_term: dict, plan: dict, idfs: dict,
             return None
     if plan.get("neg_phrases"):
         banned = _scorer.phrase_banned_ids(by_term, plan["neg_phrases"], block_size)
+    if tombstoned is not None and tombstoned.size:
+        banned = (
+            tombstoned if banned is None or not banned.size
+            else np.union1d(banned, tombstoned)
+        )
     return _scorer.score_boolean(m, s, n, idfs, avgdl, k1, b, k, allowed, banned)
 
 
@@ -131,6 +139,13 @@ class BM25Index:
     _TERM_CACHE_MAX = 2_000_000  # cache the whole term dict when small
 
     @property
+    def gens(self) -> list[int]:
+        """Committed LSM delta generations (index/lsm.py). Empty for an
+        index that was never incrementally updated (or was compacted) —
+        every query path then keeps its original gen-less plan."""
+        return [int(g) for g in (self.meta.get("gens") or [])]
+
+    @property
     def postings_df(self) -> DataFrame:
         """The postings table as a REUSED DataFrame: `spark.read.parquet`
         builds an InMemoryFileIndex (partition-dir listing + footer reads)
@@ -139,19 +154,42 @@ class BM25Index:
         Filters on the cached frame still prune partitions (the file index
         serves PartitionFilters). The file index snapshots the table: after
         update_index, reload the handle (BM25Index.load — every caller
-        already does; the service refreshes on reindex)."""
+        already does; the service refreshes on reindex).
+
+        With LSM generations this is the base ∪ delta union (lsm.
+        live_postings) carrying a `gen` column; bucket/term pruning hits
+        every generation's scan identically."""
         df = self.__dict__.get("_postings_df")
         if df is None:
-            df = self.spark.read.parquet(self.paths.postings)
+            from ck_spark.index.lsm import live_postings
+
+            df = live_postings(self.spark, self.paths.root, self.meta)
             self.__dict__["_postings_df"] = df
         return df
 
     @property
     def doc_map_df(self) -> DataFrame:
+        """The LIVE document view: base ∪ committed deltas minus
+        tombstones (lsm.live_doc_map) — plain base read when no
+        generations exist. Every doc-level consumer (enrichment joins,
+        stored-content fetch, path scoping, scans) reads this, so a
+        modified doc resolves to exactly its newest version."""
         df = self.__dict__.get("_doc_map_df")
         if df is None:
-            df = self.spark.read.parquet(self.paths.doc_map)
+            from ck_spark.index.lsm import live_doc_map
+
+            df = live_doc_map(self.spark, self.paths.root, self.meta)
             self.__dict__["_doc_map_df"] = df
+        return df
+
+    @property
+    def tombstones_df(self) -> DataFrame:
+        df = self.__dict__.get("_tombstones_df")
+        if df is None:
+            from ck_spark.index.lsm import read_tombstones
+
+            df = read_tombstones(self.spark, self.paths.root, self.meta)
+            self.__dict__["_tombstones_df"] = df
         return df
 
     @property
@@ -175,9 +213,12 @@ class BM25Index:
         analogue of tantivy keeping the term dict mmap'd); above the cap it
         stays a pruned parquet read per query — at 10^12 docs the dict is
         executor-resident data, not driver state."""
+        from ck_spark.index.lsm import term_stats_path
+
+        ts_path = term_stats_path(self.paths.root, self.meta)
         cache = self.__dict__.get("_term_cache")
         if cache is None:
-            ts = self.spark.read.parquet(self.paths.term_stats)
+            ts = self.spark.read.parquet(ts_path)
             n_terms = self.meta.get("n_terms")
             if n_terms is None or n_terms <= self._TERM_CACHE_MAX:
                 pdf = ts.toPandas()
@@ -188,7 +229,7 @@ class BM25Index:
             found = [t for t in terms if t in cache.index]
             return cache.loc[found].reset_index(drop=True)
         return (
-            self.spark.read.parquet(self.paths.term_stats)
+            self.spark.read.parquet(ts_path)
             .where(F.col("term").isin(terms))
             .toPandas()
         )
@@ -200,6 +241,80 @@ class BM25Index:
             r.term: math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5))
             for r in ts.itertuples()
         }
+
+    def _group_cols(self) -> list[str]:
+        """Segment-scorer grouping unit. Every document VERSION lives
+        wholly inside one (gen, seg) — its doc_map row and all its posting
+        entries were written by the same build/update — so per-(gen, seg)
+        scoring plus the global top-k merge is exactly per-seg scoring on
+        a gen-less index."""
+        return (["gen"] if self.gens else []) + ["seg"]
+
+    def _scope_cols(self) -> list[str]:
+        return self._group_cols() + ["doc_id"]
+
+    def _seg_grouped(self, post: DataFrame, score_fn, out_schema: str,
+                     allowed_df: DataFrame | None = None) -> DataFrame:
+        """Run `score_fn(pdf, allowed, banned) -> pdf` once per segment
+        group of `post`. Gen-less indexes keep the original plans (plain
+        groupBy(seg), cogroup only when scoping). With LSM generations the
+        right side of ONE cogroup carries both the tombstone set
+        (ban=True — dead versions whose postings still sit in their
+        generation) and the optional path-scope allowed set (ban=False),
+        split into the scorer's two filters executor-side: no driver
+        state, no corpus-scale broadcast, rows ∝ tombstones + scope."""
+        import numpy as np
+
+        gens = self.gens
+        if not gens:
+            if allowed_df is None:
+                return post.groupBy("seg").applyInPandas(
+                    lambda pdf: score_fn(pdf, None, None), out_schema
+                )
+
+            def cg(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
+                return score_fn(pl, allowed, None)
+
+            return (
+                post.groupBy("seg")
+                .cogroup(allowed_df.groupBy("seg"))
+                .applyInPandas(cg, out_schema)
+            )
+
+        has_scope = allowed_df is not None
+        filt = self.tombstones_df.select(
+            "gen", "seg", "doc_id", F.lit(True).alias("ban")
+        )
+        if has_scope:
+            filt = filt.unionByName(
+                allowed_df.select("gen", "seg", "doc_id",
+                                  F.lit(False).alias("ban"))
+            )
+
+        def cg2(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+            ban_mask = pr["ban"].to_numpy(dtype=bool) if len(pr) else None
+            if ban_mask is not None and ban_mask.any():
+                ids = pr["doc_id"].to_numpy()
+                banned = np.sort(ids[ban_mask].astype(np.int64))
+            else:
+                banned = None
+            if has_scope:
+                if ban_mask is None:
+                    allowed = np.empty(0, dtype=np.int64)
+                else:
+                    allowed = np.sort(
+                        pr["doc_id"].to_numpy()[~ban_mask].astype(np.int64)
+                    )
+            else:
+                allowed = None
+            return score_fn(pl, allowed, banned)
+
+        return (
+            post.groupBy("gen", "seg")
+            .cogroup(filt.groupBy("gen", "seg"))
+            .applyInPandas(cg2, out_schema)
+        )
 
     # -- search ---------------------------------------------------------------
 
@@ -240,7 +355,7 @@ class BM25Index:
         post = (
             self.postings_df
             .where(F.col("bucket").isin(buckets) & F.col("term").isin(found_terms))
-            .select(*_POSTING_COLS)
+            .select(*self._group_cols(), *_POSTING_COLS[1:])
         )
 
         avgdl = float(self.meta["avgdl"])
@@ -249,7 +364,9 @@ class BM25Index:
 
         n_query_terms = len(found_terms)
 
-        def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+        def score_rows(pdf: pd.DataFrame, allowed, banned) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
             rows = pdf.to_dict("records")
             if q_mode == "and":
                 # a conjunctive match needs EVERY query term present in
@@ -257,39 +374,25 @@ class BM25Index:
                 # can match (same guard as search_many)
                 if len({r["term"] for r in rows}) < n_query_terms:
                     return pd.DataFrame({"doc_id": [], "score": []})
-                ids, scores = _scorer.score_and(rows, idfs, avgdl, k1, b, q_k, allowed)
+                ids, scores = _scorer.score_and(
+                    rows, idfs, avgdl, k1, b, q_k, allowed, banned
+                )
             else:
                 total = int(pdf["n_docs"].sum()) if len(pdf) else 0
                 fn = _pick_or_scorer(q_strategy, total, q_k)
-                ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed)
+                ids, scores = fn(rows, idfs, avgdl, k1, b, q_k, allowed, banned)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
+        allowed_df = None
         if include_prefixes or exclude_globs:
-            import numpy as np
-
             from ck_spark.query.scope import path_scope_pred
 
             allowed_df = (
                 self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes, exclude_globs))
-                .select("seg", "doc_id")
+                .select(*self._scope_cols())
             )
-
-            def score_cogroup(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
-                if len(pl) == 0:
-                    return pd.DataFrame({"doc_id": [], "score": []})
-                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
-                return score_rows(pl, allowed)
-
-            seg_top = (
-                post.groupBy("seg")
-                .cogroup(allowed_df.groupBy("seg"))
-                .applyInPandas(score_cogroup, _RESULT_SCHEMA)
-            )
-        else:
-            seg_top = post.groupBy("seg").applyInPandas(
-                lambda pdf: score_rows(pdf, None), _RESULT_SCHEMA
-            )
+        seg_top = self._seg_grouped(post, score_rows, _RESULT_SCHEMA, allowed_df)
         return self._finish(seg_top, k, normalize, threshold, with_paths)
 
     def search_query(
@@ -358,7 +461,7 @@ class BM25Index:
         post = (
             self.postings_df
             .where(F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
-            .select(*post_cols)
+            .select(*self._group_cols(), *post_cols[1:])
         )
 
         avgdl = float(self.meta["avgdl"])
@@ -371,10 +474,13 @@ class BM25Index:
             "neg_phrases": neg_phrases if use_positions else [],
         }
 
-        def score_rows(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+        def score_rows(pdf: pd.DataFrame, allowed, banned) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
             by_term = {r["term"]: r for r in pdf.to_dict("records")}
             res = _score_boolean_segment(
-                by_term, plan, idfs, avgdl, k1, b, q_k, allowed, block_size
+                by_term, plan, idfs, avgdl, k1, b, q_k, allowed, block_size,
+                tombstoned=banned,
             )
             if res is None:
                 return pd.DataFrame({"doc_id": [], "score": []})
@@ -383,7 +489,9 @@ class BM25Index:
 
         allowed_df = None
         if (pq.phrases or neg_phrases) and not use_positions:
-            # legacy corpus-scan adjacency (pre-v5 indexes only)
+            # legacy corpus-scan adjacency (pre-v5 indexes only; such
+            # indexes can never carry LSM generations — update_index gates
+            # on v5 — so the seg-keyed allowed set needs no gen column)
             from ck_spark.index.builder import doc_id_expr, seg_expr
 
             if self.meta["tokenizer_mode"] == "simple":
@@ -421,30 +529,13 @@ class BM25Index:
             scoped = (
                 self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes, exclude_globs))
-                .select("seg", "doc_id")
+                .select(*self._scope_cols())
             )
             allowed_df = scoped if allowed_df is None else allowed_df.join(
                 scoped, ["seg", "doc_id"], "inner"
             )
 
-        if allowed_df is not None:
-            import numpy as np
-
-            def score_cogroup(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
-                if len(pl) == 0:
-                    return pd.DataFrame({"doc_id": [], "score": []})
-                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
-                return score_rows(pl, allowed)
-
-            seg_top = (
-                post.groupBy("seg")
-                .cogroup(allowed_df.groupBy("seg"))
-                .applyInPandas(score_cogroup, _RESULT_SCHEMA)
-            )
-        else:
-            seg_top = post.groupBy("seg").applyInPandas(
-                lambda pdf: score_rows(pdf, None), _RESULT_SCHEMA
-            )
+        seg_top = self._seg_grouped(post, score_rows, _RESULT_SCHEMA, allowed_df)
         return self._finish(seg_top, k, normalize, threshold, with_paths)
 
     def search_many(
@@ -562,7 +653,7 @@ class BM25Index:
             self.postings_df
             .where(F.col("bucket").isin(buckets))
             .where(f"term IN ({terms_sql})")
-            .select(*post_cols)
+            .select(*self._group_cols(), *post_cols[1:])
         )
 
         # ship large plan sets via a broadcast variable instead of the
@@ -575,7 +666,12 @@ class BM25Index:
         else:
             _bc, _plans_ref, _idfs_ref = None, plans, idfs
 
-        def score_segment(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
+        def score_segment(pdf: pd.DataFrame, allowed, banned) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"query_id": "int32", "doc_id": "int64",
+                          "score": "float64"})
             plans_l, idfs_l = (
                 _bc.value if _bc is not None else (_plans_ref, _idfs_ref)
             )
@@ -587,7 +683,7 @@ class BM25Index:
                 if plan["mode"] == "syntax":
                     res = _score_boolean_segment(
                         by_term, plan, idfs_l, avgdl, k1, b, q_k, allowed,
-                        block_size,
+                        block_size, tombstoned=banned,
                     )
                     if res is None:
                         continue
@@ -600,12 +696,13 @@ class BM25Index:
                         if len(rows) < len(plan["terms"]):
                             continue
                         ids, scores = _scorer.score_and(
-                            rows, idfs_l, avgdl, k1, b, q_k, allowed
+                            rows, idfs_l, avgdl, k1, b, q_k, allowed, banned
                         )
                     else:
                         total = sum(int(r["n_docs"]) for r in rows)
                         fn = _pick_or_scorer(q_strategy, total, q_k)
-                        ids, scores = fn(rows, idfs_l, avgdl, k1, b, q_k, allowed)
+                        ids, scores = fn(rows, idfs_l, avgdl, k1, b, q_k,
+                                         allowed, banned)
                 out_q.extend([plan["qid"]] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(scores.tolist())
@@ -616,6 +713,7 @@ class BM25Index:
             )
 
         out_schema = "query_id int, doc_id long, score double"
+        allowed_df = None
         if include_prefixes or exclude_globs:
             from ck_spark.query.scope import path_scope_pred
 
@@ -623,29 +721,9 @@ class BM25Index:
                 self.doc_map_df
                 .where(path_scope_pred(F.col("path"), include_prefixes,
                                        exclude_globs))
-                .select("seg", "doc_id")
+                .select(*self._scope_cols())
             )
-
-            def score_cogroup(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
-                if len(pl) == 0:
-                    return pd.DataFrame(
-                        {"query_id": [], "doc_id": [], "score": []}
-                    ).astype({"query_id": "int32", "doc_id": "int64",
-                              "score": "float64"})
-                allowed = np.sort(pr["doc_id"].to_numpy().astype(np.int64))
-                return score_segment(pl, allowed)
-
-            seg_top = (
-                post.groupBy("seg")
-                .cogroup(allowed_df.groupBy("seg"))
-                .applyInPandas(score_cogroup, out_schema)
-            )
-        else:
-            # single-arg wrapper: a two-parameter callable would receive
-            # (group_key, pdf) from applyInPandas
-            seg_top = post.groupBy("seg").applyInPandas(
-                lambda pdf: score_segment(pdf), out_schema
-            )
+        seg_top = self._seg_grouped(post, score_segment, out_schema, allowed_df)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             seg_top.withColumn("_rn", F.row_number().over(w))

@@ -108,11 +108,14 @@ def _scaled_ubs(row: dict, w: float, avgdl: float) -> np.ndarray:
     return ubs * _UB_SAFETY
 
 
-def _decode_term(row: dict, allowed: np.ndarray | None):
+def _decode_term(row: dict, allowed: np.ndarray | None,
+                 banned: np.ndarray | None = None):
     ids = decode_all_blocks(row["ids_blocks"]).astype(np.int64)
     tfs = decode_all_u32_blocks(row["tfs_blocks"])
     dls = decode_all_u32_blocks(row["dls_blocks"])
     ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
+    if banned is not None and banned.size:
+        ids, (tfs, dls) = _exclude(ids, [tfs, dls], banned)
     return ids, tfs, dls
 
 
@@ -135,11 +138,17 @@ def _theta(scores: np.ndarray, k: int) -> float:
 
 def score_exhaustive_or(term_rows: list[dict], idfs: dict, avgdl: float,
                         k1: float, b: float, k: int,
-                        allowed: np.ndarray | None = None):
-    """term_rows: [{term, ids_blocks, tfs_blocks, dls_blocks}, ...]"""
+                        allowed: np.ndarray | None = None,
+                        banned: np.ndarray | None = None):
+    """term_rows: [{term, ids_blocks, tfs_blocks, dls_blocks}, ...]
+
+    `banned` (all kernels): sorted doc ids excluded at decode time — the
+    LSM tombstone set for this (gen, seg) group (index/lsm.py). Filtering
+    BEFORE top-k selection keeps ranks identical to an index that never
+    contained the dead versions; asserted in tests/test_lsm_update.py."""
     all_ids, all_contrib = [], []
     for row in term_rows:
-        ids, tfs, dls = _decode_term(row, allowed)
+        ids, tfs, dls = _decode_term(row, allowed, banned)
         w = idfs[row["term"]]
         all_ids.append(ids)
         all_contrib.append(w * _partial(tfs, dls, avgdl, k1, b))
@@ -155,7 +164,8 @@ def score_exhaustive_or(term_rows: list[dict], idfs: dict, avgdl: float,
 
 def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
               k1: float, b: float, k: int,
-              allowed: np.ndarray | None = None):
+              allowed: np.ndarray | None = None,
+              banned: np.ndarray | None = None):
     """Conjunctive: galloping intersection (smallest list drives; larger
     lists probed via np.searchsorted), block-skip implicit because only
     blocks containing candidates need decoding — with list-level decode
@@ -172,6 +182,10 @@ def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
     cand = decoded[0][1]
     if allowed is not None:
         cand, _ = _scope_filter(cand, [], allowed)
+    if banned is not None and banned.size:
+        # excluding from the driving candidate list suffices: later probes
+        # only ever shrink it
+        cand, _ = _exclude(cand, [], banned)
     for _, ids, _, _ in decoded[1:]:
         if cand.size == 0:
             break
@@ -189,7 +203,8 @@ def score_and(term_rows: list[dict], idfs: dict, avgdl: float,
 
 def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
                   k1: float, b: float, k: int,
-                  allowed: np.ndarray | None = None):
+                  allowed: np.ndarray | None = None,
+                  banned: np.ndarray | None = None):
     """Block-max WAND over independently-decodable blocks, vectorized.
 
     A block's optimistic bound is its own idf·block_max plus every other
@@ -249,6 +264,10 @@ def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
             tfs = decode_u32s(row["tfs_blocks"][j])
             dls = decode_u32s(row["dls_blocks"][j])
             ids, (tfs, dls) = _scope_filter(ids, [tfs, dls], allowed)
+            if banned is not None and banned.size:
+                # a banned doc's block bound overestimates — sound (bounds
+                # may only overestimate); the doc itself never accumulates
+                ids, (tfs, dls) = _exclude(ids, [tfs, dls], banned)
             if ids.size:
                 new_ids.append(ids)
                 new_contrib.append(w * _partial(tfs, dls, avgdl, k1, b))
@@ -263,7 +282,8 @@ def score_wand_or(term_rows: list[dict], idfs: dict, avgdl: float,
 
 def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
                       k1: float, b: float, k: int,
-                      allowed: np.ndarray | None = None):
+                      allowed: np.ndarray | None = None,
+                      banned: np.ndarray | None = None):
     """Term-at-a-time MaxScore (Turtle & Flood's essential-list pruning,
     re-expressed over the block codec).
 
@@ -304,7 +324,7 @@ def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
         if suffix[i] < th:
             split = i
             break
-        ids, tfs, dls = _decode_term(row, allowed)
+        ids, tfs, dls = _decode_term(row, allowed, banned)
         if ids.size:
             acc_ids, acc_scores = _merge_acc(
                 acc_ids, acc_scores, ids, w * _partial(tfs, dls, avgdl, k1, b)
@@ -312,6 +332,9 @@ def score_maxscore_or(term_rows: list[dict], idfs: dict, avgdl: float,
 
     if split == len(per_term):  # every term was essential
         return _topk(acc_ids, acc_scores, k)
+
+    # completion phase needs no banned filter: it only ADDS contributions
+    # to candidates already present in the (banned-filtered) seed
 
     cand_ids, cand_scores = acc_ids, acc_scores
     for i in range(split, len(per_term)):

@@ -602,9 +602,11 @@ def build_trigram_index(
                 "(v6 store_content=True) index — pass the corpus DataFrame "
                 "or rebuild the index with store_content=True"
             )
-        docs = spark.read.parquet(
-            os.path.join(root, "doc_map")
-        ).select("doc_id", "seg", "content")
+        from ck_spark.index.lsm import live_doc_map
+
+        docs = live_doc_map(spark, root, meta).select(
+            "doc_id", F.col("seg").cast("int").alias("seg"), "content"
+        )
     else:
         docs = corpus.withColumn("doc_id", doc_id_expr()).withColumn(
             "seg", seg_expr(n_segments)
@@ -735,10 +737,12 @@ def refresh_trigram_segments(
     invalidate_trigram_marker(root)
     for s in segs:
         shutil.rmtree(os.path.join(out_dir, f"seg={s}"), ignore_errors=True)
+    from ck_spark.index.lsm import live_doc_map
+
     docs = (
-        spark.read.parquet(os.path.join(root, "doc_map"))
+        live_doc_map(spark, root, meta)
         .where(F.col("seg").isin(list(segs)))
-        .select("doc_id", "seg", "content")
+        .select("doc_id", F.col("seg").cast("int").alias("seg"), "content")
     )
     if not docs.isEmpty():
         _encode_and_write_grams(spark, docs, term_buckets, out_dir,
@@ -834,12 +838,14 @@ class TrigramIndex:
 
     @property
     def doc_map_df(self) -> DataFrame:
+        """LIVE view (base ∪ delta generations − tombstones,
+        index/lsm.py): candidate fetch must see a modified doc's NEWEST
+        content — stale trigram entries for superseded versions are then
+        dropped by the regex verify (over-approximation soundness)."""
         if self._doc_map_df is None:
-            import os
+            from ck_spark.index.lsm import live_doc_map
 
-            self._doc_map_df = self.spark.read.parquet(
-                os.path.join(self.root, "doc_map")
-            )
+            self._doc_map_df = live_doc_map(self.spark, self.root)
         return self._doc_map_df
 
     def candidates(self, grams) -> DataFrame:
@@ -1058,7 +1064,9 @@ def grep_indexed(
                 raise ValueError(
                     "grep without a corpus needs a stored-content index"
                 )
-            corpus = spark.read.parquet(os.path.join(root, "doc_map"))
+            from ck_spark.index.lsm import live_doc_map
+
+            corpus = live_doc_map(spark, root, meta)
         return grep(corpus, pattern, fixed_string, whole_word, ignore_case,
                     topk=topk, count_matches=count_matches)
     return _grep_indexed_impl(

@@ -387,14 +387,18 @@ class CkService:
         }
 
     def _scan_source(self) -> DataFrame:
-        """The regex/section scan source: the caller-held corpus when one
-        was given, else the index's own stored content (v6) — the service
-        no longer needs a corpus for any scan once the index exists."""
-        if self.corpus is not None:
-            return self.corpus
+        """The regex/section scan source. A stored-content (v6) index
+        WINS over the caller-held corpus: its live view (base ∪ delta
+        generations − tombstones) is always the exact indexed state,
+        while the constructor's corpus DataFrame goes stale the moment
+        reindex() ingests a different batch — scanning it would silently
+        grep removed docs / old versions. The caller corpus remains the
+        fallback for content-less indexes (and the build source)."""
         idx = self._index()
         if idx.meta.get("store_content"):
             return idx.doc_map_df
+        if self.corpus is not None:
+            return self.corpus
         raise RuntimeError(
             "regex search needs a corpus (index has no stored content — "
             "rebuild with store_content=True or pass corpus=)"
@@ -415,8 +419,13 @@ class CkService:
         else:
             tri = self._trigram()
             if tri is not None:
-                # identical results, candidate-pruned scan (test_trigram.py)
-                hits = tri.grep(self.corpus, pattern, **grep_kw)
+                # identical results, candidate-pruned scan (test_trigram.py).
+                # corpus=None on stored-content indexes: candidate fetch and
+                # the SCAN fallback both run over the index's LIVE view,
+                # never the constructor's (possibly stale) corpus frame
+                _src = (None if self._index().meta.get("store_content")
+                        else self.corpus)
+                hits = tri.grep(_src, pattern, **grep_kw)
             else:
                 hits = grep(self._scan_source(), pattern, **grep_kw)
             order = [("path", "asc"), ("line_no", "asc")]
