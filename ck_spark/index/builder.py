@@ -1046,44 +1046,54 @@ def _update_delta(
     )
 
     # ---- fresh docs: tokenize ONLY them, write the new generation's
-    # doc_map (stats observed on the same job)
+    # doc_map (stats observed on the same job). A pure-removal update has
+    # no fresh docs — skip the whole stage (observing a zero-task plan
+    # asserts) and the generation is tombstones-only.
+    n_fresh = stats["added"] + stats["modified"]
     fresh_corpus = (
         corpus.withColumn("doc_id", doc_id_expr())
         .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
         .drop("doc_id")
     )
-    docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
     gen_dm_dir = lsm.delta_doc_map_dir(out_dir, gen)
-    obs_new = Observation()
-    (
-        docs_new.select(*doc_map_cols(store_content))
-        .observe(
-            obs_new,
-            F.count(F.lit(1)).alias("n_new"),
-            F.count(F.when(nb, 1)).alias("new_nb"),
-            F.sum(F.when(nb, F.col("doc_len"))).alias("new_dl"),
-            F.bit_xor(
-                F.xxhash64("repo", "path", "commit", "content_sha256")
-            ).alias("new_xor"),
+    if n_fresh > 0:
+        docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
+        obs_new = Observation()
+        (
+            docs_new.select(*doc_map_cols(store_content))
+            .observe(
+                obs_new,
+                F.count(F.lit(1)).alias("n_new"),
+                F.count(F.when(nb, 1)).alias("new_nb"),
+                F.sum(F.when(nb, F.col("doc_len"))).alias("new_dl"),
+                F.bit_xor(
+                    F.xxhash64("repo", "path", "commit", "content_sha256")
+                ).alias("new_xor"),
+            )
+            .repartition(min(n_segments, max(len(affected), 1)), "seg")
+            .sortWithinPartitions("seg", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(gen_dm_dir)
         )
-        .repartition(min(n_segments, max(len(affected), 1)), "seg")
-        .sortWithinPartitions("seg", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(gen_dm_dir)
-    )
-    new_stats = obs_new.get
-    # within-batch collision check (countDistinct is not allowed inside
-    # observed metrics) — one narrow doc_id-only scan of the small delta
-    ndist = (
-        spark.read.parquet(gen_dm_dir)
-        .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
-    )
-    if int(new_stats["n_new"]) != int(ndist):
-        shutil.rmtree(gen_dm_dir, ignore_errors=True)
-        raise RuntimeError(
-            "doc_id collision inside the update batch — rehash with a salt"
+        new_stats = dict(obs_new.get)
+        # within-batch collision check (countDistinct is not allowed inside
+        # observed metrics) — one narrow doc_id-only scan of the small delta
+        ndist = (
+            spark.read.parquet(gen_dm_dir)
+            .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
         )
+        if int(new_stats["n_new"]) != int(ndist):
+            shutil.rmtree(gen_dm_dir, ignore_errors=True)
+            raise RuntimeError(
+                "doc_id collision inside the update batch — rehash with a salt"
+            )
+    else:
+        new_stats = {"n_new": 0, "new_nb": 0, "new_dl": 0, "new_xor": 0}
+        # the generation dir must still exist: live_doc_map reads the
+        # delta parent with an explicit schema, which tolerates empty
+        # dirs but not missing ones
+        os.makedirs(gen_dm_dir, exist_ok=True)
 
     # ---- exact arithmetic stats (see module docstring of index/lsm.py)
     n_docs_nb = int(meta["n_docs"]) - int(dead_stats["dead_nb"] or 0) + int(
@@ -1109,28 +1119,35 @@ def _update_delta(
 
     # ---- new generation's postings, encoded under the NEW avgdl (the
     # per-row avgdl_enc + WAND bound scaling keep older generations sound)
-    docs_delta = spark.read.parquet(gen_dm_dir)
-    pairs = _pairs_df(docs_delta, term_buckets)
     gen_post_dir = lsm.delta_postings_dir(out_dir, gen)
-    _encode_and_write_postings(
-        spark, pairs, gen_post_dir, avgdl,
-        float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
-        n_groups=max(len(affected), 1) * term_buckets,
-    )
-    os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty delta
+    if n_fresh > 0:
+        docs_delta = spark.read.parquet(gen_dm_dir)
+        pairs = _pairs_df(docs_delta, term_buckets)
+        _encode_and_write_postings(
+            spark, pairs, gen_post_dir, avgdl,
+            float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+            n_groups=max(len(affected), 1) * term_buckets,
+        )
+    os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
 
     # ---- term dictionary: exact arithmetic merge, written whole (the
     # dict is tiny next to the corpus), committed via the meta pointer
-    new_terms = (
-        docs_delta.where(nb)
-        .select(F.explode(F.map_keys("tfm")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ndf"))
-    )
-    tdelta = new_terms.join(dead_terms, "term", "full_outer").select(
-        "term",
-        (F.coalesce("ndf", F.lit(0)) - F.coalesce("ddf", F.lit(0))).alias("delta"),
-    )
+    if n_fresh > 0:
+        new_terms = (
+            docs_delta.where(nb)
+            .select(F.explode(F.map_keys("tfm")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ndf"))
+        )
+        tdelta = new_terms.join(dead_terms, "term", "full_outer").select(
+            "term",
+            (F.coalesce("ndf", F.lit(0)) - F.coalesce("ddf", F.lit(0)))
+            .alias("delta"),
+        )
+    else:
+        tdelta = dead_terms.select(
+            "term", (-F.col("ddf")).alias("delta")
+        )
     old_ts = spark.read.parquet(lsm.term_stats_path(out_dir, meta))
     merged_ts = (
         old_ts.join(tdelta, "term", "full_outer")
