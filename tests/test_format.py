@@ -1,7 +1,13 @@
-"""Table-format strategy seam (index/format.py): update_index/repair_index
-drive the swap ONLY through the SegmentStore interface, so the Iceberg
-path (overwritePartitions commit) is a constructor argument, not a
-rewrite. A fake store records the call protocol."""
+"""Table-format strategy seam (index/format.py): the rewrite/compaction
+path drives the swap ONLY through the SegmentStore interface, so the
+Iceberg path (overwritePartitions commit) is a constructor argument, not
+a rewrite. A fake store records the call protocol.
+
+The protocol tests pass strategy="rewrite" explicitly: the default
+update strategy is the LSM delta append (index/lsm.py — no segment swap,
+its atomicity is the meta pointer commit), while the store seam is
+exercised by rewrite updates and by compaction (test_compaction_protocol
+below)."""
 
 from __future__ import annotations
 
@@ -50,7 +56,8 @@ def test_update_goes_through_store_protocol(spark, tmp_path):
     pdf2 = pdf.copy()
     pdf2.loc[pdf2.index[:5], "content"] = "changed content zebra"
     store = RecordingStore()
-    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store)
+    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store,
+                         strategy="rewrite")
     assert stats["modified"] == 5
     # protocol: stage -> (marker) -> swap -> cleanup; no heal on clean path
     assert store.calls[0] == "stage"
@@ -58,6 +65,34 @@ def test_update_goes_through_store_protocol(spark, tmp_path):
     assert store.calls[2] == "cleanup"
     assert "heal" not in store.calls
     # results identical to a plain-store update path
+    idx = BM25Index.load(spark, root)
+    assert idx.search("zebra", k=10).count() == 5
+
+
+def test_compaction_goes_through_store_protocol(spark, tmp_path):
+    """compact_index (the LSM fold — builder.compact_index) is the
+    production consumer of the store seam now that delta is the default
+    update strategy: folding generations back into the base must stage →
+    swap → cleanup through the SegmentStore, never raw renames."""
+    from ck_spark.index.builder import compact_index
+
+    root = str(tmp_path / "idxc")
+    pdf = generate_corpus(60, seed=9)
+    build_index(spark, spark.createDataFrame(pdf), root, mode="code",
+                n_segments=2, term_buckets=4, build_groups=1)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:5], "content"] = "compacting zebra content"
+    stats = update_index(spark, spark.createDataFrame(pdf2), root)  # delta
+    assert stats.get("gen"), "delta update must append a generation"
+    store = RecordingStore()
+    compact_index(spark, root, store=store)
+    assert store.calls[0] == "stage"
+    assert store.calls[1].startswith("swap:")
+    assert "cleanup" in store.calls and "heal" not in store.calls
+    from ck_spark.index import lsm
+    from ck_spark.index.manifest import Manifest
+
+    assert lsm.live_gens(Manifest(root).load_meta()) == []
     idx = BM25Index.load(spark, root)
     assert idx.search("zebra", k=10).count() == 5
 
@@ -86,14 +121,16 @@ def test_fake_commit_store_marker_and_heal(spark, tmp_path):
     pdf2.loc[pdf2.index[:3], "content"] = "crashy update marker"
     crash = CrashingStore()
     with pytest.raises(RuntimeError, match="simulated crash"):
-        update_index(spark, spark.createDataFrame(pdf2), root, store=crash)
+        update_index(spark, spark.createDataFrame(pdf2), root, store=crash,
+                     strategy="rewrite")
     from ck_spark.index.manifest import Manifest
 
     assert Manifest(root).load_marker("update_inprogress") is not None
 
     # the next update heals first (heal call observed), then completes
     store = RecordingStore()
-    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store)
+    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store,
+                         strategy="rewrite")
     assert store.calls[0] == "heal"
     assert stats["modified"] == 3 or stats["unchanged"] >= 47
     assert Manifest(root).load_marker("update_inprogress") is None
@@ -164,7 +201,8 @@ def test_fake_iceberg_clean_update_matches_parquet_store(spark, tmp_path):
         root = str(tmp_path / name)
         build_index(spark, spark.createDataFrame(pdf), root, mode="code",
                     n_segments=2, term_buckets=4, build_groups=1)
-        stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store)
+        stats = update_index(spark, spark.createDataFrame(pdf2), root,
+                             store=store, strategy="rewrite")
         assert stats["modified"] == 4
         roots[name] = root
     res = {
@@ -212,7 +250,7 @@ def test_fake_iceberg_uncommitted_swap_never_happened(spark, tmp_path):
     pdf2.loc[pdf2.index[:3], "content"] = "postcrashmarkerx content"
     with pytest.raises(RuntimeError, match="before snapshot"):
         update_index(spark, spark.createDataFrame(pdf2), root,
-                     store=CrashBeforeCommit())
+                     store=CrashBeforeCommit(), strategy="rewrite")
     # uncommitted swap never happened: table bytes untouched
     assert table_fingerprint() == before
 
@@ -220,7 +258,8 @@ def test_fake_iceberg_uncommitted_swap_never_happened(spark, tmp_path):
 
     assert Manifest(root).load_marker("update_inprogress") is not None
     store = FakeIcebergStore()
-    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store)
+    stats = update_index(spark, spark.createDataFrame(pdf2), root, store=store,
+                         strategy="rewrite")
     # heal ran as a no-op through the seam, then the commit applied
     assert store.calls[0] == "heal-noop"
     assert any(c.startswith("commit:") for c in store.calls)
