@@ -355,6 +355,52 @@ def main() -> None:
         "\n".join(ivfp),
     ))
 
+    # LSM live view: after a delta update (index/lsm.py) the query plan
+    # gains ONE extra postings scan per live generation — and that scan
+    # must be pruned exactly like the base: gen+bucket PartitionFilters,
+    # term pushed filter, pos_blocks absent for non-phrase queries, and
+    # still zero corpus access. Gen-less indexes skip the union entirely
+    # (identical plan to the pre-LSM engine), so never-updated indexes
+    # pay nothing.
+    from ck_spark.index.builder import update_index
+
+    upd = corpus.where(F.pmod(F.xxhash64("path"), F.lit(50)) == 0).withColumn(
+        "content", F.concat("content", F.lit("\n# lsm plan capture\n")))
+    update_index(spark, upd, root, full_snapshot=False)
+    idx_live = BM25Index.load(spark, root)
+    lp = plan_of(idx_live.search("parse buffer", k=10))
+    scans = [ln for ln in lp.splitlines() if "FileScan" in ln]
+    post_scans = [ln for ln in scans
+                  if "postings" in ln and "trigram" not in ln]
+    assert len(post_scans) >= 2, "live view must scan base + delta postings"
+    assert all("bucket" in ln.split("PartitionFilters")[-1][:220]
+               for ln in post_scans), \
+        "every generation's postings scan must prune bucket partitions"
+    assert any("gen" in ln.split("PartitionFilters")[-1][:220]
+               for ln in post_scans), \
+        "delta postings scan must carry the live-gen partition filter"
+    assert "pos_blocks" not in lp, \
+        "non-phrase live-view query must still prune positions"
+    lsm_lines = []
+    for ln in post_scans:
+        lsm_lines.append(ln.strip()[:160] + " …")
+        for frag in re.findall(
+            r"(PartitionFilters: \[[^\]]*\]|PushedFilters: \[[^\]]*\])", ln
+        ):
+            lsm_lines.append("  " + frag[:220])
+    sections.append((
+        "LSM live view after a delta update — per-generation pruning",
+        "After update_index (strategy='delta') the same query unions the "
+        "base postings with the delta generation's — BOTH scans below "
+        "carry bucket PartitionFilters + the term pushed filter (the "
+        "delta adds gen pruning), pos_blocks stays out of the ReadSchema, "
+        "and there is still no corpus scan. Tombstoned doc ids are "
+        "excluded executor-side in the segment scorer's banned set "
+        "(delta-sized, cogrouped per (gen, seg)) — no corpus-scale "
+        "broadcast anywhere. A gen-less index takes the plain base plan.",
+        "\n".join(lsm_lines[:14]),
+    ))
+
     out = ["# PLANS — captured physical plans (judge artifact)\n",
            "Generated by `python scripts/capture_plans.py` on a fresh "
            "3000-doc index. What to look for in each plan is stated above "
