@@ -355,7 +355,12 @@ def _encode_and_write_postings(
     # keeps the pre-apply sort to one bucket's worth of rows per task —
     # a width fixed by core count alone made the sort exhaust execution
     # memory at 480k docs × 16 partitions (observed UNABLE_TO_ACQUIRE).
-    enc_width = max(spark.sparkContext.defaultParallelism * 2, 16, n_groups)
+    # A caller that KNOWS the input is small (the LSM delta path) passes a
+    # sub-core n_groups, which then CAPS the width — scheduling 2×cores
+    # Arrow tasks for a 100-doc generation costs more than the encode.
+    par_floor = max(spark.sparkContext.defaultParallelism * 2, 16)
+    enc_width = max(16, n_groups) if 0 < n_groups < par_floor \
+        else max(par_floor, n_groups)
     enc = (
         pairs.repartition(enc_width, "seg", "bucket")
         .groupBy("seg", "bucket")
@@ -957,6 +962,18 @@ def _update_delta(
     t_start = time.time()
     gen = lsm.next_gen(meta)
 
+    # per-stage wall clock, returned as stats["stage_ms"] — the update is
+    # a fixed chain of ~10 small jobs, so at small deltas the breakdown
+    # (not the data volume) is what explains the latency; at scale it
+    # shows which stage grew
+    _stage_ms: dict[str, int] = {}
+    _t_stage = [time.time()]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        _stage_ms[name] = _stage_ms.get(name, 0) + int((now - _t_stage[0]) * 1000)
+        _t_stage[0] = now
+
     live = lsm.live_doc_map(spark, out_dir, meta)
     live_g = live if "gen" in live.columns else live.withColumn("gen", F.lit(0))
 
@@ -976,7 +993,18 @@ def _update_delta(
         F.coalesce(F.col("n.seg"), F.col("o.seg")).alias("seg"),
         F.col("o.old_gen").alias("old_gen"),
     )
-    counts = diff.agg(
+    # ---- ONE diff pass. The sha2 hash of every corpus row is the
+    # expensive input here (at 1M files it reads and hashes ~0.7 GB);
+    # the change counts ride the write job as observed metrics and the
+    # (small, change-sized) id set is MATERIALIZED, so the downstream
+    # consumers — affected segs, tombstones, fresh tokenize, trigram and
+    # content-store hooks — broadcast-read it instead of each re-deriving
+    # the full corpus hash join (the pre-materialization path hashed the
+    # corpus up to 5× per update). The staging dir is generation-keyed
+    # and GC'd with the other orphans on crash, deleted after commit.
+    obs_diff = Observation()
+    diff_o = diff.observe(
+        obs_diff,
         F.sum(F.when(F.col("old_sha").isNull(), 1).otherwise(0)).alias("added"),
         F.sum(F.when(F.col("new_sha").isNull(), 1).otherwise(0)).alias("removed"),
         F.sum(
@@ -992,24 +1020,49 @@ def _update_delta(
                 F.col("old_sha").isNotNull() & (F.col("new_sha") == F.col("old_sha")), 1
             ).otherwise(0)
         ).alias("unchanged"),
-    ).collect()[0]
+        # affected segments ride the same job (collect_set ignores the
+        # nulls of unchanged rows); bounded by n_segments driver-side
+        F.collect_set(
+            F.when(
+                F.col("old_sha").isNull()
+                | F.col("new_sha").isNull()
+                | (F.col("old_sha") != F.col("new_sha")),
+                F.col("seg"),
+            )
+        ).alias("affected"),
+    )
+    diff_dir = lsm.diff_staging_dir(out_dir, gen)
+    (
+        diff_o.where(
+            F.col("old_sha").isNull()
+            | F.col("new_sha").isNull()
+            | (F.col("old_sha") != F.col("new_sha"))
+        )
+        .select(
+            "doc_id",
+            F.col("seg").cast("int").alias("seg"),
+            F.col("old_sha").isNotNull().alias("is_dead"),
+            F.col("new_sha").isNotNull().alias("is_fresh"),
+        )
+        .write.mode("overwrite")
+        .parquet(diff_dir)
+    )
+    counts = obs_diff.get
+    _mark("diff")
     stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
     stats["repaired"] = repaired
     if stats["added"] + stats["removed"] + stats["modified"] == 0:
+        shutil.rmtree(diff_dir, ignore_errors=True)
         stats["affected_segments"] = []
         stats["build_ms"] = int((time.time() - t_start) * 1000)
         return stats
     stats["gen"] = gen
 
-    changed = diff.where(
-        F.col("old_sha").isNull()
-        | F.col("new_sha").isNull()
-        | (F.col("old_sha") != F.col("new_sha"))
-    )
-    affected = sorted(r["seg"] for r in changed.select("seg").distinct().collect())
+    changed = spark.read.parquet(diff_dir)
+    affected = sorted(int(s) for s in (counts["affected"] or []))
     stats["affected_segments"] = affected
-    dead_ids = changed.where(F.col("old_sha").isNotNull()).select("doc_id")
-    fresh_ids = changed.where(F.col("new_sha").isNotNull()).select("doc_id")
+    dead_ids = changed.where("is_dead").select("doc_id")
+    fresh_ids = changed.where("is_fresh").select("doc_id")
 
     # ---- dead versions: ONE narrow pass over their stored rows gives the
     # tombstones (written), the exact stat corrections (observed on that
@@ -1038,6 +1091,7 @@ def _update_delta(
         .parquet(lsm.tombstones_dir(out_dir, gen))
     )
     dead_stats = obs_dead.get
+    _mark("tombstones")
     dead_terms = (
         dead_rows.where(nb)
         .select(F.explode(F.map_keys("tfm")).alias("term"))
@@ -1095,6 +1149,8 @@ def _update_delta(
         # dirs but not missing ones
         os.makedirs(gen_dm_dir, exist_ok=True)
 
+    _mark("fresh_doc_map")
+
     # ---- exact arithmetic stats (see module docstring of index/lsm.py)
     n_docs_nb = int(meta["n_docs"]) - int(dead_stats["dead_nb"] or 0) + int(
         new_stats["new_nb"] or 0
@@ -1123,12 +1179,18 @@ def _update_delta(
     if n_fresh > 0:
         docs_delta = spark.read.parquet(gen_dm_dir)
         pairs = _pairs_df(docs_delta, term_buckets)
+        # delta-sized width: ~64 docs' pairs per task keeps tasks busy
+        # without scheduling the full seg×bucket geometry for a small
+        # generation; bounded above by the geometry rule (memory: one
+        # group's rows per task) for corpus-scale deltas
         _encode_and_write_postings(
             spark, pairs, gen_post_dir, avgdl,
             float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
-            n_groups=max(len(affected), 1) * term_buckets,
+            n_groups=min(max(len(affected), 1) * term_buckets,
+                         max(16, n_fresh // 64 + 1)),
         )
     os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
+    _mark("postings_encode")
 
     # ---- term dictionary: exact arithmetic merge, written whole (the
     # dict is tiny next to the corpus), committed via the meta pointer
@@ -1169,6 +1231,7 @@ def _update_delta(
         "overwrite"
     ).parquet(ts_dir)
     n_terms = int(obs_ts.get["rows"])
+    _mark("term_stats_merge")
 
     # ---- derived-store delta hooks (each with its own crash fallback)
     from ck_spark.query.trigram import (
@@ -1179,7 +1242,7 @@ def _update_delta(
     tri_refresh = os.path.exists(_tri_dir) and store_content
     if os.path.exists(_tri_dir) and not store_content:
         shutil.rmtree(_tri_dir, ignore_errors=True)
-    if tri_refresh:
+    if tri_refresh and n_fresh > 0:
         # grams for only the fresh docs; extra entries for dead versions
         # are dropped by the live-view fetch/verify (over-approximation
         # soundness — trigram.py module docstring). A crash mid-append
@@ -1196,22 +1259,35 @@ def _update_delta(
             n_fresh=stats["added"] + stats["modified"],
             allow_compact=False,
         )
+    # removal-only updates (n_fresh == 0) need NO trigram mutation: the
+    # index is an over-approximation and dead docs drop out of the live
+    # doc_map that the candidate fetch joins — the marker stays valid
+    _mark("trigram_refresh")
 
     from ck_spark.index.content_store import (
         COMPACT, build_content_store, commit_content_store_delta,
         stage_content_store_delta,
     )
 
-    fresh_light = (
-        fresh_corpus.withColumn("doc_id", doc_id_expr())
-        .withColumn("seg", seg_expr(n_segments))
-        .withColumn("is_binary", F.contains("content", F.lit("\x00")))
-    )
+    # the blob append needs (seg, doc_id, repo, path, lang, content,
+    # is_binary) for the fresh docs — with stored content the written
+    # generation doc_map already carries all of them, so reuse it instead
+    # of a second corpus scan (the store only exists on v6 stored-content
+    # indexes, and a removal-only update stages nothing fresh)
+    if store_content and n_fresh > 0:
+        fresh_light = docs_delta
+    else:
+        fresh_light = (
+            fresh_corpus.withColumn("doc_id", doc_id_expr())
+            .withColumn("seg", seg_expr(n_segments))
+            .withColumn("is_binary", F.contains("content", F.lit("\x00")))
+        )
     cs_stage = stage_content_store_delta(
         spark, out_dir, affected, fresh_light,
         dead_ids.unionByName(fresh_ids).distinct(),
         stats["added"] + stats["modified"],
     )
+    _mark("content_store_stage")
     if cs_stage is not None:
         # bracket the pointer-table commit: it lands AFTER the meta commit
         # below, so a crash between the two would otherwise leave the new
@@ -1256,6 +1332,8 @@ def _update_delta(
         )
         man.clear_marker("cs_refresh_pending")
 
+    _mark("commit")
+    stats["stage_ms"] = _stage_ms
     stats["build_ms"] = int((time.time() - t_start) * 1000)
     man.complete(
         "update", int(time.time()), snapshot,
@@ -1263,6 +1341,7 @@ def _update_delta(
         lineage=f"delta gen={gen} +{stats['added']} ~{stats['modified']} "
                 f"-{stats['removed']}",
     )
+    shutil.rmtree(diff_dir, ignore_errors=True)  # staging outlived its use
     if lsm.needs_compaction(meta):
         compact_index(spark, out_dir, store=store)
         stats["compacted"] = True

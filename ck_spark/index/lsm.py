@@ -79,6 +79,14 @@ def delta_postings_dir(root: str, gen: int | None = None) -> str:
     return d if gen is None else os.path.join(d, f"gen={int(gen)}")
 
 
+def diff_staging_dir(root: str, gen: int) -> str:
+    """Materialized change-id set of an in-flight update (doc_id, seg,
+    is_dead, is_fresh) — written once by the single diff pass, broadcast-
+    read by every downstream stage, deleted after the meta commit.
+    Generation-keyed so a crashed update's staging is GC'd as an orphan."""
+    return os.path.join(root, DELTA_DIR, "diff", f"gen={int(gen)}")
+
+
 def term_stats_gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, DELTA_DIR, f"term_stats_gen_{int(gen)}")
 
@@ -226,6 +234,10 @@ def gc_orphan_gens(root: str, meta: dict) -> list[int]:
     this. Returns the GC'd generation numbers."""
     live = set(live_gens(meta))
     dropped: set[int] = set()
+    # diff staging is transient even for committed generations (deleted
+    # after the meta commit; a crash in between leaves it) — single-writer
+    # discipline makes any staging present at update start stale
+    shutil.rmtree(os.path.join(root, DELTA_DIR, "diff"), ignore_errors=True)
     for parent, prefix in (
         (delta_doc_map_dir(root), "gen="),
         (delta_postings_dir(root), "gen="),

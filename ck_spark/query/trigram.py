@@ -447,7 +447,8 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
 
 def _encode_and_write_grams(
     spark: SparkSession, docs: DataFrame, term_buckets: int, out_dir: str,
-    append: bool = False, n_segments: int | None = None
+    append: bool = False, n_segments: int | None = None,
+    n_docs_hint: int | None = None,
 ) -> int:
     """Write the trigram table from (doc_id, seg, content) rows.
 
@@ -475,6 +476,11 @@ def _encode_and_write_grams(
     from pyspark.sql import Observation
 
     width = max(spark.sparkContext.defaultParallelism * 2, 16)
+    if n_docs_hint is not None and n_docs_hint > 0:
+        # a small LSM delta append doesn't need (and shouldn't pay for)
+        # the full build width — ~64 docs per task, and fewer tasks also
+        # means fewer partial rows per (seg, gram)
+        width = max(1, min(width, n_docs_hint // 64 + 1))
     if n_segments is None:
         # callers pass the manifest value; fall back to a salt-only
         # spread (k=width) rather than failing — still bounded
@@ -685,6 +691,7 @@ def refresh_trigram_append(
     appended = 0 if n_fresh == 0 else _encode_and_write_grams(
         spark, docs, term_buckets, out_dir, append=True,
         n_segments=int(meta.get("n_segments") or 1),
+        n_docs_hint=int(n_fresh),
     )
     rows = base_rows + appended
     delta_docs = old_delta + int(n_fresh)

@@ -138,7 +138,11 @@ def test_update_refreshes_store_delta(spark, tmp_path):
                  full_snapshot=True)
     assert content_store_exists(root)
     store = ContentStore.load(spark, root)
-    dm = spark.read.parquet(root + "/doc_map")
+    # the updated docs live in the delta generation, not the base table —
+    # read the LSM live view (base ∪ delta − tombstones)
+    from ck_spark.index.lsm import live_doc_map
+
+    dm = live_doc_map(spark, root)
     row = dm.where(dm.path == pdf2.loc[3, "path"]).select(
         "seg", "doc_id", "content").collect()[0]
     got = store.fetch_pred([row["seg"]], [row["doc_id"]]).collect()
