@@ -81,17 +81,19 @@ K1, B = 1.2, 0.75
 # oracle SQL builders (DuckDB dialect-compatible ANSI)
 # --------------------------------------------------------------------------
 
-_TOK_CTES = """
+def _tok_ctes_for(table: str) -> str:
+    """simple-mode tokenization CTEs over the given docs table/CTE."""
+    return f"""
 raw AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
-  FROM documents
+  FROM {table}
 ),
 tok AS (
   SELECT doc_id, term FROM raw WHERE term <> '' AND length(term) <= 39
 ),
 dl AS (
   SELECT d.doc_id, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS dl
-  FROM documents d
+  FROM {table} d
   LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c
     ON d.doc_id = c.doc_id
 ),
@@ -99,6 +101,9 @@ stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
 """
+
+
+_TOK_CTES = _tok_ctes_for("documents")
 
 
 def _bm25_scored_cte(terms: list[str]) -> str:
@@ -191,6 +196,54 @@ ORDER BY sum(c.c) DESC, c.doc_id LIMIT 20"""
 # --------------------------------------------------------------------------
 # engine-side query callables
 # --------------------------------------------------------------------------
+
+
+# LSM incremental-update contract: the engine builds the base index over
+# documents, applies ONE update_index (delta generations + tombstones)
+# with a deterministically edited snapshot (doc_id%11==3 removed;
+# doc_id%7==0 gets a marker appended), then searches the LIVE view. The
+# oracle is a fresh BM25 over the edited corpus expressed in SQL — so the
+# hash match proves the merged df/avgdl/generation scoring is identical
+# to a from-scratch engine.
+_LSM_EDIT_CTE = """documents2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' lsmfresh lsmfresh update marker'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 11 <> 3
+)"""
+
+_LSM_UPDATE_SQL = f"""WITH {_LSM_EDIT_CTE},
+{_tok_ctes_for("documents2")},
+q(term) AS (VALUES ('spark'), ('lsmfresh')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20"""
+
+
+def _q_lsm_update_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import documents_index_updated, search_documents
+
+    idx = documents_index_updated(spark, sf_dir)
+    df = search_documents(spark, sf_dir, "spark lsmfresh", k=20, mode="or",
+                          idx=idx)
+    return df.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _bm25_syntax(query: str, k: int):
@@ -1846,6 +1899,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean_mixed": _bm25_syntax("+table merge", k=20),
         "bm25_phrase": _bm25_syntax('"table hash"', k=20),
         "bm25_phrase_not": _bm25_syntax('table -"table hash"', k=20),
+        "lsm_update_search": _q_lsm_update_search,
         "term_df_top50": _q_term_df_top50,
         "doc_len_stats": _q_doc_len,
         "corpus_stats": _q_corpus_stats,
@@ -1914,6 +1968,7 @@ ORDER BY score DESC, doc_id""",
         "bm25_boolean_mixed": _BOOL_MIXED_SQL,
         "bm25_phrase": _BOOL_PHRASE_SQL,
         "bm25_phrase_not": _BOOL_PHRASE_NOT_SQL,
+        "lsm_update_search": _LSM_UPDATE_SQL,
         "term_df_top50": f"""WITH {_TOK_CTES}
 SELECT term, CAST(df AS BIGINT) AS df
 FROM df ORDER BY df DESC, term LIMIT 50""",

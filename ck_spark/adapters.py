@@ -72,6 +72,60 @@ def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     return BM25Index.load(spark, root)
 
 
+# deterministic corpus edit for the LSM-update contract (lsm_update_search):
+# docs with doc_id % 11 == 3 are REMOVED; of the remainder, doc_id % 7 == 0
+# are MODIFIED (marker text appended). The DuckDB oracle applies the same
+# rule in SQL, so the updated index must be hash-identical to a fresh
+# engine over the edited corpus.
+LSM_EDIT_MARKER = " lsmfresh lsmfresh update marker"
+
+
+def documents_index_updated(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """The LSM-update contract index: base build over documents, then ONE
+    update_index (strategy='delta' default) with the deterministically
+    edited snapshot — removals become tombstones, modified docs a new
+    generation. Cached like documents_index; the 'lsm_done' sentinel
+    records (version, snapshot) so reruns skip straight to load."""
+    import json
+    import shutil
+
+    from ck_spark.index.builder import INDEX_VERSION, build_index, update_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(ENTRY_INDEX_ROOT, tag + "_lsm")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
+    sentinel = os.path.join(root, "_lsm_done.json")
+    try:
+        with open(sentinel) as f:
+            done = json.load(f)
+        if done == {"version": INDEX_VERSION, "snap": snap}:
+            return BM25Index.load(spark, root)
+    except (FileNotFoundError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load_documents(spark, sf_dir)
+    par = min(spark.sparkContext.defaultParallelism, max(2, docs.count() // 512))
+    corpus = documents_as_corpus(docs).repartition(par)
+    build_index(
+        spark, corpus, root, mode="simple",
+        n_segments=4, term_buckets=16, build_groups=2, resume=False,
+        snapshot_id=snap,
+    )
+    edited = documents_as_corpus(
+        docs.where(F.col("doc_id") % 11 != 3).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat("text", F.lit(LSM_EDIT_MARKER)))
+            .otherwise(F.col("text")),
+        )
+    ).repartition(par)
+    update_index(spark, edited, root, full_snapshot=True)
+    with open(sentinel, "w") as f:
+        json.dump({"version": INDEX_VERSION, "snap": snap}, f)
+    return BM25Index.load(spark, root)
+
+
 def search_documents(
     spark: SparkSession,
     sf_dir: str,
@@ -81,6 +135,7 @@ def search_documents(
     normalize: bool = False,
     threshold: float | None = None,
     tie_buffer: int = 20,
+    idx: BM25Index | None = None,
 ) -> DataFrame:
     """BM25 top-k over documents, results keyed by the ORIGINAL doc_id.
 
@@ -92,8 +147,12 @@ def search_documents(
     (score desc, doc_id asc) and cut to k — always identical to the SQL
     oracle's ORDER BY score DESC, doc_id, regardless of how many docs tie
     at the boundary. The decision collects ≤fetch rows driver-side (top-k
-    results are driver-sized by definition)."""
-    idx = documents_index(spark, sf_dir)
+    results are driver-sized by definition).
+
+    ``idx`` overrides the default cached documents index (the LSM-updated
+    contract index passes its own handle)."""
+    if idx is None:
+        idx = documents_index(spark, sf_dir)
     n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
     fetch = min(k + tie_buffer, n_docs)
     while True:
