@@ -329,10 +329,18 @@ def _make_bucket_encoder(avgdl: float, k1: float, b: float, block: int):
 def _encode_and_write_postings(
     spark: SparkSession, pairs: DataFrame, out_dir: str,
     avgdl: float, k1: float, b: float, block_size: int,
-    n_groups: int = 0,
+    n_groups: int = 0, bucket_dirs: bool = True,
 ) -> tuple[int, int]:
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
-    with dynamic partition overwrite. Returns (rows, ~terms)."""
+    with dynamic partition overwrite. Returns (rows, ~terms).
+
+    bucket_dirs=False (LSM delta generations) writes seg=-only partition
+    dirs with bucket kept as a SORTED data column: the base table's
+    bucket dirs give partition pruning on corpus-scale data, but a small
+    generation would pay one dynamic-partition dir commit per (seg,
+    bucket) — ~2048 of them at production geometry — while a pushed
+    bucket filter over sorted row groups prunes a delta-sized scan just
+    as well."""
     if pairs.isEmpty():
         # nothing to encode (empty segment group / all docs removed from
         # the affected segments) — Observation.get would hang/assert on a
@@ -369,20 +377,32 @@ def _encode_and_write_postings(
         )
     )
     obs = Observation()
-    (
-        enc.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.approx_count_distinct("term").alias("terms"),
-        )
-        # ~1 writer task per (seg, bucket) dir; encoded rows are compact so
-        # this extra exchange is tiny relative to the encode UDF stage
-        .repartition("seg", "bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("seg", "bucket")
-        .parquet(out_dir)
+    observed = enc.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("term").alias("terms"),
     )
+    if bucket_dirs:
+        (
+            # ~1 writer task per (seg, bucket) dir; encoded rows are
+            # compact so this extra exchange is tiny relative to the
+            # encode UDF stage
+            observed.repartition("seg", "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg", "bucket")
+            .parquet(out_dir)
+        )
+    else:
+        (
+            # delta layout: one dir per seg; (bucket, term)-sorted rows
+            # give row-group skipping for the query's bucket/term filters
+            observed.repartition("seg")
+            .sortWithinPartitions("seg", "bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(out_dir)
+        )
     return int(obs.get["rows"]), int(obs.get["terms"])
 
 
@@ -1188,6 +1208,7 @@ def _update_delta(
             float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
             n_groups=min(max(len(affected), 1) * term_buckets,
                          max(16, n_fresh // 64 + 1)),
+            bucket_dirs=lsm.delta_bucket_dirs(out_dir, meta),
         )
     os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
     _mark("postings_encode")

@@ -87,6 +87,28 @@ def diff_staging_dir(root: str, gen: int) -> str:
     return os.path.join(root, DELTA_DIR, "diff", f"gen={int(gen)}")
 
 
+def delta_bucket_dirs(root: str, meta: dict) -> bool:
+    """True if any LIVE delta generation still uses the legacy
+    seg=/bucket= directory layout. New generations write seg=-only dirs
+    with bucket as a sorted DATA column (a 15k-doc generation into a
+    64-seg x 32-bucket geometry paid ~2048 dynamic-partition dir commits
+    — the dominant update cost at 1M files), but one parquet read spans
+    every generation, and Spark partition discovery rejects mixed leaf
+    depths — so while a legacy generation is live, new ones must match
+    it (compaction retires them all)."""
+    for g in live_gens(meta):
+        gd = delta_postings_dir(root, g)
+        if not os.path.isdir(gd):
+            continue
+        for seg in os.listdir(gd):
+            sp = os.path.join(gd, seg)
+            if seg.startswith("seg=") and os.path.isdir(sp):
+                if any(n.startswith("bucket=") for n in os.listdir(sp)):
+                    return True
+                break  # layout is uniform within a generation
+    return False
+
+
 def term_stats_gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, DELTA_DIR, f"term_stats_gen_{int(gen)}")
 

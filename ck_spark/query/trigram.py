@@ -242,12 +242,53 @@ _TRIGRAM_SCHEMA = "ghash int, n_docs int, ids_blocks array<binary>"
 _TRIGRAM_TABLE_SCHEMA = _TRIGRAM_SCHEMA + ", seg int, bucket int"
 
 
-def _read_trigram_table(spark: SparkSession, root: str) -> DataFrame:
+# LSM delta appends live in a _-prefixed subdir (invisible to the base
+# table's partition discovery, like _gram_stats): app=K/seg=S dirs with
+# bucket as a sorted DATA column. Appending into the base's seg=/bucket=
+# dirs paid one file commit per (seg, bucket) touched — ~segs x buckets
+# small files per update at production geometry; the delta dir writes
+# one dir per seg instead, and a pushed bucket filter over sorted row
+# groups prunes the (delta-sized) scan just as well.
+TRIGRAM_DELTA_SUBDIR = "_delta"
+
+
+def _trigram_delta_dir(root: str) -> str:
     import os
 
-    return spark.read.schema(_TRIGRAM_TABLE_SCHEMA).parquet(
+    return os.path.join(root, TRIGRAM_DIR, TRIGRAM_DELTA_SUBDIR)
+
+
+def _read_trigram_table(
+    spark: SparkSession, root: str, n_apps: int | None = None
+) -> DataFrame:
+    """Base ∪ committed delta appends. Only app dirs < the marker's
+    n_apps are visible — a crashed partial append (dir present, marker
+    never rewritten) is excluded, because a PARTIAL append would be a
+    candidate UNDER-approximation (missed matches), the one unsound
+    direction. Callers holding the pre-invalidation marker (repair) pass
+    n_apps explicitly."""
+    import os
+
+    base = spark.read.schema(_TRIGRAM_TABLE_SCHEMA).parquet(
         os.path.join(root, TRIGRAM_DIR)
     )
+    if n_apps is None:
+        n_apps = int(_read_trigram_marker(root).get("n_apps", 0))
+    ddir = _trigram_delta_dir(root)
+    if n_apps <= 0 or not os.path.isdir(ddir):
+        return base
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sch = StructType(
+        list(base.schema.fields) + [StructField("app", IntegerType())]
+    )
+    delta = (
+        spark.read.schema(sch).parquet(ddir)
+        .where(F.col("app") < int(n_apps))
+        .select(*base.columns)
+    )
+    return base.unionByName(delta)
 
 
 def trigram_index_exists(root: str) -> bool:
@@ -448,7 +489,7 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
 def _encode_and_write_grams(
     spark: SparkSession, docs: DataFrame, term_buckets: int, out_dir: str,
     append: bool = False, n_segments: int | None = None,
-    n_docs_hint: int | None = None,
+    n_docs_hint: int | None = None, bucket_dirs: bool = True,
 ) -> int:
     """Write the trigram table from (doc_id, seg, content) rows.
 
@@ -496,7 +537,11 @@ def _encode_and_write_grams(
         .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
     writer = enc_df.write
-    if append:
+    if not bucket_dirs:
+        # delta-append layout: one dir per seg, bucket stays a (sorted)
+        # data column — file commits ∝ segs touched, not segs x buckets
+        writer.mode("overwrite").partitionBy("seg").parquet(out_dir)
+    elif append:
         writer.mode("append").partitionBy("seg", "bucket").parquet(out_dir)
     else:
         (
@@ -511,7 +556,8 @@ def _encode_and_write_grams(
 GRAM_STATS_DIR = "_gram_stats"  # _-prefixed: invisible to partition discovery
 
 
-def _write_gram_stats(spark: SparkSession, root: str) -> None:
+def _write_gram_stats(spark: SparkSession, root: str,
+                      n_apps: int | None = None) -> None:
     """Persist global per-gram document frequencies beside the postings
     (the BM25 term_stats analogue): ONE aggregation at build/compact/
     repair time so query-time gram triage is a driver-side dict lookup —
@@ -521,7 +567,7 @@ def _write_gram_stats(spark: SparkSession, root: str) -> None:
 
     out = os.path.join(root, TRIGRAM_DIR, GRAM_STATS_DIR)
     (
-        _read_trigram_table(spark, root)
+        _read_trigram_table(spark, root, n_apps=n_apps)
         .groupBy("ghash").agg(F.sum("n_docs").alias("df"))
         .coalesce(1).write.mode("overwrite").parquet(out)
     )
@@ -542,7 +588,8 @@ def _read_gram_stats(root: str) -> dict:
 
 
 def _write_trigram_marker(
-    out_dir: str, rows: int, term_buckets: int, delta_docs: int = 0
+    out_dir: str, rows: int, term_buckets: int, delta_docs: int = 0,
+    n_apps: int = 0,
 ) -> None:
     # dynamic partition overwrite commits per-partition and writes NO
     # top-level _SUCCESS; completion is marked explicitly (tmp+rename,
@@ -558,6 +605,7 @@ def _write_trigram_marker(
     fd, tmp = tempfile.mkstemp(dir=out_dir)
     with os.fdopen(fd, "w") as f:
         json.dump({"rows": rows, "delta_docs": delta_docs,
+                   "n_apps": int(n_apps),
                    "gram_hash_space": GRAM_HASH_SPACE,
                    "gram_key": GRAM_KEY,
                    "term_buckets": term_buckets}, f)
@@ -628,6 +676,11 @@ def build_trigram_index(
 
         shutil.rmtree(out_dir, ignore_errors=True)
     invalidate_trigram_marker(root)
+    import shutil as _sh
+
+    # a full (re)build folds everything into base: stale delta apps must
+    # not survive to be mistaken for a later append's generation
+    _sh.rmtree(_trigram_delta_dir(root), ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     rows = _encode_and_write_grams(spark, docs, term_buckets, out_dir,
                                    n_segments=n_segments)
@@ -682,14 +735,32 @@ def refresh_trigram_append(
         return compact_trigram_index(spark, root)
     base_rows = int(old.get("rows", 0))
     old_delta = int(old.get("delta_docs", 0))
+    n_apps = int(old.get("n_apps", 0))
     invalidate_trigram_marker(root)
+    # GC crashed partial appends: any app dir >= the committed count was
+    # never made visible (a partial append would UNDER-approximate —
+    # missed matches — so visibility is marker-gated, unlike the
+    # harmlessly over-inclusive stale rows of modified docs)
+    import shutil
+
+    ddir = _trigram_delta_dir(root)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if name.startswith("app="):
+                try:
+                    if int(name[4:]) >= n_apps:
+                        shutil.rmtree(os.path.join(ddir, name),
+                                      ignore_errors=True)
+                except ValueError:
+                    pass
     docs = fresh_docs.select("doc_id", "seg", "content")
     if n_fresh is None:
         n_fresh = docs.count()
     # Observation.get would hang on a plan that runs no tasks — guard the
     # nothing-to-append case (update with only removals)
     appended = 0 if n_fresh == 0 else _encode_and_write_grams(
-        spark, docs, term_buckets, out_dir, append=True,
+        spark, docs, term_buckets,
+        os.path.join(ddir, f"app={n_apps}"), bucket_dirs=False,
         n_segments=int(meta.get("n_segments") or 1),
         n_docs_hint=int(n_fresh),
     )
@@ -697,7 +768,8 @@ def refresh_trigram_append(
     delta_docs = old_delta + int(n_fresh)
     if allow_compact and delta_docs > n_docs_total * DELTA_COMPACT_FRACTION:
         return compact_trigram_index(spark, root)
-    _write_trigram_marker(out_dir, rows, term_buckets, delta_docs=delta_docs)
+    _write_trigram_marker(out_dir, rows, term_buckets, delta_docs=delta_docs,
+                          n_apps=n_apps + (1 if appended else 0))
     return rows
 
 
@@ -741,9 +813,17 @@ def refresh_trigram_segments(
     term_buckets = int(meta["term_buckets"])
     out_dir = os.path.join(root, TRIGRAM_DIR)
     old = _read_trigram_marker(root)
+    n_apps = int(old.get("n_apps", 0))
     invalidate_trigram_marker(root)
     for s in segs:
         shutil.rmtree(os.path.join(out_dir, f"seg={s}"), ignore_errors=True)
+        # fold these segments' delta rows into the rebuilt base too — the
+        # wholesale re-derive below covers their docs
+        ddir = _trigram_delta_dir(root)
+        if os.path.isdir(ddir):
+            for app in os.listdir(ddir):
+                shutil.rmtree(os.path.join(ddir, app, f"seg={s}"),
+                              ignore_errors=True)
     from ck_spark.index.lsm import live_doc_map
 
     docs = (
@@ -754,12 +834,15 @@ def refresh_trigram_segments(
     if not docs.isEmpty():
         _encode_and_write_grams(spark, docs, term_buckets, out_dir,
                                 n_segments=int(meta.get("n_segments") or 1))
-    rows = int(_read_trigram_table(spark, root).count())
-    # stats must be re-derived: the repaired segments may carry grams the
-    # build-time stats never saw, and the EMPTY triage verdict is only
-    # sound against fresh stats when delta_docs is 0
-    _write_gram_stats(spark, root)
-    _write_trigram_marker(out_dir, rows, term_buckets, delta_docs=0)
+    rows = int(_read_trigram_table(spark, root, n_apps=n_apps).count())
+    # stats must be re-derived over the FULL union (remaining delta apps
+    # included — the marker is invalidated right now, so pass n_apps):
+    # the repaired segments may carry grams the build-time stats never
+    # saw, and the EMPTY triage verdict is only sound against stats that
+    # cover every live row, which also lets delta_docs reset to 0
+    _write_gram_stats(spark, root, n_apps=n_apps)
+    _write_trigram_marker(out_dir, rows, term_buckets, delta_docs=0,
+                          n_apps=n_apps)
     return rows
 
 
