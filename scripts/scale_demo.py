@@ -272,6 +272,78 @@ def main() -> None:
 
     core_idx = sum(du(os.path.join(root, d))
                    for d in ("postings", "term_stats", "doc_map", "corpus_stats"))
+
+    # ---- incremental update at 1M files: the LSM delta path -------------
+    # Full-snapshot reindex semantics (the reference's `ck --index` rerun):
+    # ~1% of docs modified, 0.5% added, 0.5% removed. The write volume and
+    # the derived-store refreshes (trigram append, content-store blob
+    # append) must be proportional to the CHANGE — under hash-scattered doc
+    # ids every segment is "affected", so the pre-LSM rewrite path (and a
+    # per-seg trigram rebuild) would cost a full build here. Change
+    # detection reads the snapshot's content once (sha256 diff); that read
+    # is the floor for snapshot-diff semantics and is reported honestly.
+    from ck_spark.index.builder import update_index
+
+    n_add = n_docs // 200
+    mod_bucket = F.pmod(F.xxhash64("path"), F.lit(100))
+    additions = (
+        generate_corpus_spark(spark, n_add, seed=4242, partitions=cores)
+        .withColumn("path", F.concat(F.lit("added/"), F.col("path")))
+    )
+    corpus_v2 = (
+        corpus_disk.where(mod_bucket != 1)  # ~1% removed
+        .withColumn(
+            "content",
+            F.when(mod_bucket == 0,  # ~1% modified
+                   F.concat("content", F.lit("\n# scale-demo update marker\n")))
+            .otherwise(F.col("content")),
+        )
+        .unionByName(additions)
+    )
+    v2_path = os.path.join(root, "corpus_v2_parquet")
+    corpus_v2.write.mode("overwrite").parquet(v2_path)
+    corpus_v2_disk = spark.read.parquet(v2_path)
+
+    pre_sizes = {d: du(os.path.join(root, d))
+                 for d in ("postings", "doc_map", "trigrams", "content_store")}
+    r0 = _rchar()
+    t0 = time.time()
+    ustats = update_index(spark, corpus_v2_disk, root, full_snapshot=True)
+    upd_s = time.time() - t0
+    upd_read_mb = (_rchar() - r0) / 1e6
+    delta_written_mb = (
+        du(os.path.join(root, "delta")) + du(os.path.join(root, "tombstones"))
+        + sum(max(0, du(os.path.join(root, d)) - pre_sizes[d])
+              for d in ("trigrams", "content_store"))
+    ) / 1e6
+    # post-update: queries and trigram grep run against the LIVE view
+    # (base ∪ delta generations − tombstones) with no extra ceremony
+    idx_u = BM25Index.load(spark, root)
+    uw, uc, _uts, _ib = timed(lambda: idx_u.search("parse buffer", k=10).collect())
+    tri_u = TrigramIndex.load(spark, root, cache=True)
+    n_marker = tri_u.grep(pattern="scale-demo update marker",
+                          topk=200_000).count()
+    from ck_spark.index import lsm
+    from ck_spark.index.manifest import Manifest
+
+    update_report = {
+        "changed_docs": {k: int(ustats[k]) for k in
+                         ("added", "modified", "removed", "unchanged")},
+        "update_s": round(upd_s, 1),
+        "vs_full_build": round(upd_s / build_s, 2),
+        "vs_full_build_plus_trigram": round(
+            upd_s / (build_s + tri_build_s + cstore_build_s), 2),
+        "snapshot_diff_read_mb": round(upd_read_mb, 1),
+        "delta_written_mb": round(delta_written_mb, 1),
+        "written_vs_index_mb": round(delta_written_mb / (core_idx / 1e6), 3),
+        "post_update_query_wall_s": round(uw, 2),
+        "post_update_query_executor_s": round(uc, 2),
+        "post_update_trigram_grep_rows": int(n_marker),
+        "live_generations": lsm.live_gens(Manifest(root).load_meta()),
+        "stage_ms": ustats.get("stage_ms", {}),
+    }
+    assert n_marker > 0, "updated content must be trigram-grep visible"
+
     report = {
         "n_docs": n_docs,
         "cores": cores,
@@ -290,6 +362,7 @@ def main() -> None:
             du(os.path.join(root, "content_store")) / 1e6, 1
         ),
         "grep_scan_vs_trigram": grep_cmp,
+        "incremental_update": update_report,
         "loadavg_1m": os.getloadavg()[0],
     }
     print(json.dumps(report, indent=1))
@@ -314,6 +387,7 @@ def main() -> None:
                                for p, v in grep_cmp.items()},
             "grep_cpu_saving": {p: v["cpu_saving"]
                                 for p, v in grep_cmp.items()},
+            "update_s": update_report["update_s"],
             "loadavg_1m": report["loadavg_1m"],
         }) + "\n")
     md = f"""# BENCH/SCALE_DEMO.md — 1M-file build on local[{cores}]
@@ -392,6 +466,31 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         "slices plus blob bytes proportional to its CANDIDATE set\n"
         "(content_store pointer lookup + ranged reads). At 10^12 files\n"
         "the scan column is off the table entirely.\n"
+    )
+    ur = update_report
+    cd = ur["changed_docs"]
+    md += (
+        f"\n## incremental update at 1M files (LSM delta path)\n\n"
+        f"Full-snapshot reindex with {cd['modified']:,} modified / "
+        f"{cd['added']:,} added / {cd['removed']:,} removed "
+        f"({cd['unchanged']:,} unchanged): **{ur['update_s']} s** = "
+        f"**{ur['vs_full_build']}x the full build** "
+        f"({ur['vs_full_build_plus_trigram']}x build+trigram+store — the "
+        "pre-LSM cost, since hash-scattered ids made every segment "
+        "'affected' and the old path rewrote them all and dropped the "
+        "trigram index). The update wrote "
+        f"{ur['delta_written_mb']} MB of delta artifacts "
+        f"({ur['written_vs_index_mb']}x the index) — new doc_map/postings "
+        "generation, tombstones, trigram LSM append, content-store blob "
+        f"append; it read {ur['snapshot_diff_read_mb']} MB (the sha256 "
+        "snapshot diff reads the snapshot's content once — the floor for "
+        "full-snapshot semantics; the upsert-batch mode skips even that). "
+        f"Post-update: BM25 over the live view (base ∪ delta − tombstones) "
+        f"in {ur['post_update_query_wall_s']} s wall, and the updated "
+        f"content is trigram-grep visible "
+        f"({ur['post_update_trigram_grep_rows']:,} marker rows) without a "
+        "trigram rebuild. Live generations: "
+        f"{ur['live_generations']}.\n"
     )
     md += (
         "\nHost variance: identical code measured 159-306 s builds across "

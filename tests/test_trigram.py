@@ -586,3 +586,94 @@ def test_partial_rows_bounded_by_salt(spark, indexed):
         .agg(F.max("count")).collect()[0][0]
     )
     assert worst <= k, (worst, k)
+
+
+def test_partial_delta_append_invisible_and_gcd(spark, tmp_path):
+    """Crash protocol of the _delta/app=K layout: an app dir NOT covered
+    by the marker's n_apps (a crashed, possibly PARTIAL append — the one
+    direction that would under-approximate candidates) must be invisible
+    to reads, and the next append must GC it before writing its own."""
+    import os
+    import shutil
+
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import (
+        _read_trigram_marker, _trigram_delta_dir,
+    )
+
+    pdf = generate_corpus(40, seed=11)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, None, root)
+
+    # one committed append (app=0)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:4], "content"] = (
+        pdf2.loc[pdf2.index[:4], "content"] + "\nquux_committed_marker()\n"
+    )
+    corpus2 = spark.createDataFrame(pdf2)
+    update_index(spark, corpus2, root)
+    marker = _read_trigram_marker(root)
+    assert marker.get("n_apps") == 1
+    ddir = _trigram_delta_dir(root)
+    assert os.path.isdir(os.path.join(ddir, "app=0"))
+
+    # forge a crashed append: app=7 >= n_apps, content = a copy of app=0
+    # (rows that would ADD candidates if ever read)
+    shutil.copytree(os.path.join(ddir, "app=0"), os.path.join(ddir, "app=7"))
+
+    # invisible: indexed grep == full scan despite the orphan dir
+    key = lambda r: (r["path"], r["line_no"])
+    for pat in ["quux_committed_marker", "def "]:
+        scan = grep(corpus2, pat).collect()
+        fast = grep_indexed(spark, None, root, pat).collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
+
+    # the next append GCs the orphan and commits its own generation
+    pdf3 = pdf2.copy()
+    pdf3.loc[pdf3.index[10:12], "content"] = (
+        pdf3.loc[pdf3.index[10:12], "content"] + "\nquux_second_marker()\n"
+    )
+    corpus3 = spark.createDataFrame(pdf3)
+    update_index(spark, corpus3, root)
+    assert not os.path.exists(os.path.join(ddir, "app=7"))
+    assert _read_trigram_marker(root).get("n_apps") == 2
+    for pat in ["quux_second_marker", "quux_committed_marker"]:
+        scan = grep(corpus3, pat).collect()
+        fast = grep_indexed(spark, None, root, pat).collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
+
+
+def test_removal_only_update_keeps_trigram_valid(spark, tmp_path):
+    """A pure-removal update appends NO grams (nothing fresh) and must
+    leave the trigram index complete and correct: removed docs drop out
+    via the live doc_map join, the marker survives, n_apps is unchanged."""
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import (
+        _read_trigram_marker, trigram_index_exists,
+    )
+
+    pdf = generate_corpus(40, seed=12)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=4,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, None, root)
+    n_apps0 = _read_trigram_marker(root).get("n_apps", 0)
+
+    pdf2 = pdf.drop(index=pdf.index[:6])  # removal-only full snapshot
+    corpus2 = spark.createDataFrame(pdf2)
+    stats = update_index(spark, corpus2, root, full_snapshot=True)
+    assert stats["removed"] == 6 and stats["added"] == stats["modified"] == 0
+
+    assert trigram_index_exists(root)
+    assert _read_trigram_marker(root).get("n_apps", 0) == n_apps0
+    key = lambda r: (r["path"], r["line_no"])
+    for pat in ["def ", "parse"]:
+        scan = grep(corpus2, pat).collect()
+        fast = grep_indexed(spark, None, root, pat).collect()
+        assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
