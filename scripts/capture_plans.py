@@ -373,9 +373,15 @@ def main() -> None:
     post_scans = [ln for ln in scans
                   if "postings" in ln and "trigram" not in ln]
     assert len(post_scans) >= 2, "live view must scan base + delta postings"
-    assert all("bucket" in ln.split("PartitionFilters")[-1][:220]
-               for ln in post_scans), \
-        "every generation's postings scan must prune bucket partitions"
+    # base layout prunes bucket as a partition dir; delta generations
+    # keep bucket as a sorted data column (seg-only dirs — see
+    # _encode_and_write_postings bucket_dirs=False), so there the bucket
+    # filter must appear as a PUSHED filter instead
+    assert all(
+        "bucket" in ln.split("PartitionFilters")[-1][:220]
+        or "bucket" in ln.split("PushedFilters")[-1][:260]
+        for ln in post_scans
+    ), "every generation's postings scan must prune/push the bucket filter"
     assert any("gen" in ln.split("PartitionFilters")[-1][:220]
                for ln in post_scans), \
         "delta postings scan must carry the live-gen partition filter"
@@ -391,13 +397,16 @@ def main() -> None:
     sections.append((
         "LSM live view after a delta update — per-generation pruning",
         "After update_index (strategy='delta') the same query unions the "
-        "base postings with the delta generation's — BOTH scans below "
-        "carry bucket PartitionFilters + the term pushed filter (the "
-        "delta adds gen pruning), pos_blocks stays out of the ReadSchema, "
-        "and there is still no corpus scan. Tombstoned doc ids are "
-        "excluded executor-side in the segment scorer's banned set "
-        "(delta-sized, cogrouped per (gen, seg)) — no corpus-scale "
-        "broadcast anywhere. A gen-less index takes the plain base plan.",
+        "base postings with the delta generation's — the base scan keeps "
+        "its bucket PartitionFilters; the delta scan (seg-only dirs, "
+        "bucket as a sorted data column — dir commits scale with segments "
+        "touched, not segs x buckets) carries the live-gen "
+        "PartitionFilter plus bucket/term PUSHED filters over sorted row "
+        "groups. pos_blocks stays out of the ReadSchema and there is "
+        "still no corpus scan. Tombstoned doc ids are excluded "
+        "executor-side in the segment scorer's banned set (delta-sized, "
+        "cogrouped per (gen, seg)) — no corpus-scale broadcast anywhere. "
+        "A gen-less index takes the plain base plan.",
         "\n".join(lsm_lines[:14]),
     ))
 
