@@ -98,6 +98,21 @@ def doc_map_cols(store_content: bool) -> list[str]:
     return DOC_MAP_COLS + ["content"] if store_content else list(DOC_MAP_COLS)
 
 
+def snapshot_sha_expr(corpus: DataFrame):
+    """Per-row sha256 for the update snapshot diff. A corpus that already
+    carries a materialized `content_sha256` column (the ingest invariant
+    of the north-star Iceberg table) is TRUSTED — the diff job then reads
+    only the key + hash columns (parquet column pruning) instead of
+    hashing every content byte, the same fast-path contract as ck's
+    manifest mtime/size gate (ck-index/src/lib.rs:851-906). Without the
+    column, sha2(content) is computed on the fly (one full content
+    pass). Index-internal hashes (doc_map rows, the xor corpus
+    fingerprint) are always computed from the actual content."""
+    if "content_sha256" in corpus.columns:
+        return F.col("content_sha256")
+    return F.sha2("content", 256)
+
+
 @dataclass
 class IndexPaths:
     root: str
@@ -767,7 +782,7 @@ def _update_rewrite(
 
     new_min = corpus.select(
         doc_id_expr().alias("doc_id"),
-        F.sha2("content", 256).alias("content_sha256"),
+        snapshot_sha_expr(corpus).alias("content_sha256"),
     ).withColumn("seg", seg_expr(n_segments))
     old_min = spark.read.parquet(paths.doc_map).select(
         "doc_id", F.col("content_sha256").alias("old_sha"), "seg"
@@ -999,7 +1014,7 @@ def _update_delta(
 
     new_min = corpus.select(
         doc_id_expr().alias("doc_id"),
-        F.sha2("content", 256).alias("content_sha256"),
+        snapshot_sha_expr(corpus).alias("content_sha256"),
     ).withColumn("seg", seg_expr(n_segments))
     old_min = live_g.select(
         "doc_id", F.col("content_sha256").alias("old_sha"), "seg",

@@ -232,3 +232,54 @@ def test_rebuild_same_content_different_snapshot_keeps_postings(spark, tmp_path)
     idx = BM25Index.load(spark, root)
     assert os.path.isdir(idx.paths.postings) and os.path.isdir(idx.paths.term_stats)
     assert _results(idx, ["parse buffer"]) == ref
+
+
+def test_update_trusted_sha_column_drives_the_diff(spark, tmp_path):
+    """A corpus carrying a materialized content_sha256 column (the
+    north-star Iceberg table's ingest invariant) is TRUSTED by the
+    snapshot diff — the diff reads key+hash columns only, never hashing
+    content. Proven both ways: correct hashes give the identical update
+    a plain corpus gives, and a deliberately PERTURBED hash on an
+    unchanged doc makes the diff re-ingest it (the column, not the
+    content, decides)."""
+    import hashlib
+
+    from ck_spark.corpus import generate_corpus
+    from ck_spark.index import build_index
+    from ck_spark.index.builder import update_index
+    from ck_spark.query import BM25Index
+
+    pdf = generate_corpus(50, seed=21)
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), root, mode="code",
+                n_segments=2, term_buckets=4, build_groups=1)
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:3], "content"] = (
+        pdf2.loc[pdf2.index[:3], "content"] + "\ntrustedshamarker()\n"
+    )
+    pdf2["content_sha256"] = pdf2["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    stats = update_index(spark, spark.createDataFrame(pdf2), root,
+                         full_snapshot=True)
+    assert stats["modified"] == 3 and stats["added"] == stats["removed"] == 0
+    idx = BM25Index.load(spark, root)
+    assert idx.search("trustedshamarker", k=10).count() == 3
+
+    # perturbed hash on an UNCHANGED doc: the diff must trust the column
+    # and treat the doc as modified (content is never re-hashed)
+    pdf3 = pdf2.copy()
+    pdf3.loc[pdf3.index[10], "content_sha256"] = "0" * 64
+    stats = update_index(spark, spark.createDataFrame(pdf3), root,
+                         full_snapshot=True)
+    assert stats["modified"] == 1
+    # the re-ingested row stored the TRUE content hash, so the next
+    # update with correct hashes sees it as modified once more (doc_map
+    # holds sha2(content), the supplied column only gates the diff)
+    stats = update_index(spark, spark.createDataFrame(pdf3), root,
+                         full_snapshot=True)
+    assert stats["modified"] == 1
+    stats = update_index(spark, spark.createDataFrame(pdf2), root,
+                         full_snapshot=True)
+    assert stats["modified"] == 0 and stats["unchanged"] == len(pdf2)
