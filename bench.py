@@ -241,6 +241,12 @@ def main() -> None:
         timed("incremental_update_2pct",
               lambda: update_index(spark, delta_corpus, root, full_snapshot=False))
 
+        # query over the LIVE view (base ∪ the delta generation just
+        # appended − tombstones): generations must not regress latency
+        idx_live = BM25Index.load(spark, root)
+        timed2("bm25_after_update",
+               lambda: idx_live.search("updatedtoken table", k=10).collect())
+
         # second trial of the state-mutating stages (fresh root): report the
         # per-stage MIN, first-trial walls go to queries_run1 — same bursty-
         # host rationale as timed2, disclosed via queries_protocol
