@@ -1127,12 +1127,40 @@ def _update_delta(
     )
     dead_stats = obs_dead.get
     _mark("tombstones")
-    dead_terms = (
-        dead_rows.where(nb)
-        .select(F.explode(F.map_keys("tfm")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ddf"))
-    )
+    # term-stats correction needs each dead NONBINARY doc's distinct term
+    # set. map_keys(tfm) from doc_map point-scatters into the tfm column:
+    # hash-spread ids touch every row group, so a 1% update reads ~the
+    # whole column (measured ~40% of the index at 1M docs). With the
+    # point-read content store present, fetch exactly the dead docs' OLD
+    # content bytes (pointer join + ranged blob reads — IO ∝ the change)
+    # and re-tokenize: the tokenizer is deterministic, so the term set
+    # equals the stored tfm keys by construction (the tfm path remains
+    # the fallback for store-less indexes).
+    from ck_spark.index.content_store import content_store_exists
+
+    if content_store_exists(out_dir):
+        from ck_spark.index.content_store import ContentStore
+
+        cs_handle = ContentStore.load(spark, out_dir)
+        dead_nb_ids = dead_rows.where(nb).select("doc_id")
+        dead_ptr = cs_handle.ptr.join(dead_nb_ids, "doc_id", "left_semi")
+        dead_content = cs_handle.fetch_rows(dead_ptr).withColumn(
+            "commit", F.lit("")
+        )
+        dead_terms = (
+            _with_doc_columns(dead_content, mode, 1)
+            .where(~F.col("is_binary"))
+            .select(F.explode(F.map_keys("posm")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ddf"))
+        )
+    else:
+        dead_terms = (
+            dead_rows.where(nb)
+            .select(F.explode(F.map_keys("tfm")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ddf"))
+        )
 
     # ---- fresh docs: tokenize ONLY them, write the new generation's
     # doc_map (stats observed on the same job). A pure-removal update has

@@ -292,3 +292,48 @@ def test_fresh_build_invalidates_stale_store(spark, tmp_path):
                 snapshot_id="changed")
     assert not content_store_exists(root)
     assert not trigram_index_exists(root)
+
+
+def test_update_dead_terms_from_blob_store_exact(spark, tmp_path):
+    """With a content store present, the update's term-stats correction
+    re-tokenizes the dead docs' OLD content from ranged blob reads
+    instead of point-scattering into doc_map's tfm column (which reads
+    ~the whole column for hash-spread ids). The resulting term stats and
+    search scores must be identical to a from-scratch rebuild."""
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.index.lsm import term_stats_path
+    from ck_spark.index.manifest import Manifest
+    from ck_spark.query import BM25Index
+
+    pdf = generate_corpus(60, seed=31)
+    root = str(tmp_path / "upd")
+    root2 = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pdf), root, mode="code",
+                n_segments=4, term_buckets=8, build_groups=1)
+    build_content_store(spark, root)
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:5], "content"] = (
+        pdf2.loc[pdf2.index[:5], "content"] + "\nzzfreshterm()\n"
+    )
+    pdf2 = pdf2.drop(index=pdf2.index[7:10])  # removals exercise dead terms
+    update_index(spark, spark.createDataFrame(pdf2), root, full_snapshot=True)
+    build_index(spark, spark.createDataFrame(pdf2), root2, mode="code",
+                n_segments=4, term_buckets=8, build_groups=1)
+
+    def ts(r):
+        meta = Manifest(r).load_meta()
+        return (
+            spark.read.parquet(term_stats_path(r, meta))
+            .select("term", "df").toPandas()
+            .sort_values("term").reset_index(drop=True)
+        )
+
+    assert ts(root).equals(ts(root2))
+    res = [
+        sorted((r["doc_id"], round(r["score"], 9))
+               for r in BM25Index.load(spark, p).search(
+                   "parse buffer", k=10).collect())
+        for p in (root, root2)
+    ]
+    assert res[0] == res[1]
