@@ -33,6 +33,11 @@ def main() -> None:
     from ck_spark.query import BM25Index
     from ck_spark.session import get_spark
 
+    # the 1M-doc demo in ONE local-mode JVM needs more than the library
+    # default 8g (two runs died at the margin: a heap OOM in the batch
+    # write, an OS-killed Python worker under the trigram build) — a real
+    # deployment spreads this over executors each with their own heap
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     # UI enabled: the REST API is how per-query EXECUTOR time is separated
     # from job-dispatch overhead (VERDICT r2 ask #3)
     spark = get_spark("scale-demo", cores=cores, shuffle_partitions=cores * 2,
@@ -320,7 +325,11 @@ def main() -> None:
     # (base ∪ delta generations − tombstones) with no extra ceremony
     idx_u = BM25Index.load(spark, root)
     uw, uc, _uts, _ib = timed(lambda: idx_u.search("parse buffer", k=10).collect())
-    tri_u = TrigramIndex.load(spark, root, cache=True)
+    # release the grep-comparison handle's cached 1M-row table first —
+    # three cached trigram snapshots (pre-update + one per update) OOMed
+    # the single local-mode heap; post-update greps run uncached
+    tri.df.unpersist()
+    tri_u = TrigramIndex.load(spark, root)
     n_marker = tri_u.grep(pattern="scale-demo update marker",
                           topk=200_000).count()
     from ck_spark.index import lsm
@@ -343,6 +352,41 @@ def main() -> None:
         "stage_ms": ustats.get("stage_ms", {}),
     }
     assert n_marker > 0, "updated content must be trigram-grep visible"
+
+    # ---- second update: UPSERT-BATCH mode with a trusted hash column —
+    # the production ingest path (CDC/stream batches against the Iceberg
+    # table). corpus = ONLY the changed docs, carrying content_sha256
+    # (the ingest invariant), so neither the diff nor the fresh-doc fetch
+    # touches the unchanged 99%: bytes read collapse to the batch size.
+    mod2 = F.pmod(F.xxhash64("path"), F.lit(100)) == 2
+    batch = (
+        corpus_v2_disk.where(mod2)
+        .withColumn("content",
+                    F.concat("content", F.lit("\n# second update marker\n")))
+        .withColumn("content_sha256", F.sha2("content", 256))
+    )
+    b_path = os.path.join(root, "update_batch_parquet")
+    batch.write.mode("overwrite").parquet(b_path)
+    batch_disk = spark.read.parquet(b_path)
+    n_batch = batch_disk.count()
+    r0 = _rchar()
+    t0 = time.time()
+    ustats2 = update_index(spark, batch_disk, root, full_snapshot=False)
+    upd2_s = time.time() - t0
+    upd2_read_mb = (_rchar() - r0) / 1e6
+    tri_u2 = TrigramIndex.load(spark, root)  # fresh (uncached) snapshot
+    n_marker2 = tri_u2.grep(pattern="second update marker",
+                            topk=200_000).count()
+    update_report["upsert_batch_trusted_sha"] = {
+        "batch_docs": int(n_batch),
+        "changed_docs": {k: int(ustats2[k]) for k in
+                         ("added", "modified", "removed", "unchanged")},
+        "update_s": round(upd2_s, 1),
+        "read_mb": round(upd2_read_mb, 1),
+        "post_update_trigram_grep_rows": int(n_marker2),
+        "stage_ms": ustats2.get("stage_ms", {}),
+    }
+    assert n_marker2 == int(ustats2["modified"])
 
     report = {
         "n_docs": n_docs,
@@ -491,6 +535,17 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         f"({ur['post_update_trigram_grep_rows']:,} marker rows) without a "
         "trigram rebuild. Live generations: "
         f"{ur['live_generations']}.\n"
+    )
+    ub = ur["upsert_batch_trusted_sha"]
+    md += (
+        f"\nSecond update, UPSERT-BATCH mode (the production ingest path: "
+        f"CDC/stream batches carrying the `content_sha256` ingest "
+        f"invariant): a {ub['batch_docs']:,}-doc batch applied in "
+        f"**{ub['update_s']} s** reading **{ub['read_mb']} MB** — neither "
+        "the diff nor the fresh-doc fetch touches the unchanged 99% "
+        "(full-snapshot mode must read the snapshot once; batch mode is "
+        "change-proportional end-to-end). Updated content trigram-grep "
+        f"visible: {ub['post_update_trigram_grep_rows']:,} rows.\n"
     )
     md += (
         "\nHost variance: identical code measured 159-306 s builds across "
