@@ -1811,8 +1811,8 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records the rows-only check). Payloads are synthesized
     deterministically driver-independent: PNG gradient, progressive JPEG,
     PCM WAV, uncompressed AVI, raw-RGB MP4, PCM M4A, CBR MP3, an
-    avc1-entry MP4 (demux-only codec), and one invalid blob whose parse
-    error is captured per-row."""
+    avc1-entry MP4 (demux-only codec), FLAC, IMA-ADPCM WAV, G.711 mu-law
+    WAV, and one invalid blob whose parse error is captured per-row."""
     import struct as _struct
 
     import numpy as _np
@@ -1828,6 +1828,9 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from ck_spark.ops.png import encode_png
         from ck_spark.ops.wav import encode_wav
+
+        from ck_spark.ops.adpcm import encode_wav_g711, encode_wav_ima
+        from ck_spark.ops.flac import encode_flac
 
         for pdf in iterator:
             if not len(pdf):
@@ -1859,6 +1862,10 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (6, "audio", "mp3", mp3),
                 (7, "video", "mp4", avc),
                 (8, "image", "png", b"deliberately-not-a-png"),
+                (9, "audio", "flac", encode_flac(tone, rate=16_000)),
+                (10, "audio", "wav", encode_wav_ima(tone, rate=16_000)),
+                (11, "audio", "wav",
+                 encode_wav_g711(tone, rate=8_000, law="mulaw")),
             ]
             yield _pd.DataFrame(
                 [(i, k, f, p, 0, 0, 0) for i, k, f, p in rows],

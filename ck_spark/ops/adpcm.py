@@ -1,0 +1,289 @@
+"""Compressed-WAV codecs, pure numpy: IMA ADPCM (wFormatTag 0x11) and
+G.711 mu-law / A-law (0x07 / 0x06) — real LOSSY compressed-audio
+bitstreams for the multimodal seam (ops/multimodal.py), complementing
+the lossless FLAC codec (ops/flac.py).
+
+All three are fully formulaic from public specs (IMA ADPCM reference
+algorithm / ITU-T G.711): the only tabulated data is the 89-entry IMA
+step table and the 16-entry index-adjust table, both printed in the IMA
+spec itself. No psychoacoustic model, no third-party codec library.
+
+Scale design: IMA ADPCM state is per-block (each block header carries
+the initial predictor + step index), so decode/encode VECTORIZE ACROSS
+BLOCKS — the inner loop runs once per sample-position (a few hundred),
+each iteration a numpy op over (n_blocks, n_channels) lanes. G.711 is a
+pure 256-entry table lookup both ways. Payloads move through
+Arrow-batched mapInPandas like every other codec here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# IMA ADPCM step-size table (89 entries) and index-adjust table — the
+# reference tables from the IMA Digital Audio Focus/Technical Working
+# Group recommendation (also in RFC 3551 sec. 4.5.1 lineage).
+IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+IMA_INDEX_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+
+
+def _ima_step_lanes(pred: np.ndarray, index: np.ndarray,
+                    nibble: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One IMA update across lanes: (predictor, index, 4-bit code) ->
+    (new predictor, new index). All int64 arrays of equal shape."""
+    step = IMA_STEPS[index]
+    vpdiff = step >> 3
+    vpdiff += np.where(nibble & 1, step >> 2, 0)
+    vpdiff += np.where(nibble & 2, step >> 1, 0)
+    vpdiff += np.where(nibble & 4, step, 0)
+    pred = np.where(nibble & 8, pred - vpdiff, pred + vpdiff)
+    pred = np.clip(pred, -32768, 32767)
+    index = np.clip(index + IMA_INDEX_ADJUST[nibble], 0, 88)
+    return pred, index
+
+
+def _ima_encode_lanes(pred: np.ndarray, index: np.ndarray,
+                      sample: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize one sample per lane; returns (nibble, new pred, new idx).
+    Matches the IMA reference encoder exactly (successive step halving)."""
+    step = IMA_STEPS[index]
+    diff = sample - pred
+    nibble = np.where(diff < 0, 8, 0).astype(np.int64)
+    diff = np.abs(diff)
+    b4 = diff >= step
+    diff -= np.where(b4, step, 0)
+    half = step >> 1
+    b2 = diff >= half
+    diff -= np.where(b2, half, 0)
+    quarter = step >> 2
+    b1 = diff >= quarter
+    nibble = nibble | b4 * 4 | b2 * 2 | b1 * 1
+    pred, index = _ima_step_lanes(pred, index, nibble)
+    return nibble, pred, index
+
+
+def encode_wav_ima(samples: np.ndarray, rate: int = 16_000,
+                   samples_per_block: int = 505) -> bytes:
+    """Integer samples (n,) or (n, ch) -> IMA-ADPCM WAV bytes (~4.1:1).
+
+    samples_per_block must be 1 + a multiple of 8 (nibbles pack into
+    4-byte words per channel); 505 gives the canonical 256-byte mono
+    block."""
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    s = np.clip(s, -32768, 32767)
+    spb = samples_per_block
+    n_blocks = max(1, -(-n // spb)) if n else 0
+    # pad the tail block by repeating the last sample (standard practice;
+    # the fact chunk records the true length for the decoder to trim)
+    if n:
+        pad = n_blocks * spb - n
+        if pad:
+            s = np.vstack([s, np.repeat(s[-1:], pad, axis=0)])
+    blocks = s.reshape(n_blocks, spb, ch) if n else s.reshape(0, spb, ch)
+
+    # header sample = first sample of the block, verbatim; step index
+    # carries over between blocks per channel (encoder freedom — any
+    # index is valid since it is stored in each block header)
+    pred = blocks[:, 0, :]  # (n_blocks, ch)
+    index = np.zeros((n_blocks, ch), dtype=np.int64)
+    # better initial index per block: match the first step to the local
+    # signal scale (purely an encoder quality choice, still spec-valid)
+    if n:
+        scale = np.abs(np.diff(blocks, axis=1)).mean(axis=1)  # (n_blocks, ch)
+        index = np.searchsorted(IMA_STEPS, scale.astype(np.int64)).clip(0, 88)
+
+    nibbles = np.zeros((n_blocks, spb - 1, ch), dtype=np.int64)
+    p, ix = pred.copy(), index.copy()
+    for t in range(spb - 1):
+        nib, p, ix = _ima_encode_lanes(p, ix, blocks[:, t + 1, :])
+        nibbles[:, t, :] = nib
+
+    # pack: per block, per channel-interleaved 4-byte groups of 8 nibbles
+    # (low nibble = earlier sample)
+    grp = nibbles.reshape(n_blocks, (spb - 1) // 8, 8, ch)
+    lo = grp[:, :, 0::2, :]
+    hi = grp[:, :, 1::2, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)  # (n_blocks, g, 4, ch)
+    packed = np.moveaxis(packed, 3, 2)  # (n_blocks, g, ch, 4)
+
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    body = bytearray()
+    for b in range(n_blocks):
+        for c in range(ch):
+            body += struct.pack("<hBB", int(pred[b, c]), int(index[b, c]), 0)
+        body += packed[b].tobytes()
+
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, rate, byte_rate,
+                      block_align, 4, 2, spb)
+    return _riff(fmt, bytes(body), n_samples=n)
+
+
+def _riff(fmt_payload: bytes, data: bytes, n_samples: int) -> bytes:
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_riff(payload: bytes) -> dict:
+    """Minimal RIFF/WAVE chunk parser: returns fmt fields + data bytes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    out: dict = {}
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            (out["format_tag"], out["channels"], out["sample_rate"],
+             out["byte_rate"], out["block_align"],
+             out["bits_per_sample"]) = struct.unpack_from("<HHIIHH", body)
+            if out["format_tag"] == 0x11 and clen >= 20:
+                out["samples_per_block"] = struct.unpack_from("<H", body, 18)[0]
+        elif cid == b"fact":
+            out["n_samples"] = struct.unpack_from("<I", body)[0]
+        elif cid == b"data":
+            out["data"] = body
+        pos += 8 + clen + (clen & 1)
+    if "data" not in out or "format_tag" not in out:
+        raise ValueError("RIFF missing fmt/data chunks")
+    return out
+
+
+def decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV -> (float64 samples (n, ch), rate); block-vectorized."""
+    info = parse_riff(payload)
+    if info["format_tag"] != 0x11:
+        raise ValueError(f"not IMA ADPCM (format {info['format_tag']:#x})")
+    ch = info["channels"]
+    ba = info["block_align"]
+    spb = info.get("samples_per_block") or ((ba - 4 * ch) * 2 // ch + 1)
+    data = info["data"]
+    n_blocks = len(data) // ba
+    raw = np.frombuffer(data[: n_blocks * ba], dtype=np.uint8)
+    raw = raw.reshape(n_blocks, ba)
+
+    hdr = raw[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred = (hdr[:, :, 0].astype(np.int64)
+            | (hdr[:, :, 1].astype(np.int64) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    index = np.clip(hdr[:, :, 2].astype(np.int64), 0, 88)
+
+    packed = raw[:, 4 * ch:].reshape(n_blocks, -1, ch, 4)  # groups of 8 nibbles
+    packed = np.moveaxis(packed, 2, 3)  # (n_blocks, g, 4, ch)
+    lo = (packed & 0x0F).astype(np.int64)
+    hi = (packed >> 4).astype(np.int64)
+    nibbles = np.empty((n_blocks, packed.shape[1], 8, ch), dtype=np.int64)
+    nibbles[:, :, 0::2, :] = lo
+    nibbles[:, :, 1::2, :] = hi
+    nibbles = nibbles.reshape(n_blocks, spb - 1, ch)
+
+    out = np.empty((n_blocks, spb, ch), dtype=np.int64)
+    out[:, 0, :] = pred
+    p, ix = pred.copy(), index.copy()
+    for t in range(spb - 1):
+        p, ix = _ima_step_lanes(p, ix, nibbles[:, t, :])
+        out[:, t + 1, :] = p
+    flat = out.reshape(-1, ch)
+    n = info.get("n_samples")
+    if n is not None:
+        flat = flat[:n]
+    return flat.astype(np.float64), info["sample_rate"]
+
+
+# ------------------------------------------------------------ G.711
+def mulaw_decode_table() -> np.ndarray:
+    codes = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = codes & 0x80
+    exp = (codes >> 4) & 7
+    mant = codes & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def alaw_decode_table() -> np.ndarray:
+    codes = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = codes & 0x80
+    exp = (codes >> 4) & 7
+    mant = codes & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # A-law sign bit SET means positive (g711 convention, inverse of mu-law)
+    return np.where(sign, mag, -mag)
+
+
+_MULAW_DEC = mulaw_decode_table()
+_ALAW_DEC = alaw_decode_table()
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    s = np.clip(np.asarray(samples, dtype=np.int64), -32635, 32635)
+    sign = np.where(s < 0, 0x80, 0).astype(np.int64)
+    mag = np.abs(s) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((sign | (exp << 4) | mant) ^ 0xFF).astype(np.uint8)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    s = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    sign = np.where(s >= 0, 0x80, 0).astype(np.int64)
+    mag = np.where(s >= 0, s, -s - 1).clip(0, 32767)
+    exp = np.where(mag < 256, 0,
+                   (np.floor(np.log2(np.maximum(mag, 1))) - 7).astype(np.int64))
+    exp = exp.astype(np.int64).clip(0, 7)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8_000,
+                    law: str = "mulaw") -> bytes:
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    enc = mulaw_encode if law == "mulaw" else alaw_encode
+    tag = 0x07 if law == "mulaw" else 0x06
+    data = enc(s.reshape(-1)).tobytes()
+    fmt = struct.pack("<HHIIHHH", tag, ch, rate, rate * ch, ch, 8, 0)
+    return _riff(fmt, data, n_samples=n)
+
+
+def decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
+    info = parse_riff(payload)
+    tag = info["format_tag"]
+    if tag not in (0x06, 0x07):
+        raise ValueError(f"not G.711 (format {tag:#x})")
+    table = _MULAW_DEC if tag == 0x07 else _ALAW_DEC
+    codes = np.frombuffer(info["data"], dtype=np.uint8)
+    ch = info["channels"]
+    vals = table[codes].reshape(-1, ch)
+    n = info.get("n_samples")
+    if n is not None:
+        vals = vals[:n]
+    return vals.astype(np.float64), info["sample_rate"]
+
+
+WAV_FORMAT_NAMES = {0x01: "pcm", 0x03: "ieee_float", 0x06: "alaw",
+                    0x07: "mulaw", 0x11: "ima_adpcm"}

@@ -2,17 +2,20 @@
 with typed metadata, processed by Arrow-batched mapInPandas.
 
 Decode is REAL for PNG images (ops/png.py pure-Python codec), baseline
-JPEG images (ops/jpeg.py pure-numpy T.81 decoder — Huffman + dequant +
-IDCT + chroma upsampling), WAV audio (ops/wav.py stdlib RIFF/PCM),
-uncompressed AVI video (ops/avi.py RIFF + DIB frames) and MP4
-(ops/mp4.py real ISO-BMFF demux: full sample-table resolution for ANY
-codec; pixel/sample decode for 'raw ' RGB video and sowt/twos PCM
-audio) — pixel/sample-accurate statistics, no third-party libs. Only
-compressed codec BITSTREAMS (h264/aac inside mp4, mp3 frames) raise
-NotImplementedError: those genuinely need codec libraries absent from
-this container, and swapping in soundfile/PyAV is a one-function change
-at the same seam — the container parsing, sample addressing and Spark
-plumbing around them are real and tested.
+AND progressive JPEG images (ops/jpeg.py pure-numpy T.81 codec), WAV
+audio — PCM (ops/wav.py), IMA-ADPCM and G.711 mu-law/A-law compressed
+PCM (ops/adpcm.py) — FLAC compressed audio (ops/flac.py: LPC + Rice +
+CRC/MD5 verification), uncompressed AVI video (ops/avi.py RIFF + DIB
+frames), Motion-JPEG AVI, and MP4 (ops/mp4.py real ISO-BMFF demux: full
+sample-table resolution for ANY codec; pixel/sample decode for 'raw '
+RGB / photo-JPEG video and sowt/twos PCM audio) — pixel/sample-accurate
+statistics, no third-party libs. The honest boundary is now only
+PERCEPTUAL TRANSFORM codecs (h264/aac inside mp4, mp3 audio frames):
+their tabulated filterbank windows / psychoacoustic models genuinely
+need codec libraries absent from this container, and swapping in
+soundfile/PyAV is a one-function change at the same seam — container
+parsing, sample addressing and the Spark plumbing around them are real
+and tested.
 
 Scale design: payloads never pass through Python row-at-a-time — Arrow
 moves each partition's binaries as buffers; heavy decode parallelism is
@@ -62,7 +65,9 @@ def synth_media(
     opaque sha256-stream bytes (the decode-free plumbing fixture)."""
 
     def gen(iterator):
+        from ck_spark.ops.adpcm import encode_wav_g711, encode_wav_ima
         from ck_spark.ops.avi import encode_avi
+        from ck_spark.ops.flac import encode_flac
         from ck_spark.ops.jpeg import encode_jpeg_progressive
         from ck_spark.ops.mp4 import encode_mp4_audio, encode_mp4_video
         from ck_spark.ops.png import encode_png
@@ -90,8 +95,18 @@ def synth_media(
                         fmt, payload = "jpeg", encode_jpeg_progressive(img)
                 elif kind == "audio":
                     tone = rng.integers(-20_000, 20_000, size=400 + i % 800)
-                    if i % 2 == 1:
+                    m = i % 10
+                    if m in (1, 7):
                         fmt, payload = "wav", encode_wav(tone, framerate=16_000)
+                    elif m == 4:
+                        fmt, payload = "flac", encode_flac(tone, rate=16_000)
+                    elif m == 3:
+                        fmt, payload = "wav", encode_wav_ima(tone, rate=16_000)
+                    elif m == 9:
+                        fmt, payload = "wav", encode_wav_g711(
+                            tone, rate=8_000,
+                            law="mulaw" if i % 20 == 9 else "alaw",
+                        )
                     else:
                         fmt, payload = "m4a", encode_mp4_audio(tone, rate=16_000)
                 else:
@@ -142,6 +157,7 @@ def extract_features(
 
     def proc(iterator):
         from ck_spark.ops.avi import decode_avi
+        from ck_spark.ops.flac import decode_flac
         from ck_spark.ops.jpeg import decode_jpeg
         from ck_spark.ops.mp4 import decode_mp4_audio, decode_mp4_video
         from ck_spark.ops.png import decode_png
@@ -159,6 +175,8 @@ def extract_features(
                         vals = decode_jpeg(bytes(payload)).astype(np.float64).ravel()
                     elif kind == "audio" and str(fmt).lower() == "wav":
                         vals = decode_wav(bytes(payload))[0].ravel()
+                    elif kind == "audio" and str(fmt).lower() == "flac":
+                        vals = decode_flac(bytes(payload))[0].ravel()
                     elif kind == "audio" and str(fmt).lower() in ("mp4", "m4a"):
                         vals = decode_mp4_audio(bytes(payload))[0].ravel()
                     elif kind == "video" and str(fmt).lower() == "avi":
@@ -329,14 +347,31 @@ def probe_media(media: DataFrame) -> DataFrame:
                             codec="jpeg/progressive" if prog else "jpeg/baseline",
                         )
                     elif f == "wav":
+                        from ck_spark.ops.adpcm import (
+                            WAV_FORMAT_NAMES, parse_riff,
+                        )
+
+                        tag = parse_riff(raw)["format_tag"]
                         samples, rate = decode_wav(raw)
                         row.update(
-                            container_ok=True, codec="pcm",
+                            container_ok=True,
+                            codec=WAV_FORMAT_NAMES.get(tag, f"wav_{tag:#x}"),
                             channels=int(samples.shape[1]),
                             sample_rate=int(rate),
                             n_frames=int(samples.shape[0]),
                             duration_ms=int(samples.shape[0] * 1000 / rate)
                             if rate else None,
+                        )
+                    elif f == "flac":
+                        from ck_spark.ops.flac import flac_info
+
+                        fi = flac_info(raw)
+                        row.update(
+                            container_ok=True, codec=fi["codec"],
+                            channels=int(fi["channels"]),
+                            sample_rate=int(fi["sample_rate"]),
+                            n_frames=int(fi["n_frames"]),
+                            duration_ms=int(fi["duration_ms"]),
                         )
                     elif f == "avi":
                         from ck_spark.ops.avi import avi_codec

@@ -25,12 +25,29 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     original integer sample units (no normalization — callers that want
     [-1, 1] divide by 2**(bits-1)).
     """
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n = w.getnframes()
-        sw = w.getsampwidth()
-        ch = w.getnchannels()
-        rate = w.getframerate()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            sw = w.getsampwidth()
+            ch = w.getnchannels()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+    except wave.Error:
+        # non-PCM WAV: dispatch on the fmt tag (IMA ADPCM / G.711 are
+        # real compressed decoders in ops/adpcm.py)
+        from ck_spark.ops.adpcm import (
+            WAV_FORMAT_NAMES, decode_wav_g711, decode_wav_ima, parse_riff,
+        )
+
+        tag = parse_riff(payload)["format_tag"]
+        if tag == 0x11:
+            return decode_wav_ima(payload)
+        if tag in (0x06, 0x07):
+            return decode_wav_g711(payload)
+        raise NotImplementedError(
+            f"unsupported WAV format tag {tag:#x} "
+            f"({WAV_FORMAT_NAMES.get(tag, 'unknown')})"
+        )
     if sw == 1:
         # 8-bit WAV is unsigned, midpoint 128
         a = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0

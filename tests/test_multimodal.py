@@ -63,7 +63,7 @@ def test_synth_media_real_payloads_decode_end_to_end(spark, media):
     assert bad == []
     assert {r["codec"] for r in probes} >= {
         "png/c2b8", "jpeg/progressive", "pcm", "sowt", "dib24", "mjpg",
-        "raw ", "jpeg",
+        "raw ", "jpeg", "flac/16bit", "ima_adpcm", "alaw",
     }
     feats = extract_features(media, real_decode=True).collect()
     assert len(feats) == 30
