@@ -1812,7 +1812,8 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically driver-independent: PNG gradient, progressive JPEG,
     PCM WAV, uncompressed AVI, raw-RGB MP4, PCM M4A, CBR MP3, an
     avc1-entry MP4 (demux-only codec), FLAC, IMA-ADPCM WAV, G.711 mu-law
-    WAV, and one invalid blob whose parse error is captured per-row."""
+    WAV, an animated GIF, and one invalid blob whose parse error is
+    captured per-row."""
     import struct as _struct
 
     import numpy as _np
@@ -1831,6 +1832,7 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ck_spark.ops.adpcm import encode_wav_g711, encode_wav_ima
         from ck_spark.ops.flac import encode_flac
+        from ck_spark.ops.gif import encode_gif
 
         for pdf in iterator:
             if not len(pdf):
@@ -1866,6 +1868,10 @@ def _q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (10, "audio", "wav", encode_wav_ima(tone, rate=16_000)),
                 (11, "audio", "wav",
                  encode_wav_g711(tone, rate=8_000, law="mulaw")),
+                (12, "video", "gif",
+                 encode_gif((img[None] // _np.array([1, 2, 4]))
+                            .astype(_np.uint8).repeat(2, axis=0),
+                            delays_cs=8)),
             ]
             yield _pd.DataFrame(
                 [(i, k, f, p, 0, 0, 0) for i, k, f, p in rows],

@@ -58,16 +58,19 @@ def synth_media(
     the text corpus.
 
     real_payloads=True (default) encodes REAL containers per row — PNG /
-    progressive JPEG images, WAV / PCM-MP4 audio, uncompressed AVI /
-    raw-RGB MP4 video — sized and shaped from (seed, id), so the table is
-    decodable end-to-end by extract_features(real_decode=True),
-    sample_frames and probe_media. real_payloads=False keeps the old
-    opaque sha256-stream bytes (the decode-free plumbing fixture)."""
+    progressive-JPEG / GIF images, PCM-WAV / IMA-ADPCM / G.711 / FLAC /
+    PCM-MP4 audio, uncompressed-AVI / MJPG-AVI / raw-RGB-MP4 /
+    photo-JPEG-MP4 / animated-GIF video — sized and shaped from
+    (seed, id), so the table is decodable end-to-end by
+    extract_features(real_decode=True), sample_frames and probe_media.
+    real_payloads=False keeps the old opaque sha256-stream bytes (the
+    decode-free plumbing fixture)."""
 
     def gen(iterator):
         from ck_spark.ops.adpcm import encode_wav_g711, encode_wav_ima
         from ck_spark.ops.avi import encode_avi
         from ck_spark.ops.flac import encode_flac
+        from ck_spark.ops.gif import encode_gif
         from ck_spark.ops.jpeg import encode_jpeg_progressive
         from ck_spark.ops.mp4 import encode_mp4_audio, encode_mp4_video
         from ck_spark.ops.png import encode_png
@@ -88,11 +91,17 @@ def synth_media(
                     continue
                 rng = np.random.default_rng(seed * 1_000_003 + i)
                 if kind == "image":
-                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    if i % 2 == 0:
-                        fmt, payload = "png", encode_png(img)
+                    if i % 12 == 9:
+                        # GIF is palette-indexed: draw from a small palette
+                        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+                        img = pal[rng.integers(0, 16, (h, w))]
+                        fmt, payload = "gif", encode_gif(img)
                     else:
-                        fmt, payload = "jpeg", encode_jpeg_progressive(img)
+                        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                        if i % 2 == 0:
+                            fmt, payload = "png", encode_png(img)
+                        else:
+                            fmt, payload = "jpeg", encode_jpeg_progressive(img)
                 elif kind == "audio":
                     tone = rng.integers(-20_000, 20_000, size=400 + i % 800)
                     m = i % 10
@@ -109,6 +118,11 @@ def synth_media(
                         )
                     else:
                         fmt, payload = "m4a", encode_mp4_audio(tone, rate=16_000)
+                elif kind == "video" and i % 24 == 17:
+                    # animated GIF as a real multi-frame video container
+                    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+                    frames = pal[rng.integers(0, 16, (2 + i % 4, h, w))]
+                    fmt, payload = "gif", encode_gif(frames, delays_cs=20)
                 else:
                     frames = rng.integers(
                         0, 256, (2 + i % 4, h, w, 3), dtype=np.uint8
@@ -173,6 +187,11 @@ def extract_features(
                         vals = decode_png(bytes(payload)).astype(np.float64).ravel()
                     elif kind == "image" and str(fmt).lower() in ("jpeg", "jpg"):
                         vals = decode_jpeg(bytes(payload)).astype(np.float64).ravel()
+                    elif str(fmt).lower() == "gif":
+                        from ck_spark.ops.gif import decode_gif
+
+                        vals = decode_gif(bytes(payload)).astype(
+                            np.float64).ravel()
                     elif kind == "audio" and str(fmt).lower() == "wav":
                         vals = decode_wav(bytes(payload))[0].ravel()
                     elif kind == "audio" and str(fmt).lower() == "flac":
@@ -265,6 +284,13 @@ def sample_frames(
                 if real_decode and str(fmt).lower() == "avi":
                     frames = decode_avi(raw)
                     emit_even(mid, [frames[f].tobytes() for f in range(frames.shape[0])])
+                    continue
+                if real_decode and str(fmt).lower() == "gif":
+                    from ck_spark.ops.gif import decode_gif
+
+                    frames = decode_gif(raw)
+                    emit_even(mid, [frames[f].tobytes()
+                                    for f in range(frames.shape[0])])
                     continue
                 if real_decode and str(fmt).lower() in ("mp4", "m4v", "mov"):
                     try:
@@ -361,6 +387,16 @@ def probe_media(media: DataFrame) -> DataFrame:
                             n_frames=int(samples.shape[0]),
                             duration_ms=int(samples.shape[0] * 1000 / rate)
                             if rate else None,
+                        )
+                    elif f == "gif":
+                        from ck_spark.ops.gif import gif_info
+
+                        gi = gif_info(raw)
+                        row.update(
+                            container_ok=True, codec=gi["codec"],
+                            width=int(gi["width"]), height=int(gi["height"]),
+                            n_frames=int(gi["n_frames"]),
+                            duration_ms=int(gi["duration_ms"]) or None,
                         )
                     elif f == "flac":
                         from ck_spark.ops.flac import flac_info
@@ -490,6 +526,10 @@ def resize_images(
                     img = decode_png(raw)
                 elif fmt in ("jpeg", "jpg"):
                     img = decode_jpeg(raw)
+                elif fmt == "gif":
+                    from ck_spark.ops.gif import decode_gif
+
+                    img = decode_gif(raw)[0]
                 else:
                     continue
                 if img.ndim == 2:
