@@ -785,6 +785,98 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# Deterministic PII injection: the synthetic documents carry no PII, so
+# the contract query plants spans of every kind (keyed off doc_id) in
+# BOTH engines, then verifies the redaction output + counts hash-match.
+# Spark and DuckDB expressions below are semantically identical.
+_PII_INJECT_SPARK = (
+    "concat(text, CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN concat(' mail bob', CAST(doc_id AS STRING), '@ex-am.ple.org') "
+    "WHEN 1 THEN concat(' call 415-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) "
+    "WHEN 2 THEN concat(' host 10.', CAST(doc_id % 256 AS STRING), '.0.', "
+    "CAST(doc_id % 100 AS STRING), ' and ssn 123-45-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) "
+    "ELSE concat(' card 4242-4242-4242-4242 x', CAST(doc_id AS STRING)) END)"
+)
+_PII_INJECT_DUCK = (
+    "text || CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@ex-am.ple.org' "
+    "WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || ' and ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE ' card 4242-4242-4242-4242 x' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _q_pii_redact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.redact import redact_pii
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_PII_INJECT_SPARK))
+    out = redact_pii(docs, text_col="text")
+    return out.select(
+        "doc_id", "text", "n_email", "n_ssn", "n_credit_card", "n_phone",
+        "n_ipv4", "pii_total",
+    ).orderBy("doc_id")
+
+
+def _pii_redact_sql() -> str:
+    from ck_spark.ops.redact import redaction_oracle_sql
+
+    red, counts = redaction_oracle_sql(_PII_INJECT_DUCK)
+    return (
+        "SELECT doc_id, " + red + " AS text, "
+        + ", ".join(counts)
+        + ", (" + " + ".join(c.rsplit(" AS ", 1)[0] for c in counts)
+        + ") AS pii_total FROM documents ORDER BY doc_id"
+    )
+
+
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def _q_pack_spans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.packing import pack_concat_split
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "pshard", (F.col("doc_id") % PACK_SHARDS).cast("int"))
+    return pack_concat_split(
+        docs, seq_len=PACK_SEQ_LEN, shard_col="pshard",
+        n_shards=PACK_SHARDS,
+    ).orderBy("doc_id")
+
+
+_PACK_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id) - n_tokens, 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // {PACK_SEQ_LEN} AS seq_first,
+       CASE WHEN n_tokens = 0 THEN start_tok // {PACK_SEQ_LEN}
+            ELSE (start_tok + n_tokens - 1) // {PACK_SEQ_LEN} END AS seq_last,
+       CAST(CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start_tok + n_tokens - 1) // {PACK_SEQ_LEN}
+                 - start_tok // {PACK_SEQ_LEN} + 1 END AS INT)
+         AS n_seqs_spanned
+FROM c ORDER BY doc_id"""
+
+
 # ---- oracle SQL for the ops --------------------------------------------------
 
 _SQL_TOKS = """
@@ -1935,6 +2027,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_token_counts": _q_token_counts,
+        "pii_redact": _q_pii_redact,
+        "pack_spans": _q_pack_spans,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -2064,6 +2158,8 @@ FROM h ORDER BY doc_id""",
         "ann_ivf_topk": _ann_ivf_sql(),
         "dedup_embedding_cosine": _embedding_near_dup_sql(),
         "text_token_counts": _TOKEN_COUNTS_SQL,
+        "pii_redact": _pii_redact_sql(),
+        "pack_spans": _PACK_SPANS_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,

@@ -213,6 +213,14 @@ def main() -> None:
         timed2("dedup_simhash", lambda: simhash_signatures(docs).count())
         timed2("text_stats", lambda: token_counts(docs).unionByName(
             quality_scores(docs), allowMissingColumns=True).count())
+
+        from ck_spark.ops.packing import pack_greedy
+        from ck_spark.ops.redact import redact_pii
+
+        timed2("pii_redact", lambda: redact_pii(docs)
+               .agg(F.sum("pii_total")).collect())
+        timed2("pack_greedy", lambda: pack_greedy(docs, seq_len=512)
+               .agg(F.max("seq_id")).collect())
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
