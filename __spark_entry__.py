@@ -855,9 +855,8 @@ _PACK_SPANS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-              AS BIGINT) AS n_tokens
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, shard, n_tokens,
@@ -1040,8 +1039,8 @@ _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 _TOKEN_COUNTS_SQL = f"""WITH {_SQL_TOKS}
 SELECT d.doc_id,
-       CAST(CASE WHEN trim(d.text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(d.text, '{_BPE_RE_SQL}')) AS BIGINT) AS bpe_tokens,
        CAST(len(t.toks) AS BIGINT) AS analyzer_tokens,
        CAST(length(d.text) AS BIGINT) AS n_chars

@@ -181,6 +181,8 @@ def decode_wav_ima(payload: bytes) -> tuple[np.ndarray, int]:
     spb = info.get("samples_per_block") or ((ba - 4 * ch) * 2 // ch + 1)
     data = info["data"]
     n_blocks = len(data) // ba
+    if n_blocks == 0:  # zero-sample stream (encoder emits no blocks)
+        return np.empty((0, ch), dtype=np.float64), info["sample_rate"]
     raw = np.frombuffer(data[: n_blocks * ba], dtype=np.uint8)
     raw = raw.reshape(n_blocks, ba)
 

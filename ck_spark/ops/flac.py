@@ -193,53 +193,81 @@ def _best_rice_param(zz: np.ndarray, max_param: int = 14) -> tuple[int, int]:
     return best_k, best_c
 
 
-def _write_residuals(bw: _BitWriter, res: np.ndarray, block_size: int,
-                     pred_order: int) -> None:
-    """Partitioned Rice, method 0 (4-bit params), choosing the best
-    partition order among those dividing the block size."""
+def _signed_bits(res: np.ndarray) -> int:
+    """Smallest two's-complement width holding every value (>=1)."""
+    if res.size == 0:
+        return 1
+    hi = int(res.max())
+    lo = int(res.min())
+    return max(hi.bit_length() + 1, (-lo - 1).bit_length() + 1, 1)
+
+
+def _plan_residuals(res: np.ndarray, block_size: int,
+                    pred_order: int) -> tuple[int, int, list] | None:
+    """Choose (cost_bits, partition_order, per-partition codings) for the
+    partitioned-Rice residual block, or None when no legal encoding
+    exists (caller falls back to a verbatim subframe). A partition codes
+    as ('rice', k) or as a raw escape ('raw', nbits<=31) — whichever is
+    cheaper and representable; the returned cost is exact, so subframe
+    selection compares real bit sizes."""
     zz = _zigzag(res)
     best = None
     for porder in range(0, 7):
         nparts = 1 << porder
         if block_size % nparts or (block_size >> porder) <= pred_order:
-            if porder == 0:
-                nparts = 1
-            else:
-                break
+            if porder > 0:
+                break  # divisibility/occupancy only gets worse
         plen = block_size >> porder
-        cost = 4 * nparts
-        params = []
+        cost = 4  # partition-order field
+        codings = []
         ok = True
         off = 0
         for p in range(nparts):
-            n = plen - pred_order if p == 0 else plen
-            k, c = _best_rice_param(zz[off:off + n])
-            if np.any((zz[off:off + n] >> k) > 1 << 16):
-                ok = False  # pathological unary run; let another order try
+            n = (plen - pred_order) if p == 0 else plen
+            part_zz = zz[off:off + n]
+            k, c_rice = _best_rice_param(part_zz)
+            # unary runs longer than 2^16 would balloon the writer; treat
+            # as infeasible and let the raw escape compete
+            rice_ok = not np.any((part_zz >> k) > (1 << 16))
+            nbits = _signed_bits(res[off:off + n])
+            raw_ok = nbits <= 31  # 5-bit field holds 0..31
+            c_raw = 5 + n * nbits
+            if rice_ok and (not raw_ok or c_rice <= c_raw):
+                codings.append(("rice", k))
+                cost += 4 + c_rice
+            elif raw_ok:
+                codings.append(("raw", nbits))
+                cost += 4 + c_raw
+            else:
+                ok = False
                 break
-            params.append(k)
-            cost += c
             off += n
         if ok and (best is None or cost < best[0]):
-            best = (cost, porder, params)
-    if best is None:  # extreme residuals: raw-escape every partition
-        best = (0, 0, [None])
-    _, porder, params = best
+            best = (cost, porder, codings)
+    return best
+
+
+def _write_residuals(bw: _BitWriter, res: np.ndarray, block_size: int,
+                     pred_order: int,
+                     plan: tuple[int, int, list]) -> None:
+    zz = _zigzag(res)
+    _, porder, codings = plan
     bw.write(0, 2)  # RESIDUAL_CODING_METHOD_PARTITIONED_RICE
     bw.write(porder, 4)
     plen = block_size >> porder
     off = 0
-    for p, k in enumerate(params):
+    for p, (how, val) in enumerate(codings):
         n = (plen - pred_order) if p == 0 else plen
-        part = zz[off:off + n]
-        if k is None:  # escape: raw 32-bit two's-complement residuals
-            bw.write(15, 4)
-            bw.write(32, 5)
+        if how == "raw":
+            bw.write(15, 4)  # 4-bit escape code
+            bw.write(val, 5)
+            mask = (1 << val) - 1
             for v in res[off:off + n]:
-                bw.write(int(v) & 0xFFFFFFFF, 32)
+                bw.write(int(v) & mask, val)
         else:
+            k = val
             bw.write(k, 4)
-            for v in part:
+            for v in zz[off:off + n]:
                 bw.write_unary(int(v) >> k)
                 if k:
                     bw.write(int(v) & ((1 << k) - 1), k)
@@ -362,17 +390,20 @@ def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> bytes:
         bw.write(int(x[0]) & ((1 << bps) - 1), bps)
         return bw
 
-    # candidate: fixed orders 0..4 by exact Rice cost
-    best_kind, best_cost, best_payload = None, None, None
+    # candidates: fixed orders 0..4 and LPC, costed by the EXACT residual
+    # plan (Rice or raw-escape per partition); infeasible plans drop out
+    best_kind, best_cost, best_payload, best_plan = None, None, None, None
     for order in range(0, 5):
         if n <= order:
             break
         res = _fixed_residual(x, order)
-        zz = _zigzag(res)
-        k, c = _best_rice_param(zz)
-        cost = order * bps + 6 + c
+        plan = _plan_residuals(res, n, order)
+        if plan is None:
+            continue
+        cost = order * bps + 6 + plan[0]
         if best_cost is None or cost < best_cost:
-            best_kind, best_cost, best_payload = ("fixed", order, None, 0), cost, res
+            best_kind, best_cost, best_payload, best_plan = (
+                ("fixed", order, None, 0), cost, res, plan)
     if use_lpc:
         for order in (2, 4, 8):
             if n <= order * 2:
@@ -382,15 +413,16 @@ def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> bytes:
                 continue
             qcoef, shift = _quantize_lpc(coefs)
             res = _lpc_residual(x, qcoef, shift)
-            zz = _zigzag(res)
-            k, c = _best_rice_param(zz)
-            cost = order * bps + 6 + 4 + 5 + order * 12 + c
-            if cost < best_cost:
-                best_kind, best_cost, best_payload = (
-                    "lpc", order, qcoef, shift), cost, res
+            plan = _plan_residuals(res, n, order)
+            if plan is None:
+                continue
+            cost = order * bps + 6 + 4 + 5 + order * 12 + plan[0]
+            if best_cost is None or cost < best_cost:
+                best_kind, best_cost, best_payload, best_plan = (
+                    ("lpc", order, qcoef, shift), cost, res, plan)
 
     verbatim_cost = n * bps + 6
-    if verbatim_cost < best_cost:
+    if best_cost is None or verbatim_cost < best_cost:
         bw.write(0, 1)
         bw.write(0b000001, 6)  # verbatim
         bw.write(0, 1)
@@ -417,7 +449,7 @@ def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> bytes:
         bw.write(shift, 5)
         for c in qcoef:
             bw.write(int(c) & 0xFFF, 12)
-    _write_residuals(bw, best_payload, n, order)
+    _write_residuals(bw, best_payload, n, order, best_plan)
     return bw
 
 
@@ -474,6 +506,24 @@ _SAMPLE_SIZE_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101,
 _SAMPLE_SIZE_FROM_CODE = {v: k for k, v in _SAMPLE_SIZE_CODE.items()}
 
 
+def _pack_le(samples: np.ndarray, width: int) -> bytes:
+    """Vectorized little-endian signed packing (the MD5 input stream)."""
+    s = samples.astype(np.int64)
+    if width == 1:
+        return (s & 0xFF).astype(np.uint8).tobytes()
+    if width == 2:
+        return s.astype("<i2").tobytes()
+    if width == 4:
+        return s.astype("<i4").tobytes()
+    if width == 3:
+        b = np.empty((s.size, 3), dtype=np.uint8)
+        b[:, 0] = s & 0xFF
+        b[:, 1] = (s >> 8) & 0xFF
+        b[:, 2] = (s >> 16) & 0xFF
+        return b.tobytes()
+    raise ValueError(f"unsupported sample width {width}")
+
+
 def encode_flac(samples: np.ndarray, rate: int = 16_000, bps: int = 16,
                 block_size: int = 4096, use_lpc: bool = True,
                 stereo_decorrelate: bool = True) -> bytes:
@@ -490,10 +540,7 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000, bps: int = 16,
 
     # MD5 of the unencoded stream: interleaved little-endian signed
     md5 = hashlib.md5()
-    width = (bps + 7) // 8
-    inter = s.reshape(-1)
-    md5.update(b"".join(
-        int(v).to_bytes(width, "little", signed=True) for v in inter))
+    md5.update(_pack_le(s.reshape(-1), (bps + 7) // 8))
 
     frames = bytearray()
     min_fs = max_fs = None
@@ -602,26 +649,26 @@ def decode_flac(payload: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
     n_total = si.read(36)
     md5_expect = streaminfo[18:34]
 
-    chans: list[np.ndarray] = []
     got = 0
     data = payload[pos:]
     off = 0
     out_blocks = []
-    while got < n_total and off < len(data):
+    # n_total == 0 is spec-legal 'length unknown' (live/pipe encodes):
+    # decode frames until the byte stream is exhausted in that case
+    while (n_total == 0 or got < n_total) and off < len(data):
         blk, consumed = _decode_frame(data[off:], n_ch, bps, verify)
         out_blocks.append(blk)
         got += blk.shape[0]
         off += consumed
     if got < n_total:
         raise ValueError(f"stream ended at {got}/{n_total} samples")
-    out = (np.vstack(out_blocks) if out_blocks
-           else np.empty((0, n_ch), dtype=np.int64))[:n_total]
+    out = np.vstack(out_blocks) if out_blocks else np.empty(
+        (0, n_ch), dtype=np.int64)
+    if n_total:
+        out = out[:n_total]
     if verify and md5_expect != b"\x00" * 16:
         md5 = hashlib.md5()
-        width = (bps + 7) // 8
-        md5.update(b"".join(
-            int(v).to_bytes(width, "little", signed=True)
-            for v in out.reshape(-1)))
+        md5.update(_pack_le(out.reshape(-1), (bps + 7) // 8))
         if md5.digest() != md5_expect:
             raise ValueError("FLAC MD5 mismatch: decoded samples corrupt")
     return out.astype(np.float64), rate
@@ -661,7 +708,12 @@ def _decode_frame(data: bytes, n_ch: int, stream_bps: int,
         rd.read(16)
     elif sr_code == 0b1111:
         raise ValueError("invalid sample rate code")
-    bps = stream_bps if ss_code == 0 else _SAMPLE_SIZE_FROM_CODE[ss_code]
+    if ss_code == 0:
+        bps = stream_bps
+    elif ss_code in _SAMPLE_SIZE_FROM_CODE:
+        bps = _SAMPLE_SIZE_FROM_CODE[ss_code]
+    else:
+        raise ValueError(f"reserved sample size code {ss_code:#05b}")
     hdr_bytes = rd.pos // 8
     crc8 = rd.read(8)
     if verify and _crc8(data[:hdr_bytes]) != crc8:

@@ -264,6 +264,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown GIF block {block:#x} at {pos - 1}")
         left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
         pos += 8
+        if left + fw > w or top + fh > h:
+            raise ValueError(
+                f"frame rectangle {fw}x{fh}@({left},{top}) exceeds the "
+                f"{w}x{h} logical screen"
+            )
         fpacked = payload[pos]
         pos += 1
         pal = global_pal

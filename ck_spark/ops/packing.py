@@ -38,9 +38,11 @@ def _with_shard_tokens(df: DataFrame, id_col: str, token_count_col: str,
     if token_count_col:
         toks = F.col(token_count_col)
     else:
-        t = F.trim(F.col(text_col))
-        toks = F.when(t == "", F.lit(0)).otherwise(
-            F.size(F.split(t, r"\s+")))
+        # count non-empty \s+-separated tokens: robust to leading /
+        # trailing whitespace of ANY kind (trim only strips spaces) and
+        # to whitespace-only documents
+        toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda x: x != F.lit("")))
     shard = (F.col(shard_col) if shard_col
              else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)))
     return (

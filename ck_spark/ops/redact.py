@@ -63,7 +63,6 @@ def redact_pii(
         cur = F.regexp_replace(cur, pat, mask.format(kind=kind))
         counts.append(n_col)
     out = out.withColumn(text_col, cur)
-    total = counts[0] if counts else None
     expr = F.lit(0)
     for c in counts:
         expr = expr + F.col(c)

@@ -35,9 +35,9 @@ LANG_MARKERS = {
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace tokens, BPE-ish regex tokens, analyzer tokens, chars."""
     t = F.col(text_col)
-    ws = F.when(F.trim(t) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    # non-empty \s+-separated tokens (trim-based counting miscounts
+    # docs with leading/trailing non-space whitespace, e.g. 'hello\n')
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
     return df.select(
         F.col(id_col),
         ws.cast("long").alias("ws_tokens"),

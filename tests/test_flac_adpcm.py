@@ -84,6 +84,59 @@ def test_flac_edge_payloads():
     assert np.array_equal(dec.ravel().astype(np.int64), noise)
 
 
+def test_flac_escape_spike_signal_roundtrips():
+    """Near-silent 32-bit signal with one huge spike: Rice parameters
+    cannot hold the spike's unary run, so the encoder must use the raw
+    escape with a correctly-sized (<=31-bit) width — the review found the
+    old path wrote width 32 into the 5-bit field (truncating to 0)."""
+    x = np.zeros(4096, dtype=np.int64)
+    x[0] = 1
+    x[2000] = 2 ** 29 + 2 ** 13
+    enc = encode_flac(x, bps=32)
+    dec, _ = decode_flac(enc)  # CRC+MD5 verified
+    assert np.array_equal(dec.ravel().astype(np.int64), x)
+    # and a spike too large for any escape must fall back losslessly
+    y = np.zeros(4096, dtype=np.int64)
+    y[100] = 2 ** 31 - 1
+    y[101] = -(2 ** 31)
+    dec2, _ = decode_flac(encode_flac(y, bps=32))
+    assert np.array_equal(dec2.ravel().astype(np.int64), y)
+
+
+def test_flac_unknown_length_stream_decodes_to_exhaustion():
+    """STREAMINFO total-samples == 0 is spec-legal 'unknown length':
+    frames must still decode (previously returned 0 samples silently)."""
+    x = _tone(5000)
+    enc = bytearray(encode_flac(x, rate=16_000))
+    # zero the 36-bit total-samples field (last 4.5 bytes of the first 18
+    # STREAMINFO bytes: bits 140..175 -> bytes 8+17..8+21 within payload)
+    si = 8  # fLaC + 4-byte metadata header
+    enc[si + 13] &= 0xF0  # low nibble = top 4 bits of n_total
+    for b in range(14, 18):
+        enc[si + b] = 0
+    dec, rate = decode_flac(bytes(enc), verify=False)  # MD5 header intact
+    assert rate == 16_000
+    assert np.array_equal(dec.ravel().astype(np.int64), x)
+
+
+def test_flac_reserved_sample_size_code_raises_valueerror():
+    x = _tone(600)
+    enc = bytearray(encode_flac(x, block_size=600))
+    # frame header starts right after the 42-byte stream header; byte 3
+    # of the header holds [ch(4) | sample-size(3) | reserved(1)]
+    hdr = 42
+    # byte 3 = [ch_code(4) | sample_size(3) | reserved(1)]
+    enc[hdr + 3] = (enc[hdr + 3] & 0b11110001) | (0b011 << 1)
+    with pytest.raises(ValueError, match="reserved sample size|CRC"):
+        decode_flac(bytes(enc))
+
+
+def test_ima_adpcm_empty_stream():
+    w = encode_wav_ima(np.array([], dtype=np.int64))
+    y, rate = decode_wav_ima(w)
+    assert y.shape == (0, 1)
+
+
 def test_flac_integrity_checks_catch_corruption():
     enc = bytearray(encode_flac(_tone(4000)))
     enc[len(enc) // 2] ^= 0x40

@@ -77,6 +77,18 @@ def test_not_a_gif_raises():
         decode_gif(b"PNG\x00nope")
 
 
+def test_frame_rect_exceeding_screen_raises_descriptively():
+    import struct
+
+    img = _pal_img((4, 4))
+    g = bytearray(encode_gif(img))
+    desc = bytes(g).index(b"\x2c")  # image descriptor; widen the frame
+    assert g[desc] == 0x2C
+    struct.pack_into("<H", g, desc + 5, 9)  # fw = 9 > screen width 4
+    with pytest.raises(ValueError, match="exceeds the 4x4 logical screen"):
+        decode_gif(bytes(g))
+
+
 def test_transparency_composites_over_previous_frame():
     # hand-built 2-frame GIF (bypasses encode_gif so palette order is
     # pinned): frame 1 fills red; frame 2 is a 4x2 strip whose right half

@@ -108,12 +108,15 @@ def test_pack_rejects_bad_seq_len(spark):
 
 
 def test_whitespace_token_derivation(spark):
+    # newline/tab edges matter: trim() strips only spaces, so a naive
+    # trim+split counted 'hello\n' as 2 tokens (review regression)
     df = spark.createDataFrame(
-        [(0, "a b  c"), (1, ""), (2, "   "), (3, "one")],
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, "one"),
+         (4, "hello\n"), (5, "\tabc"), (6, " \t \n"), (7, "x\r\ny")],
         schema="doc_id long, text string")
     out = {r["doc_id"]: r["n_tokens"] for r in pack_concat_split(
         df, seq_len=8, n_shards=1).collect()}
-    assert out == {0: 3, 1: 0, 2: 0, 3: 1}
+    assert out == {0: 3, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0, 7: 2}
 
 
 # ------------------------------------------------------------- redaction
