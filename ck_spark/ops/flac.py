@@ -72,38 +72,76 @@ def _crc16(data: bytes) -> int:
 
 # ---------------------------------------------------------------- bit IO
 class _BitWriter:
+    """MSB-first writer accumulating numpy 0/1 bit chunks — bulk writes
+    (Rice blocks, fixed-width arrays) are single vectorized appends, and
+    the byte stream materializes once via np.packbits."""
+
     def __init__(self) -> None:
-        self._out = bytearray()
-        self._acc = 0
+        self._chunks: list[np.ndarray] = []
         self._nbits = 0
 
     def write(self, value: int, nbits: int) -> None:
         if nbits == 0:
             return
-        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        bits = (value >> np.arange(nbits - 1, -1, -1)) & 1
+        self._chunks.append(bits.astype(np.uint8))
         self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            self._out.append((self._acc >> self._nbits) & 0xFF)
-        self._acc &= (1 << self._nbits) - 1
 
     def write_unary(self, q: int) -> None:
         # q zero bits then a one bit (FLAC unary convention)
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
-        self.write(1, q + 1)
+        bits = np.zeros(q + 1, dtype=np.uint8)
+        bits[q] = 1
+        self._chunks.append(bits)
+        self._nbits += q + 1
+
+    def write_fixed_array(self, values: np.ndarray, nbits: int) -> None:
+        """n fixed-width fields in one append (verbatim / warm-up / raw
+        escape paths)."""
+        if nbits == 0 or values.size == 0:
+            return
+        v = values.astype(np.int64)
+        bits = ((v[:, None] >> np.arange(nbits - 1, -1, -1)) & 1)
+        self._chunks.append(bits.astype(np.uint8).reshape(-1))
+        self._nbits += values.size * nbits
+
+    def write_rice(self, zz: np.ndarray, k: int) -> None:
+        """A whole Rice partition in one vectorized append: per code,
+        quotient zeros, a one, then k remainder bits."""
+        if zz.size == 0:
+            return
+        q = (zz >> k).astype(np.int64)
+        widths = q + 1 + k
+        total = int(widths.sum())
+        bits = np.zeros(total, dtype=np.uint8)
+        ends = np.cumsum(widths)
+        markers = ends - k - 1  # the terminating one of each unary run
+        bits[markers] = 1
+        if k:
+            rem = (zz & ((1 << k) - 1)).astype(np.int64)
+            rbits = (rem[:, None] >> np.arange(k - 1, -1, -1)) & 1
+            pos = markers[:, None] + 1 + np.arange(k)
+            bits[pos.reshape(-1)] = rbits.astype(np.uint8).reshape(-1)
+        self._chunks.append(bits)
+        self._nbits += total
+
+    def extend(self, other: "_BitWriter") -> None:
+        self._chunks.extend(other._chunks)
+        self._nbits += other._nbits
 
     def align(self) -> None:
-        if self._nbits:
-            self.write(0, 8 - self._nbits)
+        if self._nbits % 8:
+            pad = 8 - self._nbits % 8
+            self._chunks.append(np.zeros(pad, dtype=np.uint8))
+            self._nbits += pad
 
     def bit_length(self) -> int:
-        return len(self._out) * 8 + self._nbits
+        return self._nbits
 
     def getvalue(self) -> bytes:
-        assert self._nbits == 0, "unaligned"
-        return bytes(self._out)
+        assert self._nbits % 8 == 0, "unaligned"
+        if not self._chunks:
+            return b""
+        return np.packbits(np.concatenate(self._chunks)).tobytes()
 
 
 class _BitReader:
@@ -120,9 +158,8 @@ class _BitReader:
         end = self.pos + nbits
         if end > self.bits.size:
             raise ValueError("FLAC bitstream truncated")
-        v = 0
-        for b in self.bits[self.pos:end]:
-            v = (v << 1) | int(b)
+        w = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        v = int(self.bits[self.pos:end].astype(np.int64) @ w)
         self.pos = end
         return v
 
@@ -132,6 +169,57 @@ class _BitReader:
             raise ValueError("FLAC bitstream truncated in unary run")
         self.pos += int(idx) + 1
         return int(idx)
+
+    def read_fixed_array(self, n: int, nbits: int,
+                         signed: bool = False) -> np.ndarray:
+        """n fixed-width fields in one vectorized gather."""
+        if n == 0 or nbits == 0:
+            return np.zeros(n, dtype=np.int64)
+        end = self.pos + n * nbits
+        if end > self.bits.size:
+            raise ValueError("FLAC bitstream truncated")
+        seg = self.bits[self.pos:end].reshape(n, nbits).astype(np.int64)
+        v = seg @ (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        if signed:
+            v = np.where(v >= 1 << (nbits - 1), v - (1 << nbits), v)
+        self.pos = end
+        return v
+
+    def read_rice(self, n: int, k: int) -> np.ndarray:
+        """n Rice codes: a forward pointer walk over the set-bit index
+        finds the unary terminators (amortized O(set bits)); remainders
+        then gather in one vectorized indexing op."""
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        ones = np.flatnonzero(self.bits[self.pos:])
+        markers = np.empty(n, dtype=np.int64)
+        j = 0
+        prev_end = -1
+        try:
+            for i in range(n):
+                while ones[j] <= prev_end:  # skip ones inside remainders
+                    j += 1
+                m = int(ones[j])
+                markers[i] = m
+                prev_end = m + k
+                j += 1
+        except IndexError:
+            raise ValueError("FLAC bitstream truncated in Rice partition")
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = markers[:-1] + 1 + k
+        q = markers - starts
+        if k:
+            pos = self.pos + markers[:, None] + 1 + np.arange(k)
+            if int(pos[-1, -1]) >= self.bits.size:
+                raise ValueError("FLAC bitstream truncated in Rice partition")
+            rbits = self.bits[pos].astype(np.int64)
+            rem = rbits @ (1 << np.arange(k - 1, -1, -1)).astype(np.int64)
+        else:
+            rem = np.zeros(n, dtype=np.int64)
+        zz = (q << k) | rem
+        self.pos += prev_end + 1
+        return (zz >> 1) ^ -(zz & 1)
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -193,13 +281,13 @@ def _best_rice_param(zz: np.ndarray, max_param: int = 14) -> tuple[int, int]:
     return best_k, best_c
 
 
-def _signed_bits(res: np.ndarray) -> int:
-    """Smallest two's-complement width holding every value (>=1)."""
-    if res.size == 0:
-        return 1
-    hi = int(res.max())
-    lo = int(res.min())
-    return max(hi.bit_length() + 1, (-lo - 1).bit_length() + 1, 1)
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Elementwise bit_length for non-negative int64 (exact: values stay
+    far below 2**53, so float64 log2 cannot cross a power of two)."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    out[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
 
 
 def _plan_residuals(res: np.ndarray, block_size: int,
@@ -209,8 +297,21 @@ def _plan_residuals(res: np.ndarray, block_size: int,
     exists (caller falls back to a verbatim subframe). A partition codes
     as ('rice', k) or as a raw escape ('raw', nbits<=31) — whichever is
     cheaper and representable; the returned cost is exact, so subframe
-    selection compares real bit sizes."""
+    selection compares real bit sizes.
+
+    Vectorized: one (m, 15) shift table + prefix sums give every
+    partition's exact Rice cost for every k at every partition order;
+    per-partition maxima come from reduceat (zz>>k is monotone in zz, so
+    one max per partition covers all k)."""
+    m = res.size
+    if m == 0:
+        return (4 + 4, 0, [("rice", 0)])
     zz = _zigzag(res)
+    K = 15  # rice parameters 0..14 (15 is the escape code)
+    shifted = zz[:, None] >> np.arange(K)  # (m, K)
+    csum = np.vstack([np.zeros((1, K), np.int64),
+                      np.cumsum(shifted, axis=0)])  # (m+1, K)
+    kcost = np.arange(K) + 1  # per-sample fixed bits for parameter k
     best = None
     for porder in range(0, 7):
         nparts = 1 << porder
@@ -218,31 +319,34 @@ def _plan_residuals(res: np.ndarray, block_size: int,
             if porder > 0:
                 break  # divisibility/occupancy only gets worse
         plen = block_size >> porder
-        cost = 4  # partition-order field
-        codings = []
-        ok = True
-        off = 0
-        for p in range(nparts):
-            n = (plen - pred_order) if p == 0 else plen
-            part_zz = zz[off:off + n]
-            k, c_rice = _best_rice_param(part_zz)
-            # unary runs longer than 2^16 would balloon the writer; treat
-            # as infeasible and let the raw escape compete
-            rice_ok = not np.any((part_zz >> k) > (1 << 16))
-            nbits = _signed_bits(res[off:off + n])
-            raw_ok = nbits <= 31  # 5-bit field holds 0..31
-            c_raw = 5 + n * nbits
-            if rice_ok and (not raw_ok or c_rice <= c_raw):
-                codings.append(("rice", k))
-                cost += 4 + c_rice
-            elif raw_ok:
-                codings.append(("raw", nbits))
-                cost += 4 + c_raw
-            else:
-                ok = False
-                break
-            off += n
-        if ok and (best is None or cost < best[0]):
+        # partition boundaries in residual-index space
+        ends = np.arange(1, nparts + 1) * plen - pred_order
+        starts = np.concatenate([[0], ends[:-1]])
+        cnts = ends - starts
+        sums = csum[ends] - csum[starts]  # (nparts, K)
+        rice_costs = sums + cnts[:, None] * kcost  # exact bits per (part, k)
+        part_max_zz = np.maximum.reduceat(zz, starts)
+        # unary runs longer than 2^16 would balloon the writer: parameter
+        # k is feasible iff (max zz)>>k fits
+        feasible = (part_max_zz[:, None] >> np.arange(K)) <= (1 << 16)
+        rice_costs = np.where(feasible, rice_costs, np.iinfo(np.int64).max)
+        best_k = np.argmin(rice_costs, axis=1)
+        best_rice = rice_costs[np.arange(nparts), best_k]
+        hi = np.maximum.reduceat(res, starts)
+        lo = np.minimum.reduceat(res, starts)
+        nbits = np.maximum(_bit_lengths(hi.clip(min=0)) + 1,
+                           _bit_lengths((-lo - 1).clip(min=0)) + 1).clip(min=1)
+        raw_ok = nbits <= 31  # the 5-bit width field holds 0..31
+        raw_costs = np.where(raw_ok, 5 + cnts * nbits,
+                             np.iinfo(np.int64).max)
+        use_raw = raw_costs < best_rice
+        part_costs = np.where(use_raw, raw_costs, best_rice)
+        if np.any(part_costs == np.iinfo(np.int64).max):
+            continue  # some partition has no legal coding at this order
+        cost = 4 + 4 * nparts + int(part_costs.sum())
+        if best is None or cost < best[0]:
+            codings = [("raw", int(nbits[p])) if use_raw[p]
+                       else ("rice", int(best_k[p])) for p in range(nparts)]
             best = (cost, porder, codings)
     return best
 
@@ -261,16 +365,10 @@ def _write_residuals(bw: _BitWriter, res: np.ndarray, block_size: int,
         if how == "raw":
             bw.write(15, 4)  # 4-bit escape code
             bw.write(val, 5)
-            mask = (1 << val) - 1
-            for v in res[off:off + n]:
-                bw.write(int(v) & mask, val)
+            bw.write_fixed_array(res[off:off + n] & ((1 << val) - 1), val)
         else:
-            k = val
-            bw.write(k, 4)
-            for v in zz[off:off + n]:
-                bw.write_unary(int(v) >> k)
-                if k:
-                    bw.write(int(v) & ((1 << k) - 1), k)
+            bw.write(val, 4)
+            bw.write_rice(zz[off:off + n], val)
         off += n
 
 
@@ -291,16 +389,9 @@ def _read_residuals(rd: _BitReader, block_size: int,
         k = rd.read(pbits)
         if k == escape:
             raw_bits = rd.read(5)
-            for i in range(n):
-                v = rd.read(raw_bits) if raw_bits else 0
-                if raw_bits and v >= 1 << (raw_bits - 1):
-                    v -= 1 << raw_bits
-                out[off + i] = v
+            out[off:off + n] = rd.read_fixed_array(n, raw_bits, signed=True)
         else:
-            for i in range(n):
-                q = rd.read_unary()
-                zz = (q << k) | rd.read(k)
-                out[off + i] = (zz >> 1) ^ -(zz & 1)
+            out[off:off + n] = rd.read_rice(n, k)
         off += n
     return out
 
@@ -426,29 +517,23 @@ def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> bytes:
         bw.write(0, 1)
         bw.write(0b000001, 6)  # verbatim
         bw.write(0, 1)
-        mask = (1 << bps) - 1
-        for v in x:
-            bw.write(int(v) & mask, bps)
+        bw.write_fixed_array(x & ((1 << bps) - 1), bps)
         return bw
 
     kind, order, qcoef, shift = best_kind
     bw.write(0, 1)
+    mask = (1 << bps) - 1
     if kind == "fixed":
         bw.write(0b001000 | order, 6)
         bw.write(0, 1)  # no wasted bits
-        mask = (1 << bps) - 1
-        for v in x[:order]:
-            bw.write(int(v) & mask, bps)
+        bw.write_fixed_array(x[:order] & mask, bps)
     else:
         bw.write(0b100000 | (order - 1), 6)
         bw.write(0, 1)
-        mask = (1 << bps) - 1
-        for v in x[:order]:
-            bw.write(int(v) & mask, bps)
+        bw.write_fixed_array(x[:order] & mask, bps)
         bw.write(12 - 1, 4)  # coefficient precision - 1
         bw.write(shift, 5)
-        for c in qcoef:
-            bw.write(int(c) & 0xFFF, 12)
+        bw.write_fixed_array(qcoef & 0xFFF, 12)
     _write_residuals(bw, best_payload, n, order, best_plan)
     return bw
 
@@ -471,11 +556,10 @@ def _decode_subframe(rd: _BitReader, n: int, bps: int) -> np.ndarray:
     if typ == 0b000000:
         out = np.full(n, _read_signed(rd, bps), dtype=np.int64)
     elif typ == 0b000001:
-        out = np.array([_read_signed(rd, bps) for _ in range(n)], dtype=np.int64)
+        out = rd.read_fixed_array(n, bps, signed=True)
     elif 0b001000 <= typ <= 0b001100:
         order = typ & 0x07
-        warm = np.array([_read_signed(rd, bps) for _ in range(order)],
-                        dtype=np.int64)
+        warm = rd.read_fixed_array(order, bps, signed=True)
         res = _read_residuals(rd, n, order)
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
@@ -485,14 +569,12 @@ def _decode_subframe(rd: _BitReader, n: int, bps: int) -> np.ndarray:
                                        if order else 0)
     elif typ & 0b100000:
         order = (typ & 0x1F) + 1
-        warm = np.array([_read_signed(rd, bps) for _ in range(order)],
-                        dtype=np.int64)
+        warm = rd.read_fixed_array(order, bps, signed=True)
         precision = rd.read(4) + 1
         if precision == 16:
             raise ValueError("invalid LPC coefficient precision escape")
         shift = rd.read(5)
-        qcoef = np.array([_read_signed(rd, precision) for _ in range(order)],
-                         dtype=np.int64)
+        qcoef = rd.read_fixed_array(order, precision, signed=True)
         res = _read_residuals(rd, n, order)
         out = _lpc_restore(res, warm, qcoef, shift, n)
     else:
@@ -573,22 +655,34 @@ def _encode_frame(blk: np.ndarray, frame_no: int, rate: int, bps: int,
     n, n_ch = blk.shape
     # pick channel assignment: independent always works; for stereo try
     # the three decorrelation modes by summed subframe cost
-    plans = [("indep", [blk[:, c] for c in range(n_ch)],
-              [bps] * n_ch, n_ch - 1)]
+    # the four stereo plans reference only four DISTINCT signals
+    # (left, right, side, mid) — encode each signal once, then pick the
+    # cheapest assignment by real bit cost
     if n_ch == 2 and stereo_decorrelate:
         left, right = blk[:, 0], blk[:, 1]
         side = left - right
         mid = (left + right) >> 1
-        plans.append(("left_side", [left, side], [bps, bps + 1], 0b1000))
-        plans.append(("right_side", [side, right], [bps + 1, bps], 0b1001))
-        plans.append(("mid_side", [mid, side], [bps, bps + 1], 0b1010))
+        enc = {
+            "left": _encode_subframe(left, bps, use_lpc),
+            "right": _encode_subframe(right, bps, use_lpc),
+            "side": _encode_subframe(side, bps + 1, use_lpc),
+            "mid": _encode_subframe(mid, bps, use_lpc),
+        }
+        plans = [
+            (["left", "right"], n_ch - 1),
+            (["left", "side"], 0b1000),
+            (["side", "right"], 0b1001),
+            (["mid", "side"], 0b1010),
+        ]
+    else:
+        enc = {f"ch{c}": _encode_subframe(blk[:, c], bps, use_lpc)
+               for c in range(n_ch)}
+        plans = [([f"ch{c}" for c in range(n_ch)], n_ch - 1)]
     best = None
-    for name, chans, bpss, code in plans:
-        subs = [_encode_subframe(ch, b, use_lpc)
-                for ch, b in zip(chans, bpss)]
-        cost = sum(sb.bit_length() for sb in subs)
+    for names, code in plans:
+        cost = sum(enc[nm].bit_length() for nm in names)
         if best is None or cost < best[0]:
-            best = (cost, subs, code)
+            best = (cost, [enc[nm] for nm in names], code)
     _, subs, ch_code = best
 
     bw = _BitWriter()
@@ -608,12 +702,9 @@ def _encode_frame(blk: np.ndarray, frame_no: int, rate: int, bps: int,
 
     body = _BitWriter()
     for sb in subs:
-        # replay the sub-writer bit-exactly (subframes are a continuous
+        # splice the sub-writer's bit chunks (subframes are a continuous
         # bitstream — no per-subframe byte alignment in FLAC)
-        for byte in sb._out:
-            body.write(byte, 8)
-        if sb._nbits:
-            body.write(sb._acc, sb._nbits)
+        body.extend(sb)
     body.align()
     frame = header + body.getvalue()
     return frame + struct.pack(">H", _crc16(frame))
