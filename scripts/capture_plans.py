@@ -410,6 +410,39 @@ def main() -> None:
         "\n".join(lsm_lines[:14]),
     ))
 
+    # ---- training-pipeline ops: redaction and sequence packing
+    from ck_spark.ops.packing import pack_concat_split, pack_greedy
+    from ck_spark.ops.redact import redact_pii
+
+    docs = corpus.selectExpr("xxhash64(path) AS doc_id", "content AS text")
+    rp = plan_of(redact_pii(docs))
+    assert "Exchange" not in rp, "redaction must be a narrow map"
+    assert "Python" not in rp, "redaction must stay JVM-side"
+    sections.append((
+        "PII redaction — narrow codegen map",
+        "redact_pii is regexp_replace/regexp_extract_all over the text "
+        "column: ZERO exchanges, zero Python nodes — a pure narrow map "
+        "that scales linearly with corpus bytes and pipelines into any "
+        "downstream op without a shuffle barrier.",
+        trimmed(rp, ("Project", "FileScan", "Scan"), 10),
+    ))
+
+    pc = plan_of(pack_concat_split(docs, 512))
+    assert pc.count("Exchange") == 1, "concat-split packs with ONE shuffle"
+    pg = plan_of(pack_greedy(docs, 512))
+    assert pg.count("Exchange") == 1, "greedy packs with ONE shuffle"
+    sections.append((
+        "Sequence packing — one partitioned shuffle, no global order",
+        "pack_concat_split runs its prefix-sum window PARTITIONED BY the "
+        "hash shard (one Exchange, no single-reducer global sort); "
+        "pack_greedy's sequential capacity recurrence is confined to an "
+        "applyInPandas per shard behind the same single Exchange, with "
+        "the scan pruned to (doc_id, text).",
+        trimmed(pc, ("Exchange", "Window", "Sort", "Scan"), 12)
+        + "\n-- pack_greedy --\n"
+        + trimmed(pg, ("Exchange", "FlatMapGroupsInPandas", "Scan"), 10),
+    ))
+
     out = ["# PLANS — captured physical plans (judge artifact)\n",
            "Generated by `python scripts/capture_plans.py` on a fresh "
            "3000-doc index. What to look for in each plan is stated above "
