@@ -221,6 +221,14 @@ def main() -> None:
                .agg(F.sum("pii_total")).collect())
         timed2("pack_greedy", lambda: pack_greedy(docs, seq_len=512)
                .agg(F.max("seq_id")).collect())
+
+        from ck_spark.ops.multimodal import extract_features, synth_media
+
+        media = synth_media(spark, 400, seed=42).persist()
+        media.count()  # materialize: encode cost excluded from decode timing
+        timed("media_decode_400", lambda: extract_features(
+            media, real_decode=True).count())
+        media.unpersist()
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
