@@ -851,6 +851,72 @@ def _q_pack_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_pack_greedy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.packing import pack_greedy
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "pshard", (F.col("doc_id") % PACK_SHARDS).cast("int"))
+    return pack_greedy(
+        docs, seq_len=PACK_SEQ_LEN, shard_col="pshard",
+        n_shards=PACK_SHARDS,
+    ).orderBy("doc_id")
+
+
+# the greedy first-fit recurrence as a recursive CTE: state carried
+# between docs of a shard is (open sequence id, fill); all shards
+# advance in parallel within one recursion (join on shard, rn+1) —
+# mirrors ops/packing.pack_greedy exactly, incl. the close-on-full and
+# oversize-alone rules
+_PACK_GREEDY_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS offset_in_seq,
+         CASE WHEN n_tokens >= {PACK_SEQ_LEN} THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS open_seq,
+         CASE WHEN n_tokens >= {PACK_SEQ_LEN} THEN CAST(0 AS BIGINT)
+              ELSE n_tokens END AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN rec.fill > 0 AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+              THEN rec.open_seq + 1 ELSE rec.open_seq END,
+         CASE WHEN rec.fill > 0 AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+              THEN CAST(0 AS BIGINT) ELSE rec.fill END,
+         CASE WHEN (CASE WHEN rec.fill > 0
+                         AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+                         THEN CAST(0 AS BIGINT) ELSE rec.fill END)
+                   + d.n_tokens >= {PACK_SEQ_LEN}
+              THEN (CASE WHEN rec.fill > 0
+                         AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+                         THEN rec.open_seq + 1 ELSE rec.open_seq END) + 1
+              ELSE (CASE WHEN rec.fill > 0
+                         AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+                         THEN rec.open_seq + 1 ELSE rec.open_seq END) END,
+         CASE WHEN (CASE WHEN rec.fill > 0
+                         AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+                         THEN CAST(0 AS BIGINT) ELSE rec.fill END)
+                   + d.n_tokens >= {PACK_SEQ_LEN}
+              THEN CAST(0 AS BIGINT)
+              ELSE (CASE WHEN rec.fill > 0
+                         AND rec.fill + d.n_tokens > {PACK_SEQ_LEN}
+                         THEN CAST(0 AS BIGINT) ELSE rec.fill END)
+                   + d.n_tokens END
+  FROM rec JOIN d ON d.shard = rec.shard AND d.rn = rec.rn + 1
+)
+SELECT doc_id, shard, n_tokens, seq_id, offset_in_seq,
+       n_tokens > {PACK_SEQ_LEN} AS oversize
+FROM rec ORDER BY doc_id"""
+
+
 _PACK_SPANS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
@@ -2028,6 +2094,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "pii_redact": _q_pii_redact,
         "pack_spans": _q_pack_spans,
+        "pack_greedy": _q_pack_greedy,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -2159,6 +2226,7 @@ FROM h ORDER BY doc_id""",
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "pii_redact": _pii_redact_sql(),
         "pack_spans": _PACK_SPANS_SQL,
+        "pack_greedy": _PACK_GREEDY_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,

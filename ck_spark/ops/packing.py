@@ -103,6 +103,7 @@ def pack_greedy(
     token_count_col: str | None = None,
     text_col: str = "text",
     n_shards: int = 64,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """First-fit-in-order packing without splitting: per shard, walk the
     documents in `id_col` order; if the current sequence cannot hold the
@@ -114,7 +115,7 @@ def pack_greedy(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     base = _with_shard_tokens(df, id_col, token_count_col, text_col,
-                              n_shards).select(
+                              n_shards, shard_col).select(
         F.col(id_col).cast("long").alias("doc_id"), "shard", "n_tokens")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
