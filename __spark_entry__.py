@@ -834,6 +834,45 @@ def _pii_redact_sql() -> str:
     )
 
 
+DECONTAM_N = 8  # word-n-gram shingle width (GPT-3 appendix C uses 8-13)
+
+
+def _q_decontam(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ck_spark.ops.decontam import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    # deterministic synthetic 'benchmark': every 97th doc plays the role
+    # of an eval-set member (real pipelines read a separate eval table)
+    bench = docs.where(F.col("doc_id") % 97 == 3)
+    return contamination_flags(docs, bench, n=DECONTAM_N).orderBy("doc_id")
+
+
+_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {DECONTAM_N} + 2)) AS i
+  FROM tok WHERE len(t) >= {DECONTAM_N}
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i + {DECONTAM_N} - 1], ' ') AS shingle
+  FROM idx
+), bs AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 3
+), hits AS (
+  SELECT sh.doc_id, count(*) AS n_shared
+  FROM sh JOIN bs USING (shingle) GROUP BY sh.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(h.n_shared, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"""
+
+
 PACK_SEQ_LEN = 512
 PACK_SHARDS = 8
 
@@ -2095,6 +2134,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "pack_spans": _q_pack_spans,
         "pack_greedy": _q_pack_greedy,
+        "decontam_overlap": _q_decontam,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -2227,6 +2267,7 @@ FROM h ORDER BY doc_id""",
         "pii_redact": _pii_redact_sql(),
         "pack_spans": _PACK_SPANS_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
+        "decontam_overlap": _DECONTAM_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,

@@ -222,6 +222,12 @@ def main() -> None:
         timed2("pack_greedy", lambda: pack_greedy(docs, seq_len=512)
                .agg(F.max("seq_id")).collect())
 
+        from ck_spark.ops.decontam import contamination_flags
+
+        timed2("decontam_overlap", lambda: contamination_flags(
+            docs, docs.where(F.col("doc_id") % 97 == 3))
+            .agg(F.sum(F.col("contaminated").cast("int"))).collect())
+
         from ck_spark.ops.multimodal import extract_features, synth_media
 
         media = synth_media(spark, 400, seed=42).persist()
