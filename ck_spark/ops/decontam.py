@@ -29,8 +29,12 @@ def shingle_ngrams(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word-n-gram shingles per doc: (id_col, shingle)."""
+    """Word-n-gram shingles per doc: (id_col, shingle). distinct=True
+    dedupes per (doc, shingle) — note that costs a shuffle; callers that
+    follow with a filtering join should pass distinct=False and dedupe
+    the (much smaller) post-join set instead."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: x != F.lit(""),
@@ -40,11 +44,11 @@ def shingle_ngrams(
     idxs = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
         F.array().cast("array<int>"))
     sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def contamination_flags(
@@ -60,18 +64,22 @@ def contamination_flags(
     """Per training doc: n_shared (distinct shingles shared with the
     benchmark set) and contaminated = n_shared >= min_hits. Every input
     doc appears exactly once (docs with no overlap report 0)."""
-    d = shingle_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
+    # corpus side stays NON-distinct (no corpus-scale shuffle before the
+    # join); only the post-join matched set — tiny by construction — pays
+    # a countDistinct
+    d = shingle_ngrams(docs, n=n, id_col=id_col, text_col=text_col,
+                       distinct=False)
     bench = benchmark.select(
         F.lit(0).alias("_bid"), F.col(bench_text_col).alias("text"))
-    b = shingle_ngrams(bench, n=n, id_col="_bid", text_col="text").select(
-        "shingle").distinct()
+    b = shingle_ngrams(bench, n=n, id_col="_bid", text_col="text",
+                       distinct=False).select("shingle").distinct()
     if hash_shingles:
         d = d.withColumn("shingle", F.xxhash64("shingle"))
         b = b.withColumn("shingle", F.xxhash64("shingle"))
     hits = (
         d.join(F.broadcast(b), "shingle")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("shingle").alias("n_shared"))
     )
     return (
         docs.select(id_col)

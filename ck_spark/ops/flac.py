@@ -87,13 +87,6 @@ class _BitWriter:
         self._chunks.append(bits.astype(np.uint8))
         self._nbits += nbits
 
-    def write_unary(self, q: int) -> None:
-        # q zero bits then a one bit (FLAC unary convention)
-        bits = np.zeros(q + 1, dtype=np.uint8)
-        bits[q] = 1
-        self._chunks.append(bits)
-        self._nbits += q + 1
-
     def write_fixed_array(self, values: np.ndarray, nbits: int) -> None:
         """n fixed-width fields in one append (verbatim / warm-up / raw
         escape paths)."""
@@ -164,11 +157,16 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
-        idx = np.argmax(self.bits[self.pos:])
-        if not self.bits[self.pos + idx]:
-            raise ValueError("FLAC bitstream truncated in unary run")
-        self.pos += int(idx) + 1
-        return int(idx)
+        win = 4096
+        while True:
+            seg = self.bits[self.pos:self.pos + win]
+            idx = int(np.argmax(seg))
+            if seg.size and seg[idx]:
+                self.pos += idx + 1
+                return idx
+            if self.pos + win >= self.bits.size:
+                raise ValueError("FLAC bitstream truncated in unary run")
+            win *= 4
 
     def read_fixed_array(self, n: int, nbits: int,
                          signed: bool = False) -> np.ndarray:
@@ -188,23 +186,32 @@ class _BitReader:
     def read_rice(self, n: int, k: int) -> np.ndarray:
         """n Rice codes: a forward pointer walk over the set-bit index
         finds the unary terminators (amortized O(set bits)); remainders
-        then gather in one vectorized indexing op."""
+        then gather in one vectorized indexing op. The set-bit scan is
+        WINDOWED (grown geometrically when a partition outruns it) so
+        decode cost tracks the partition's size, not the remaining
+        stream — one reader now serves all frames of a payload."""
         if n == 0:
             return np.zeros(0, dtype=np.int64)
-        ones = np.flatnonzero(self.bits[self.pos:])
         markers = np.empty(n, dtype=np.int64)
-        j = 0
-        prev_end = -1
-        try:
-            for i in range(n):
-                while ones[j] <= prev_end:  # skip ones inside remainders
+        win = n * (k + 2) + 4096
+        while True:
+            ones = np.flatnonzero(self.bits[self.pos:self.pos + win])
+            j = 0
+            prev_end = -1
+            try:
+                for i in range(n):
+                    while ones[j] <= prev_end:  # skip ones in remainders
+                        j += 1
+                    m = int(ones[j])
+                    markers[i] = m
+                    prev_end = m + k
                     j += 1
-                m = int(ones[j])
-                markers[i] = m
-                prev_end = m + k
-                j += 1
-        except IndexError:
-            raise ValueError("FLAC bitstream truncated in Rice partition")
+                break
+            except IndexError:
+                if self.pos + win >= self.bits.size:
+                    raise ValueError(
+                        "FLAC bitstream truncated in Rice partition")
+                win *= 4
         starts = np.empty(n, dtype=np.int64)
         starts[0] = 0
         starts[1:] = markers[:-1] + 1 + k
@@ -268,25 +275,17 @@ def _zigzag(res: np.ndarray) -> np.ndarray:
     return np.where(r >= 0, 2 * r, -2 * r - 1)
 
 
-def _rice_cost(zz: np.ndarray, k: int) -> int:
-    return int(np.sum(zz >> k)) + zz.size * (k + 1)
-
-
-def _best_rice_param(zz: np.ndarray, max_param: int = 14) -> tuple[int, int]:
-    best_k, best_c = 0, _rice_cost(zz, 0)
-    for k in range(1, max_param + 1):
-        c = _rice_cost(zz, k)
-        if c < best_c:
-            best_k, best_c = k, c
-    return best_k, best_c
-
-
 def _bit_lengths(v: np.ndarray) -> np.ndarray:
-    """Elementwise bit_length for non-negative int64 (exact: values stay
-    far below 2**53, so float64 log2 cannot cross a power of two)."""
+    """Elementwise bit_length for non-negative int64 — exact integer
+    binary reduction (float log2 rounds up across power-of-two
+    boundaries from ~2**49-1)."""
+    w = v.astype(np.uint64).copy()
     out = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    out[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    for s in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(s))
+        out[big] += s
+        w[big] >>= np.uint64(s)
+    out[w > 0] += 1
     return out
 
 
@@ -469,12 +468,12 @@ def _lpc_restore(res: np.ndarray, warm: np.ndarray, qcoef: np.ndarray,
 
 
 # ------------------------------------------------------------- subframes
-def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> bytes:
-    """Encode one channel of one frame; returns the subframe bits (already
-    byte-UNaligned — caller concatenates via a parent writer)."""
+def _encode_subframe(x: np.ndarray, bps: int, use_lpc: bool) -> "_BitWriter":
+    """Encode one channel of one frame; returns the subframe's _BitWriter
+    (bit-granular — the caller splices it into the frame body writer)."""
     bw = _BitWriter()
     n = x.size
-    if np.all(x == x[0]):
+    if n and np.all(x == x[0]):
         bw.write(0, 1)
         bw.write(0b000000, 6)  # constant
         bw.write(0, 1)
@@ -742,15 +741,14 @@ def decode_flac(payload: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
 
     got = 0
     data = payload[pos:]
-    off = 0
+    rd = _BitReader(data)  # ONE unpack serves every frame
     out_blocks = []
     # n_total == 0 is spec-legal 'length unknown' (live/pipe encodes):
     # decode frames until the byte stream is exhausted in that case
-    while (n_total == 0 or got < n_total) and off < len(data):
-        blk, consumed = _decode_frame(data[off:], n_ch, bps, verify)
+    while (n_total == 0 or got < n_total) and rd.pos < rd.bits.size:
+        blk = _decode_frame(rd, data, n_ch, bps, verify)
         out_blocks.append(blk)
         got += blk.shape[0]
-        off += consumed
     if got < n_total:
         raise ValueError(f"stream ended at {got}/{n_total} samples")
     out = np.vstack(out_blocks) if out_blocks else np.empty(
@@ -765,9 +763,9 @@ def decode_flac(payload: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
     return out.astype(np.float64), rate
 
 
-def _decode_frame(data: bytes, n_ch: int, stream_bps: int,
-                  verify: bool) -> tuple[np.ndarray, int]:
-    rd = _BitReader(data)
+def _decode_frame(rd: _BitReader, raw: bytes, n_ch: int, stream_bps: int,
+                  verify: bool) -> np.ndarray:
+    start_byte = rd.pos >> 3  # frames are byte-aligned
     sync = rd.read(14)
     if sync != 0b11111111111110:
         raise ValueError("lost frame sync")
@@ -805,9 +803,9 @@ def _decode_frame(data: bytes, n_ch: int, stream_bps: int,
         bps = _SAMPLE_SIZE_FROM_CODE[ss_code]
     else:
         raise ValueError(f"reserved sample size code {ss_code:#05b}")
-    hdr_bytes = rd.pos // 8
+    hdr_end = rd.pos >> 3
     crc8 = rd.read(8)
-    if verify and _crc8(data[:hdr_bytes]) != crc8:
+    if verify and _crc8(raw[start_byte:hdr_end]) != crc8:
         raise ValueError("frame header CRC-8 mismatch")
 
     if ch_code <= 0b0111:
@@ -835,11 +833,11 @@ def _decode_frame(data: bytes, n_ch: int, stream_bps: int,
         else:
             raise ValueError(f"reserved channel assignment {ch_code:#06b}")
     rd.align()
-    frame_len = rd.pos // 8
+    frame_end = rd.pos >> 3
     crc16 = rd.read(16)
-    if verify and _crc16(data[:frame_len]) != crc16:
+    if verify and _crc16(raw[start_byte:frame_end]) != crc16:
         raise ValueError("frame CRC-16 mismatch")
-    return blk, frame_len + 2
+    return blk
 
 
 def flac_info(payload: bytes) -> dict:

@@ -58,9 +58,15 @@ def test_hashed_shingle_mode_matches_string_mode(spark):
     # benchmark members self-collide by construction
     bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
     flagged = {r["doc_id"] for r in a if r["contaminated"]}
-    long_bench = {r["doc_id"] for r in bench.collect()
-                  if len(r["text"].split()) >= 6}
+    import re
+
+    long_bench = {  # count tokens with the operator's own split regex
+        r["doc_id"] for r in bench.collect()
+        if len([t for t in re.split("[^a-z0-9]+", r["text"].lower())
+                if t]) >= 6
+    }
     assert long_bench <= flagged
+    assert bench_ids >= long_bench  # sanity: proxy stayed within bench
 
 
 def test_benchmark_side_broadcasts(spark):
