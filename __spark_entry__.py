@@ -834,6 +834,36 @@ def _pii_redact_sql() -> str:
     )
 
 
+def _q_mixture(spark, sf_dir):
+    """Deterministic weighted data mixture: sources src0..src19 get
+    weight k*0.35 (covers zero-weight drop, fractional sampling and
+    whole-number replication). The decision hash is plain modular
+    arithmetic both engines evaluate bit-identically."""
+    from ck_spark.ops.mixing import weighted_mixture
+
+    docs = _docs(spark, sf_dir)
+    weights = {f"src{k}": k * 0.35 for k in range(20)}
+    return weighted_mixture(docs, weights).select(
+        "doc_id", "source", "copy_id").orderBy("doc_id", "copy_id")
+
+
+_MIXTURE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) * 0.35 AS wt
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN (((doc_id * 2 + 1) * 2654435761) % 4294967296)
+                     / 4294967296.0 < wt - floor(wt)
+                THEN 1 ELSE 0 END AS n
+  FROM w
+)
+SELECT doc_id, source, CAST(unnest(range(0, n)) AS INT) AS copy_id
+FROM c WHERE n > 0 ORDER BY doc_id, copy_id"""
+
+
 DECONTAM_N = 8  # word-n-gram shingle width (GPT-3 appendix C uses 8-13)
 
 
@@ -2135,6 +2165,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_spans": _q_pack_spans,
         "pack_greedy": _q_pack_greedy,
         "decontam_overlap": _q_decontam,
+        "mixture_weights": _q_mixture,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -2268,6 +2299,7 @@ FROM h ORDER BY doc_id""",
         "pack_spans": _PACK_SPANS_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "decontam_overlap": _DECONTAM_SQL,
+        "mixture_weights": _MIXTURE_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,

@@ -228,6 +228,12 @@ def main() -> None:
             docs, docs.where(F.col("doc_id") % 97 == 3))
             .agg(F.sum(F.col("contaminated").cast("int"))).collect())
 
+        from ck_spark.ops.mixing import weighted_mixture
+
+        timed2("mixture_weights", lambda: weighted_mixture(
+            docs, {f"src{k}": k * 0.35 for k in range(20)},
+            strict=False).count())
+
         from ck_spark.ops.multimodal import extract_features, synth_media
 
         media = synth_media(spark, 400, seed=42).persist()
