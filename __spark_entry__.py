@@ -864,6 +864,62 @@ SELECT doc_id, source, CAST(unnest(range(0, n)) AS INT) AS copy_id
 FROM c WHERE n > 0 ORDER BY doc_id, copy_id"""
 
 
+def _q_repetition(spark, sf_dir):
+    from ck_spark.ops.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# the Spark side breaks top-2-gram ties by max(struct(cnt, glen));
+# the oracle packs the same pair into one BIGINT (glen < 2^32) so
+# max() is the identical lexicographic order
+_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), pl AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines WHERE line <> ''
+  GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS n_dup_lines,
+         sum(len(line) * cnt) AS line_chars,
+         sum(CASE WHEN cnt > 1 THEN len(line) * cnt ELSE 0 END)
+           AS dup_line_chars
+  FROM pl GROUP BY doc_id
+), tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM tok WHERE len(t) >= 2)
+), pg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id,
+         sum((len(gram) - 1) * cnt) AS gram_chars,
+         max(cnt * 4294967296 + (len(gram) - 1)) AS packed_top,
+         sum(CASE WHEN cnt > 1 THEN (len(gram) - 1) * cnt ELSE 0 END)
+           AS dup_gram_chars
+  FROM pg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(CAST(ls.n_dup_lines AS DOUBLE) / ls.n_lines, 0.0)
+         AS dup_line_frac,
+       coalesce(CAST(ls.dup_line_chars AS DOUBLE) / ls.line_chars, 0.0)
+         AS dup_line_char_frac,
+       coalesce(CAST((gs.packed_top // 4294967296)
+                     * (gs.packed_top % 4294967296) AS DOUBLE)
+                / gs.gram_chars, 0.0) AS top_2gram_char_frac,
+       coalesce(CAST(gs.dup_gram_chars AS DOUBLE) / gs.gram_chars, 0.0)
+         AS dup_2gram_char_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN gs ON gs.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 DECONTAM_N = 8  # word-n-gram shingle width (GPT-3 appendix C uses 8-13)
 
 
@@ -2166,6 +2222,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "decontam_overlap": _q_decontam,
         "mixture_weights": _q_mixture,
+        "repetition_stats": _q_repetition,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -2300,6 +2357,7 @@ FROM h ORDER BY doc_id""",
         "pack_greedy": _PACK_GREEDY_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "mixture_weights": _MIXTURE_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _FINGERPRINT_SQL,

@@ -228,6 +228,11 @@ def main() -> None:
             docs, docs.where(F.col("doc_id") % 97 == 3))
             .agg(F.sum(F.col("contaminated").cast("int"))).collect())
 
+        from ck_spark.ops.repetition import repetition_stats
+
+        timed2("repetition_stats", lambda: repetition_stats(docs)
+               .agg(F.avg("dup_2gram_char_frac")).collect())
+
         from ck_spark.ops.mixing import weighted_mixture
 
         timed2("mixture_weights", lambda: weighted_mixture(
