@@ -338,6 +338,13 @@ CANDIDATE_COLLECT_MAX = 20_000
 SELECTIVE_GRAM_LIMIT = 3
 SELECTIVE_DF_FRACTION = 0.5
 TRIAGE_SCAN_FRACTION = 0.05
+# with a point-read content store beside the index the fetch reads bytes
+# ∝ CANDIDATES however large the set (distributed pointer join + ranged
+# blob reads), so pruning keeps paying far past the parquet path's 5%
+# knee: at 30% candidates the blob tier still reads ~3x fewer content
+# bytes than the scan and regex-verifies ~3x fewer docs. Beyond ~1/3 the
+# columnar scan's sequential read + codegen verify wins back.
+STORE_SCAN_FRACTION = 0.30
 # executor-side early stop: once the accumulated intersection is this
 # small, further gram decodes cost more than the false positives they
 # would remove (the regex verify removes them anyway)
@@ -991,9 +998,14 @@ class TrigramIndex:
         # the scan wins only when the candidate superset is BOTH a large
         # fraction of the corpus (fetch bytes ~ scan bytes) AND large in
         # absolute terms (the literal-IN fetch of ≤10k docs is cheap no
-        # matter the corpus, so small corpora never lose pruning)
-        scan_floor = max(n_total * TRIAGE_SCAN_FRACTION,
-                         CANDIDATE_COLLECT_MAX // 2)
+        # matter the corpus, so small corpora never lose pruning). A
+        # point-read content store moves the knee from 5% to ~30%: its
+        # fetch bytes scale with candidates at ANY set size, where the
+        # parquet doc_map fetch degrades to corpus-wide row-group reads
+        # once candidates outgrow the literal-IN tier.
+        frac = (STORE_SCAN_FRACTION if self.content_store is not None
+                else TRIAGE_SCAN_FRACTION)
+        scan_floor = max(n_total * frac, CANDIDATE_COLLECT_MAX // 2)
         if not selective or selective[0][0] > scan_floor:
             return "SCAN"
         chosen = {h for _, h in selective}
@@ -1243,7 +1255,7 @@ def _grep_indexed_impl(
         # has no binary docs (total rows == indexed non-binary n_docs).
         dm = idx.doc_map_df
         scoped = _fetch_candidates(dm, cands, store=idx.content_store)
-        if scoped is None:  # candidate overflow: the plain scan is cheaper
+        if scoped is None:  # overflow with no blob store: scan is cheaper
             return grep(dm, pattern, fixed_string, whole_word, ignore_case,
                         topk=topk, count_matches=count_matches)
         if _may_have_binary_docs(idx.meta):
@@ -1294,15 +1306,30 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
     to literal pushed-down filters on the doc_map parquet: seg IN (...)
     prunes partitions, but doc_id row-group skipping only engages when
     candidates cluster — hash-spread ids make this path read most of the
-    content column (measured; hence the blob store). Large sets fall
-    back to the plain scan (candidate-bound anyway at that size)."""
+    content column (measured; hence the blob store). Sets past the
+    collect cap stay distributed: with a store, a pointer join + ranged
+    blob reads (bytes still ∝ candidates); without one, None — the
+    caller's plain scan is strictly cheaper then."""
     rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
     narrow = ["repo", "path", "content"]
     if len(rows) > CANDIDATE_COLLECT_MAX:
-        # overflow: a distributed semi-join would still read every content
-        # byte of doc_map PLUS pay the join — strictly worse than the
-        # plain scan the caller falls back to
-        return None
+        if store is None:
+            # overflow without a blob store: a distributed semi-join would
+            # still read every content byte of doc_map PLUS pay the join —
+            # strictly worse than the plain scan the caller falls back to
+            return None
+        # distributed blob tier: join the (narrow, ~80-byte-row) pointer
+        # table with the candidate set — AQE broadcasts whichever side is
+        # small — then ranged blob reads inflate exactly the candidates'
+        # bytes. IO stays ∝ candidates at ANY set size; triage's
+        # STORE_SCAN_FRACTION floor bounds the set at ~1/3 of the corpus,
+        # past which the sequential columnar scan wins back. seg joins
+        # too: when the candidate side broadcasts, dynamic partition
+        # pruning skips pointer seg-dirs with no candidates.
+        ptr_rows = store.ptr.join(
+            cands.select("seg", "doc_id"), ["seg", "doc_id"]
+        )
+        return store.fetch_rows(ptr_rows).select(*narrow)
     if not rows:
         return dm.select(*narrow).limit(0)
     segs = sorted({r["seg"] for r in rows})

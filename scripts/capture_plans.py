@@ -250,6 +250,44 @@ def main() -> None:
         "\n".join(blines[:18]),
     ))
 
+    # (c) overflow tier (candidate sets past CANDIDATE_COLLECT_MAX): the
+    # fetch stays distributed — pointer table JOINED with the candidate
+    # frame, blob inflation in MapInPandas; still no doc_map content scan
+    import ck_spark.query.trigram as tri_mod
+
+    old_cap = tri_mod.CANDIDATE_COLLECT_MAX
+    try:
+        tri_mod.CANDIDATE_COLLECT_MAX = 0
+        _df = tri_b.grep(pattern="parse_buffer", topk=10)
+        # formatted explain: plan_of's toString elides long child arg
+        # lists (maxToStringFields), hiding the ptr FileScan under the join
+        tgo = spark._jvm.PythonSQLUtils.explainString(
+            _df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        tri_mod.CANDIDATE_COLLECT_MAX = old_cap
+    assert "content_store" in tgo.replace("\\", "/"), \
+        "overflow grep must read the pointer table"
+    assert "Join" in tgo, "overflow tier joins pointers with candidates"
+    assert "doc_map" not in tgo, \
+        "overflow grep must not scan doc_map for candidate content"
+    olines = []
+    for ln in tgo.splitlines():
+        if any(k in ln for k in ("Join", "Scan parquet", "MapInPandas",
+                                 "Location")):
+            olines.append(ln.strip()[:160] + " …")
+    sections.append((
+        "trigram grep — overflow tier (candidates past the collect cap)",
+        "When the candidate set exceeds CANDIDATE_COLLECT_MAX the fetch "
+        "does NOT fall back to a corpus scan: the content-free pointer "
+        "table joins the candidate frame (AQE broadcasts the small side) "
+        "and ranged blob reads inflate exactly the candidates' bytes in "
+        "MapInPandas. Captured with the cap forced to 0 so the tier "
+        "engages at test scale; triage's STORE_SCAN_FRACTION bounds the "
+        "set at ~1/3 of the corpus in production.",
+        "\n".join(olines[:10]),
+    ))
+
     # narrow doc_map reader prunes the tfm map column at the parquet scan
     # (single-pass build: tf maps ride in doc_map; readers that don't need
     # them never deserialize them)

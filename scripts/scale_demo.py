@@ -92,17 +92,41 @@ def main() -> None:
     # round-3 scan-vs-trigram table. /proc is ground truth.
     import subprocess
 
-    jpid = int(subprocess.run(
-        ["pgrep", "-P", str(os.getpid()), "java"],
-        capture_output=True, text=True,
-    ).stdout.split()[0])
+    # the witness must cover the WHOLE process tree, not just the JVM:
+    # blob ranged reads run inside Python workers (mapInPandas) or the
+    # driver (fetch_pred_local), and parquet reads run in the JVM. Socket
+    # reads count in rchar too, so Arrow batches JVM<->worker are counted
+    # on BOTH ends — a conservative over-count that can only hurt the
+    # python-assisted (trigram/blob) side, never flatter it.
+    def _tree_pids() -> list[int]:
+        pids = [os.getpid()]
+        i = 0
+        while i < len(pids):
+            kids = subprocess.run(
+                ["pgrep", "-P", str(pids[i])], capture_output=True, text=True
+            ).stdout.split()
+            pids.extend(int(k) for k in kids)
+            i += 1
+        return pids
 
-    def _rchar() -> int:
-        with open(f"/proc/{jpid}/io") as f:
-            for line in f:
-                if line.startswith("rchar:"):
-                    return int(line.split()[1])
-        return 0
+    def _rchar_tree() -> dict[int, int]:
+        out: dict[int, int] = {}
+        for pid in _tree_pids():
+            try:
+                with open(f"/proc/{pid}/io") as f:
+                    for line in f:
+                        if line.startswith("rchar:"):
+                            out[pid] = int(line.split()[1])
+                            break
+            except OSError:
+                pass
+        return out
+
+    def _rchar_delta(before: dict[int, int], after: dict[int, int]) -> int:
+        # surviving pids contribute their delta; pids born inside the
+        # window contribute everything they read; pids that died are lost
+        # (worker reuse keeps them alive in practice)
+        return sum(v - before.get(p, 0) for p, v in after.items())
 
     def timed(fn):
         """(wall_s, executor_critical_path_s, executor_task_sum_s, read_mb).
@@ -112,14 +136,15 @@ def main() -> None:
         divided by the achieved parallelism (min(numCompleteTasks, cores))
         summed over stages — the time the cluster actually computed,
         excluding driver/dispatch. task_sum = raw Σ task time. read_mb =
-        JVM rchar delta — the bytes the query actually requested from the
-        filesystem, the direct witness for candidate-only content fetch."""
+        process-tree rchar delta (driver + JVM + python workers) — the
+        bytes the query actually requested through read syscalls, the
+        direct witness for candidate-only content fetch."""
         before = stages()
-        r0 = _rchar()
+        r0 = _rchar_tree()
         t0 = time.time()
         fn()
         wall = time.time() - t0
-        read_mb = (_rchar() - r0) / 1e6
+        read_mb = _rchar_delta(r0, _rchar_tree()) / 1e6
         new = [s for sid, s in stages().items() if sid not in before]
         task_sum = sum(s.get("executorRunTime", 0) for s in new) / 1000.0
         crit = sum(
@@ -311,11 +336,11 @@ def main() -> None:
 
     pre_sizes = {d: du(os.path.join(root, d))
                  for d in ("postings", "doc_map", "trigrams", "content_store")}
-    r0 = _rchar()
+    r0 = _rchar_tree()
     t0 = time.time()
     ustats = update_index(spark, corpus_v2_disk, root, full_snapshot=True)
     upd_s = time.time() - t0
-    upd_read_mb = (_rchar() - r0) / 1e6
+    upd_read_mb = _rchar_delta(r0, _rchar_tree()) / 1e6
     delta_written_mb = (
         du(os.path.join(root, "delta")) + du(os.path.join(root, "tombstones"))
         + sum(max(0, du(os.path.join(root, d)) - pre_sizes[d])
@@ -369,11 +394,11 @@ def main() -> None:
     batch.write.mode("overwrite").parquet(b_path)
     batch_disk = spark.read.parquet(b_path)
     n_batch = batch_disk.count()
-    r0 = _rchar()
+    r0 = _rchar_tree()
     t0 = time.time()
     ustats2 = update_index(spark, batch_disk, root, full_snapshot=False)
     upd2_s = time.time() - t0
-    upd2_read_mb = (_rchar() - r0) / 1e6
+    upd2_read_mb = _rchar_delta(r0, _rchar_tree()) / 1e6
     tri_u2 = TrigramIndex.load(spark, root)  # fresh (uncached) snapshot
     n_marker2 = tri_u2.grep(pattern="second update marker",
                             topk=200_000).count()
@@ -397,16 +422,16 @@ def main() -> None:
 
     docs_1m = corpus_disk.selectExpr(
         "xxhash64(path) AS doc_id", "content AS text")
-    r0 = _rchar()
+    r0 = _rchar_tree()
     t0 = time.time()
     pii_total = redact_pii(docs_1m).agg(F.sum("pii_total")).collect()[0][0]
     redact_s = time.time() - t0
-    redact_mb = (_rchar() - r0) / 1e6
-    r0 = _rchar()
+    redact_mb = _rchar_delta(r0, _rchar_tree()) / 1e6
+    r0 = _rchar_tree()
     t0 = time.time()
     pack_rows = pack_greedy(docs_1m, seq_len=2048, n_shards=256).count()
     pack_s = time.time() - t0
-    pack_mb = (_rchar() - r0) / 1e6
+    pack_mb = _rchar_delta(r0, _rchar_tree()) / 1e6
     pipeline_ops = {
         "redact_1m_s": round(redact_s, 1),
         "redact_docs_per_sec": round(n_docs / redact_s, 1),

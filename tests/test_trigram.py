@@ -324,8 +324,9 @@ def test_grep_indexed_includes_binary_nul_docs(spark, tmp_path):
 
 
 def test_grep_indexed_large_candidate_set_join_path(spark, indexed, monkeypatch):
-    """Above CANDIDATE_COLLECT_MAX the fetch switches from literal IN
-    filters to a distributed semi-join — same rows either way."""
+    """Above CANDIDATE_COLLECT_MAX with NO blob store the fetch falls back
+    to the plain scan (a semi-join against parquet doc_map would read the
+    same content bytes plus pay the join) — same rows either way."""
     import ck_spark.query.trigram as tri_mod
     from ck_spark.query.grep import grep
 
@@ -335,6 +336,84 @@ def test_grep_indexed_large_candidate_set_join_path(spark, indexed, monkeypatch)
     scan = grep(corpus, "def ").collect()
     fast = grep_indexed(spark, corpus, root, "def ").collect()
     assert sorted(map(key, fast)) == sorted(map(key, scan))
+
+
+def test_grep_indexed_overflow_distributed_blob_tier(spark, indexed,
+                                                     monkeypatch, tmp_path):
+    """Above CANDIDATE_COLLECT_MAX with a content store the fetch stays
+    distributed — pointer join + ranged blob reads, bytes ∝ candidates —
+    instead of degrading to a full corpus scan. Rows identical; the
+    returned plan must source content from the blob reader (no doc_map
+    content column in the scan)."""
+    import shutil
+
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.index.content_store import build_content_store
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import TrigramIndex, trigram_dnf
+
+    corpus, shared_root = indexed
+    root = str(tmp_path / "idx_store")  # private copy: the shared fixture
+    shutil.copytree(shared_root, root)  # must stay store-free
+    build_content_store(spark, root)
+    monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 2)
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus, "def ").collect()
+    fast = grep_indexed(spark, corpus, root, "def ").collect()
+    assert sorted(map(key, fast)) == sorted(map(key, scan))
+    # the overflow tier itself: a DataFrame (not the None scan fallback)
+    # whose lineage reads pointer rows, not doc_map content
+    tri = TrigramIndex.load(spark, root)
+    cands = tri.candidates(trigram_dnf("def "))
+    fetched = tri_mod._fetch_candidates(tri.doc_map_df, cands,
+                                        store=tri.content_store)
+    assert fetched is not None
+    assert sorted(fetched.columns) == ["content", "path", "repo"]
+    # formatted explain: the raw executedPlan toString elides long child
+    # argument lists (maxToStringFields), hiding the ptr FileScan
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        fetched._jdf.queryExecution(), "formatted"
+    )
+    assert "content_store/ptr" in plan.replace("\\", "/")
+    assert "Join" in plan
+    bad = [ln for ln in plan.splitlines()
+           if "doc_map" in ln and "Scan" in ln]
+    assert not bad, bad
+    n_cand = cands.count()
+    assert fetched.count() == n_cand  # every candidate fetched exactly once
+
+
+def test_triage_scan_floor_loosens_with_store(spark, indexed, monkeypatch,
+                                              tmp_path):
+    """With a blob store the triage knee moves from TRIAGE_SCAN_FRACTION
+    to STORE_SCAN_FRACTION: a gram too common for the parquet tier is
+    still worth pruning when the fetch reads bytes ∝ candidates."""
+    import shutil
+
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.index.content_store import build_content_store
+    from ck_spark.query.trigram import TrigramIndex, gram_hash
+
+    corpus, shared_root = indexed
+    root = str(tmp_path / "idx_floor")  # private copy (store built below)
+    shutil.copytree(shared_root, root)
+    tri = TrigramIndex.load(spark, root)
+    grams = tri.triage_grams(required_trigrams("parse_buffer"))
+    assert isinstance(grams, list) and grams
+    rarest_df = min(tri.gram_stats[gram_hash(g)] for g in grams)
+    n_docs = int(tri.meta["n_docs"])
+    # place the floor strictly below the rarest df (and kill the absolute
+    # floor term) so the same gram flips SCAN -> prune when the store
+    # appears
+    monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 0)
+    monkeypatch.setattr(tri_mod, "TRIAGE_SCAN_FRACTION",
+                        (rarest_df - 0.5) / n_docs)
+    monkeypatch.setattr(tri_mod, "STORE_SCAN_FRACTION", 1.0)
+    assert tri.triage_grams(required_trigrams("parse_buffer")) == "SCAN"
+    build_content_store(spark, root)
+    tri2 = TrigramIndex.load(spark, root)
+    sel = tri2.triage_grams(required_trigrams("parse_buffer"))
+    assert isinstance(sel, list) and sel
 
 
 def test_grep_indexed_falls_back_without_marker(spark, indexed, tmp_path):
