@@ -92,14 +92,20 @@ def invalidate_content_store_marker(root: str) -> None:
                    os.path.join(_store_dir(root), MARKER + ".prev"))
 
 
-def _write_marker(root: str, n_docs: int, delta_docs: int = 0) -> None:
+def _write_marker(root: str, n_docs: int, delta_docs: int = 0,
+                  avg_raw_len: float = 0.0) -> None:
     # delta_docs counts docs covered only by LSM blob appends since the
-    # last full derive — the compaction trigger's accumulator
+    # last full derive — the compaction trigger's accumulator.
+    # avg_raw_len (mean uncompressed doc bytes) feeds the query-side
+    # blob-vs-columnar tier choice: ranged point reads only beat a
+    # sequential columnar scan when docs are big enough to amortize the
+    # per-doc seek + Arrow framing overhead.
     d = _store_dir(root)
     fd, tmp = tempfile.mkstemp(dir=d)
     with os.fdopen(fd, "w") as f:
         json.dump({"n_docs": int(n_docs), "codec": CODEC,
-                   "delta_docs": int(delta_docs)}, f)
+                   "delta_docs": int(delta_docs),
+                   "avg_raw_len": float(avg_raw_len)}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(d, MARKER))
@@ -258,9 +264,11 @@ def build_content_store(spark: SparkSession, root: str) -> int:
 
     dm = live_doc_map(spark, root, meta).select(*_DM_COLS)
     _derive(spark, root, dm)
-    n = _ptr_df(spark, root).count()
-    _write_marker(root, n)
-    return int(n)
+    row = _ptr_df(spark, root).agg(
+        F.count("*").alias("n"), F.avg("raw_len").alias("avg")
+    ).collect()[0]
+    _write_marker(root, int(row["n"]), avg_raw_len=float(row["avg"] or 0.0))
+    return int(row["n"])
 
 
 # compaction trigger: when delta-appended docs exceed this fraction of
@@ -343,7 +351,8 @@ def commit_content_store_delta(
     out at stage time, so a fetch can never return removed or outdated
     content. The marker's informational n_docs updates arithmetically
     (prior ± added-removed) — no count job per update."""
-    n = int(_read_any_marker(root).get("n_docs", 0)) + int(n_change)
+    prior = _read_any_marker(root)
+    n = int(prior.get("n_docs", 0)) + int(n_change)
     ptr_dir = os.path.join(_store_dir(root), PTR_SUBDIR)
     for s in [int(x) for x in segs]:
         dst = os.path.join(ptr_dir, f"seg={s}")
@@ -352,7 +361,11 @@ def commit_content_store_delta(
         if os.path.isdir(src):
             os.replace(src, dst)
     shutil.rmtree(stage, ignore_errors=True)
-    _write_marker(root, n, delta_docs=delta_docs)
+    # avg_raw_len carries over unchanged — a delta touches few docs and
+    # the tier heuristic only needs the size class, refreshed exactly at
+    # the next full derive/compaction
+    _write_marker(root, n, delta_docs=delta_docs,
+                  avg_raw_len=float(prior.get("avg_raw_len", 0.0)))
 
 
 def refresh_content_store_segments(
@@ -387,8 +400,11 @@ def refresh_content_store_segments(
     )
     if not dm.isEmpty():
         _derive(spark, root, dm)
-    n = _ptr_df(spark, root).count()
-    _write_marker(root, n, delta_docs=old_delta)
+    row = _ptr_df(spark, root).agg(
+        F.count("*").alias("n"), F.avg("raw_len").alias("avg")
+    ).collect()[0]
+    _write_marker(root, int(row["n"]), delta_docs=old_delta,
+                  avg_raw_len=float(row["avg"] or 0.0))
 
 
 def _ptr_df(spark: SparkSession, root: str) -> DataFrame:
@@ -421,16 +437,22 @@ class ContentStore:
         self.root = root
         self.blobs_dir = os.path.join(_store_dir(root), BLOBS_SUBDIR)
         self.ptr = _ptr_df(spark, root)
+        # mean uncompressed doc bytes (0.0 on pre-field stores): the
+        # query-side blob-vs-columnar tier gate
+        self.avg_raw_len = float(marker.get("avg_raw_len", 0.0))
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "ContentStore":
         return cls(spark, root)
 
-    def fetch_pred(self, segs: list[int], doc_ids: list[int]) -> DataFrame:
+    def fetch_pred(self, segs: list[int], doc_ids: list[int],
+                   exclude_binary: bool = False) -> DataFrame:
         """Content rows for literal (seg, doc_id) sets: narrow pointer
         lookup (seg partition pruning + doc_id row-group skipping over
         ~80-byte rows — content bytes are NOT in this table) then ranged
-        blob reads of exactly the candidates' bytes."""
+        blob reads of exactly the candidates' bytes. exclude_binary
+        drops NUL-flagged docs (callers that union binary docs back
+        separately must not fetch them twice)."""
         if not doc_ids:
             return self.spark.createDataFrame([], FETCH_SCHEMA)
         # SQL-text IN lists, not Column.isin — same rationale as
@@ -441,6 +463,8 @@ class ContentStore:
             f"seg IN ({','.join(str(int(s)) for s in sorted(set(segs)))}) "
             f"AND doc_id IN ({','.join(str(int(i)) for i in sorted(doc_ids))})"
         )
+        if exclude_binary:
+            pred += " AND NOT is_binary"
         return self.fetch_rows(self.ptr.where(pred))
 
     def fetch_rows(self, ptr_rows: DataFrame) -> DataFrame:
@@ -458,7 +482,9 @@ class ContentStore:
     # Arrow batch — well under any sane driver budget.
     LOCAL_FETCH_MAX = 4096
 
-    def fetch_pred_local(self, segs, doc_ids) -> "pd.DataFrame | None":
+    def fetch_pred_local(self, segs, doc_ids,
+                         exclude_binary: bool = False
+                         ) -> "pd.DataFrame | None":
         """Driver-side point read (NO Spark job): pyarrow filters the
         hive-partitioned pointer table, then ranged reads inflate the
         blobs. Returns a pandas frame with FETCH_SCHEMA's columns, or
@@ -476,13 +502,16 @@ class ContentStore:
             os.path.join(_store_dir(self.root), PTR_SUBDIR),
             format="parquet", partitioning="hive",
         )
+        flt = (
+            pads.field("seg").isin([int(s) for s in set(segs)])
+            & pads.field("doc_id").isin(ids)
+        )
+        if exclude_binary:
+            flt = flt & ~pads.field("is_binary")
         tbl = dset.to_table(
             columns=["doc_id", "repo", "path", "lang", "file", "off",
                      "clen"],
-            filter=(
-                pads.field("seg").isin([int(s) for s in set(segs)])
-                & pads.field("doc_id").isin(ids)
-            ),
+            filter=flt,
         )
         pdf = tbl.to_pandas()
         contents = np.empty(len(pdf), dtype=object)

@@ -338,13 +338,28 @@ CANDIDATE_COLLECT_MAX = 20_000
 SELECTIVE_GRAM_LIMIT = 3
 SELECTIVE_DF_FRACTION = 0.5
 TRIAGE_SCAN_FRACTION = 0.05
-# with a point-read content store beside the index the fetch reads bytes
-# ∝ CANDIDATES however large the set (distributed pointer join + ranged
-# blob reads), so pruning keeps paying far past the parquet path's 5%
-# knee: at 30% candidates the blob tier still reads ~3x fewer content
-# bytes than the scan and regex-verifies ~3x fewer docs. Beyond ~1/3 the
-# columnar scan's sequential read + codegen verify wins back.
-STORE_SCAN_FRACTION = 0.30
+# with a point-read content store beside the index, pruning keeps paying
+# past the parquet path's 5% knee: candidate sets past the driver-collect
+# cap stay distributed (doc_map semi-join, or blob pointer join on
+# big-doc corpora — see _fetch_candidates). Measured at 1M docs
+# (BENCH/SCALE_DEMO.md): the semi-join's regex-only-candidates CPU win
+# decays toward 1x as candidates approach ~15% of the corpus, so that is
+# the union-level knee past which the plain scan is declared the winner.
+STORE_SCAN_FRACTION = 0.15
+
+# blob point reads (seek + per-doc zlib inflate + Arrow framing) carry a
+# few KB of fixed per-doc overhead — measured at 1M tiny (~190 B) docs
+# the blob tier read ~4x MORE bytes than the sequential columnar scan.
+# The pointer-join tier therefore only engages when the store's mean doc
+# size amortizes the framing; smaller docs take the doc_map semi-join
+# (sequential columnar IO, regex verify over candidates only).
+BLOB_MIN_DOC_BYTES = 4096
+
+# on a big-doc store the blob tier's bytes scale with candidates at any
+# set size, so its knee sits higher: at 30% candidates it still reads
+# ~2-3x fewer content bytes than the scan (framing included at >= 4 KB
+# docs); past ~1/3 the sequential scan wins back.
+BLOB_SCAN_FRACTION = 0.30
 # executor-side early stop: once the accumulated intersection is this
 # small, further gram decodes cost more than the false positives they
 # would remove (the regex verify removes them anyway)
@@ -998,14 +1013,13 @@ class TrigramIndex:
         # the scan wins only when the candidate superset is BOTH a large
         # fraction of the corpus (fetch bytes ~ scan bytes) AND large in
         # absolute terms (the literal-IN fetch of ≤10k docs is cheap no
-        # matter the corpus, so small corpora never lose pruning). A
-        # point-read content store moves the knee from 5% to ~30%: its
-        # fetch bytes scale with candidates at ANY set size, where the
-        # parquet doc_map fetch degrades to corpus-wide row-group reads
-        # once candidates outgrow the literal-IN tier.
-        frac = (STORE_SCAN_FRACTION if self.content_store is not None
-                else TRIAGE_SCAN_FRACTION)
-        scan_floor = max(n_total * frac, CANDIDATE_COLLECT_MAX // 2)
+        # matter the corpus, so small corpora never lose pruning). The
+        # fraction is tier-aware (scan_fraction): a content store keeps
+        # pruning paying past the parquet path's 5% knee — 15% for the
+        # semi-join continuation, 30% when the blob pointer-join tier
+        # will carry the fetch (bytes ∝ candidates at any set size).
+        scan_floor = max(n_total * self.scan_fraction(),
+                         CANDIDATE_COLLECT_MAX // 2)
         if not selective or selective[0][0] > scan_floor:
             return "SCAN"
         chosen = {h for _, h in selective}
@@ -1018,6 +1032,31 @@ class TrigramIndex:
                 out.append(g)
                 seen.add(h)
         return out
+
+    def scan_fraction(self) -> float:
+        """The corpus fraction past which the plain scan beats pruning,
+        given which fetch tier would carry an over-cap candidate set:
+        blob pointer-join (big-doc store, bytes ∝ candidates) > doc_map
+        semi-join (scan-equal IO, regex savings decay) > storeless
+        parquet fetch."""
+        store = self.content_store
+        if store is None:
+            return TRIAGE_SCAN_FRACTION
+        if store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
+            return BLOB_SCAN_FRACTION
+        return STORE_SCAN_FRACTION
+
+    def estimate_candidates(self, grams) -> int | None:
+        """Driver-side upper bound on the gram-intersection size: the
+        global df of the rarest gram (delta-corrected — pending delta
+        docs may contain any gram). None without a stats side table.
+        Sound as a bound because |∩ lists| <= min |list|."""
+        stats = self.gram_stats
+        if not stats:
+            return None
+        delta = int(_read_trigram_marker(self.root).get("delta_docs", 0))
+        vals = [stats.get(gram_hash(g), 0) + delta for g in grams]
+        return min(vals) if vals else None
 
     def grep(self, corpus: DataFrame | None = None, pattern: str | None = None, **kw):
         """corpus may be None on stored-content (v6) indexes — the scan
@@ -1201,6 +1240,7 @@ def _grep_indexed_impl(
     clauses = trigram_dnf(eff)
     grams: list = []
     all_empty = False
+    est_union: int | None = 0  # Σ per-clause bounds; None = unknown
     if clauses:
         # per-clause triage: rank each clause's grams by global df
         # (metadata-only) and keep the rarest few. One un-selective
@@ -1218,6 +1258,20 @@ def _grep_indexed_impl(
             if sel == "EMPTY":
                 continue
             kept.append(sel)
+            e = idx.estimate_candidates(sel)
+            est_union = None if (e is None or est_union is None) \
+                else est_union + e
+        if not scan and kept and est_union is not None:
+            # union-level knee: the per-clause floor alone would let a
+            # multi-alternation pattern's candidate UNION approach
+            # clauses x floor — re-check the summed bound against the
+            # same tier-aware fraction. The absolute floor is the full
+            # collect cap (not half): a set the literal point-read tier
+            # can carry is always worth pruning regardless of fraction.
+            n_total = max(int(idx.meta.get("n_docs") or 1), 1)
+            if est_union > max(n_total * idx.scan_fraction(),
+                               CANDIDATE_COLLECT_MAX):
+                scan = True
         if scan:
             grams = []
         elif not kept:
@@ -1254,10 +1308,8 @@ def _grep_indexed_impl(
         # the union branch is skipped when the manifest proves the corpus
         # has no binary docs (total rows == indexed non-binary n_docs).
         dm = idx.doc_map_df
-        scoped = _fetch_candidates(dm, cands, store=idx.content_store)
-        if scoped is None:  # overflow with no blob store: scan is cheaper
-            return grep(dm, pattern, fixed_string, whole_word, ignore_case,
-                        topk=topk, count_matches=count_matches)
+        scoped = _fetch_candidates(dm, cands, store=idx.content_store,
+                                   est=est_union)
         if _may_have_binary_docs(idx.meta):
             scoped = scoped.unionByName(
                 dm.where(F.col("is_binary")).select("repo", "path", "content")
@@ -1267,8 +1319,13 @@ def _grep_indexed_impl(
         # turns this into a broadcast join when the candidate set is small.
         # The content bytes of ALL docs are still read (the filter cannot
         # reach the corpus row groups) — that is exactly the IO gap the
-        # stored-content layout removes.
-        scoped = corpus.withColumn("doc_id", doc_id_expr()).join(
+        # stored-content layout removes. The join side excludes binary
+        # (NUL) docs: a doc updated to binary can linger in stale trigram
+        # postings, and the union branch below already covers it — the
+        # filter keeps it from matching twice.
+        scoped = corpus.where(
+            ~F.contains("content", F.lit("\x00"))
+        ).withColumn("doc_id", doc_id_expr()).join(
             cands.drop("seg"), "doc_id"
         ).drop("doc_id").unionByName(
             corpus.where(F.contains("content", F.lit("\x00")))
@@ -1294,42 +1351,56 @@ def _may_have_binary_docs(meta: dict) -> bool:
 
 
 def _fetch_candidates(dm: DataFrame, cands: DataFrame,
-                      store=None) -> DataFrame:
-    """Content rows for the candidate (seg, doc_id) set, reading bytes
-    proportional to the CANDIDATES, not the corpus.
+                      store=None, est: int | None = None) -> DataFrame:
+    """Content rows for the candidate (seg, doc_id) set.
 
-    Small sets (the common case — selective literals) collect driver-side
-    (bounded by CANDIDATE_COLLECT_MAX). With a ``store``
-    (index.content_store.ContentStore) the fetch is a narrow pointer
-    lookup + ranged blob reads — bytes ∝ Σ candidate sizes by
-    construction, the Zoekt stored-content path. Without one it degrades
-    to literal pushed-down filters on the doc_map parquet: seg IN (...)
-    prunes partitions, but doc_id row-group skipping only engages when
-    candidates cluster — hash-spread ids make this path read most of the
-    content column (measured; hence the blob store). Sets past the
-    collect cap stay distributed: with a store, a pointer join + ranged
-    blob reads (bytes still ∝ candidates); without one, None — the
-    caller's plain scan is strictly cheaper then."""
-    rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
+    Binary (NUL-flagged) docs are excluded from EVERY tier: a doc
+    rewritten to binary by an incremental update can linger in stale
+    trigram postings, and grep callers union binary docs back unpruned —
+    fetching it here too would duplicate its match rows.
+
+    Tiers, chosen by the driver-side candidate-count bound ``est`` (the
+    rarest-gram df sum — an over-estimate, so est <= cap proves the
+    probe cannot overflow):
+
+    1. Small sets (<= CANDIDATE_COLLECT_MAX, the common selective-literal
+       case) collect driver-side; with a ``store``
+       (index.content_store.ContentStore) the fetch is a narrow pointer
+       lookup + ranged blob reads — bytes ∝ Σ candidate sizes, the Zoekt
+       stored-content path. Without one: literal pushed-down filters on
+       the doc_map parquet.
+    2. Larger sets stay distributed. On big-doc stores
+       (avg_raw_len >= BLOB_MIN_DOC_BYTES) a pointer join + ranged blob
+       reads keeps bytes ∝ candidates. On small-doc corpora the per-doc
+       seek/inflate/Arrow framing overhead exceeds the content itself
+       (measured 4x the scan's bytes at ~190 B docs — BENCH/SCALE_DEMO),
+       so the fetch is a doc_map SEMI-JOIN instead: content IO equals
+       the sequential columnar scan's, but the regex verify downstream
+       runs over candidates only. est also skips the probe collect when
+       it proves overflow, so the intersection job runs exactly once."""
     narrow = ["repo", "path", "content"]
-    if len(rows) > CANDIDATE_COLLECT_MAX:
-        if store is None:
-            # overflow without a blob store: a distributed semi-join would
-            # still read every content byte of doc_map PLUS pay the join —
-            # strictly worse than the plain scan the caller falls back to
-            return None
-        # distributed blob tier: join the (narrow, ~80-byte-row) pointer
-        # table with the candidate set — AQE broadcasts whichever side is
-        # small — then ranged blob reads inflate exactly the candidates'
-        # bytes. IO stays ∝ candidates at ANY set size; triage's
-        # STORE_SCAN_FRACTION floor bounds the set at ~1/3 of the corpus,
-        # past which the sequential columnar scan wins back. seg joins
-        # too: when the candidate side broadcasts, dynamic partition
-        # pruning skips pointer seg-dirs with no candidates.
-        ptr_rows = store.ptr.join(
-            cands.select("seg", "doc_id"), ["seg", "doc_id"]
-        )
-        return store.fetch_rows(ptr_rows).select(*narrow)
+    nb = ~F.col("is_binary")
+    rows = None
+    if est is None or est <= CANDIDATE_COLLECT_MAX:
+        rows = cands.limit(CANDIDATE_COLLECT_MAX + 1).collect()
+        if len(rows) > CANDIDATE_COLLECT_MAX:
+            rows = None  # est unknown and the probe overflowed
+    if rows is None:
+        if store is not None and store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
+            # blob tier: join the (narrow, ~80-byte-row) pointer table
+            # with the candidate set — AQE broadcasts whichever side is
+            # small; seg joins too so dynamic partition pruning can skip
+            # pointer seg-dirs — then ranged blob reads inflate exactly
+            # the candidates' bytes
+            ptr_rows = store.ptr.where(nb).join(
+                cands.select("seg", "doc_id"), ["seg", "doc_id"]
+            )
+            return store.fetch_rows(ptr_rows).select(*narrow)
+        # semi-join tier: sequential columnar content read (same IO as
+        # the scan), regex verify over candidates only
+        return dm.where(nb).join(
+            cands.select("doc_id"), "doc_id"
+        ).select(*narrow)
     if not rows:
         return dm.select(*narrow).limit(0)
     segs = sorted({r["seg"] for r in rows})
@@ -1338,12 +1409,13 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
         # small sets read driver-side (pyarrow + ranged reads — no ptr
         # Spark job) and ship back via Arrow; the regex verify still runs
         # distributed over the created frame
-        local = store.fetch_pred_local(segs, ids)
+        local = store.fetch_pred_local(segs, ids, exclude_binary=True)
         if local is not None:
             return dm.sparkSession.createDataFrame(
                 local[narrow], "repo string, path string, content string"
             )
-        return store.fetch_pred(segs, ids).select(*narrow)
+        return store.fetch_pred(segs, ids, exclude_binary=True
+                                ).select(*narrow)
     # SQL-text IN lists, not Column.isin: building an In expression
     # over thousands of py4j literals costs seconds of pure driver
     # time (measured 4.1 s construct + 3.2 s run vs 0.6 + 0.5 for the
@@ -1351,6 +1423,6 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
     # as the same pushed In/InSet filter
     pred = (
         f"seg IN ({','.join(map(str, segs))}) AND "
-        f"doc_id IN ({','.join(map(str, ids))})"
+        f"doc_id IN ({','.join(map(str, ids))}) AND NOT is_binary"
     )
     return dm.where(pred).select(*narrow)

@@ -255,37 +255,58 @@ def main() -> None:
     # frame, blob inflation in MapInPandas; still no doc_map content scan
     import ck_spark.query.trigram as tri_mod
 
-    old_cap = tri_mod.CANDIDATE_COLLECT_MAX
-    try:
-        tri_mod.CANDIDATE_COLLECT_MAX = 0
-        _df = tri_b.grep(pattern="parse_buffer", topk=10)
+    def _fmt(df):
         # formatted explain: plan_of's toString elides long child arg
         # lists (maxToStringFields), hiding the ptr FileScan under the join
-        tgo = spark._jvm.PythonSQLUtils.explainString(
-            _df._jdf.queryExecution(), "formatted"
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
         )
+
+    old_cap = tri_mod.CANDIDATE_COLLECT_MAX
+    old_gate = tri_mod.BLOB_MIN_DOC_BYTES
+    try:
+        tri_mod.CANDIDATE_COLLECT_MAX = 0
+        tri_mod.BLOB_MIN_DOC_BYTES = 0  # big-doc store: blob join tier
+        tgo = _fmt(tri_b.grep(pattern="parse_buffer", topk=10))
+        tri_mod.BLOB_MIN_DOC_BYTES = 1 << 30  # small docs: semi-join tier
+        tgs = _fmt(tri_b.grep(pattern="parse_buffer", topk=10))
     finally:
         tri_mod.CANDIDATE_COLLECT_MAX = old_cap
+        tri_mod.BLOB_MIN_DOC_BYTES = old_gate
     assert "content_store" in tgo.replace("\\", "/"), \
-        "overflow grep must read the pointer table"
-    assert "Join" in tgo, "overflow tier joins pointers with candidates"
+        "blob overflow grep must read the pointer table"
+    assert "Join" in tgo, "overflow tiers join candidates"
     assert "doc_map" not in tgo, \
-        "overflow grep must not scan doc_map for candidate content"
-    olines = []
+        "blob overflow grep must not scan doc_map for candidate content"
+    assert "Join" in tgs and "doc_map" in tgs, \
+        "semi-join overflow grep filters the doc_map scan by candidates"
+    assert "content_store" not in tgs.replace("\\", "/"), \
+        "semi-join tier must not touch the blob store"
+    olines = ["-- big-doc store (avg_raw_len >= gate): blob pointer join --"]
     for ln in tgo.splitlines():
         if any(k in ln for k in ("Join", "Scan parquet", "MapInPandas",
                                  "Location")):
             olines.append(ln.strip()[:160] + " …")
+    olines.append("-- small-doc corpus: doc_map semi-join, regex on "
+                  "candidates only --")
+    for ln in tgs.splitlines():
+        if any(k in ln for k in ("Join", "Scan parquet", "Location")):
+            olines.append(ln.strip()[:160] + " …")
     sections.append((
-        "trigram grep — overflow tier (candidates past the collect cap)",
+        "trigram grep — overflow tiers (candidates past the collect cap)",
         "When the candidate set exceeds CANDIDATE_COLLECT_MAX the fetch "
-        "does NOT fall back to a corpus scan: the content-free pointer "
-        "table joins the candidate frame (AQE broadcasts the small side) "
-        "and ranged blob reads inflate exactly the candidates' bytes in "
-        "MapInPandas. Captured with the cap forced to 0 so the tier "
-        "engages at test scale; triage's STORE_SCAN_FRACTION bounds the "
-        "set at ~1/3 of the corpus in production.",
-        "\n".join(olines[:10]),
+        "stays distributed. Big-doc stores (mean raw doc bytes >= "
+        "BLOB_MIN_DOC_BYTES) join the content-free pointer table with the "
+        "candidate frame and inflate ranged blob reads in MapInPandas — "
+        "bytes ∝ candidates. Small-doc corpora take a doc_map semi-join "
+        "instead: content IO equals the sequential columnar scan's, but "
+        "the regex verify runs over candidates only (blob point reads "
+        "would pay more in per-doc framing than the content itself — "
+        "measured, BENCH/SCALE_DEMO.md). Captured with the cap forced to "
+        "0 and the gate at both extremes; triage's union-level "
+        "STORE_SCAN_FRACTION knee (15%) hands anything larger to the "
+        "plain scan.",
+        "\n".join(olines[:18]),
     ))
 
     # narrow doc_map reader prunes the tfm map column at the parquet scan

@@ -300,6 +300,75 @@ def main() -> None:
             "rows": n_tri,
         }
 
+    # ---- big-doc corpus: the blob pointer-join tier's home turf ---------
+    # The main corpus averages ~190 B/doc, where per-doc blob framing
+    # exceeds the content and over-cap candidate sets rightly semi-join
+    # the columnar doc_map. Real code files run 5-50 KB: this stage
+    # builds a body_scale=8 corpus (~5 KB/doc), whose store clears
+    # BLOB_MIN_DOC_BYTES, and witnesses the distributed pointer-join tier
+    # reading bytes ∝ candidates on a mid-size (cap < est <= 30%) set.
+    bigdoc_docs = int(os.environ.get("SCALE_DEMO_BIGDOC_DOCS", "150000"))
+    bigdoc_cmp: dict = {}
+    if bigdoc_docs:
+        import shutil as _shutil
+
+        import ck_spark.query.trigram as _tm
+        from ck_spark.corpus import generate_corpus_spark as _gen
+
+        big_root = tempfile.mkdtemp(prefix="ck_scale_bigdoc_")
+        big = _gen(spark, bigdoc_docs, seed=7, partitions=cores * 4,
+                   body_scale=8)
+        big_path = os.path.join(big_root, "corpus_parquet")
+        big.write.mode("overwrite").parquet(big_path)
+        big_disk = spark.read.parquet(big_path)
+        big_bytes = int(big_disk.agg(
+            F.sum(F.octet_length("content"))).collect()[0][0])
+        build_index(spark, big_disk, big_root, mode="code",
+                    n_segments=max(8, bigdoc_docs // 100_000),
+                    term_buckets=32, resume=False)
+        build_trigram_index(spark, big_disk, big_root)
+        build_content_store(spark, big_root)
+        btri = TrigramIndex.load(spark, big_root, cache=True)
+        assert btri.content_store.avg_raw_len >= _tm.BLOB_MIN_DOC_BYTES, \
+            "big-doc stage must clear the blob gate"
+        btri.grep(pattern="zephyrblade", topk=1).collect()  # warm
+        for pat in [r"zephyrblade", r"def parse_buffer_\w+\("]:
+            s_w, s_c, s_m = [], [], []
+            t_w, t_c, t_m = [], [], []
+            for _ in range(3):
+                w, _, c, m = timed(
+                    lambda: grep(big_disk, pat, topk=100).collect())
+                s_w.append(w); s_c.append(c); s_m.append(m)
+                w, _, c, m = timed(
+                    lambda: btri.grep(pattern=pat, topk=100).collect())
+                t_w.append(w); t_c.append(c); t_m.append(m)
+            n_scan = len(grep(big_disk, pat, topk=100).collect())
+            n_tri = len(btri.grep(pattern=pat, topk=100).collect())
+            assert n_scan == n_tri, (pat, n_scan, n_tri)
+            dnf = trigram_dnf(pat)
+            n_cand = btri.candidates(dnf).count() if dnf else 0
+            med = statistics.median
+            bigdoc_cmp[pat] = {
+                "scan_wall_s": round(med(s_w), 3),
+                "trigram_wall_s": round(med(t_w), 3),
+                "scan_cpu_s": round(med(s_c), 3),
+                "trigram_cpu_s": round(med(t_c), 3),
+                "cpu_saving": round(med(s_c) / max(med(t_c), 1e-9), 1),
+                "scan_read_mb": round(med(s_m), 1),
+                "trigram_read_mb": round(med(t_m), 1),
+                "io_saving": round(med(s_m) / max(med(t_m), 1e-9), 1),
+                "candidates": int(n_cand),
+                "candidate_frac": round(n_cand / max(bigdoc_docs, 1), 5),
+                "rows": n_tri,
+            }
+        bigdoc_meta = {
+            "n_docs": bigdoc_docs,
+            "corpus_mb": round(big_bytes / 1e6, 1),
+            "avg_doc_bytes": round(big_bytes / max(bigdoc_docs, 1)),
+            "avg_raw_len_marker": round(btri.content_store.avg_raw_len, 1),
+        }
+        _shutil.rmtree(big_root, ignore_errors=True)
+
     core_idx = sum(du(os.path.join(root, d))
                    for d in ("postings", "term_stats", "doc_map", "corpus_stats"))
 
@@ -461,6 +530,10 @@ def main() -> None:
             du(os.path.join(root, "content_store")) / 1e6, 1
         ),
         "grep_scan_vs_trigram": grep_cmp,
+        "grep_bigdoc_blob_tier": (
+            {"meta": bigdoc_meta, "patterns": bigdoc_cmp}
+            if bigdoc_cmp else None
+        ),
         "incremental_update": update_report,
         "pipeline_ops": pipeline_ops,
         "loadavg_1m": os.getloadavg()[0],
@@ -557,16 +630,46 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
                f"| {v['trigram_read_mb']} | {v['io_saving']}x "
                f"| {v['candidates']} | {v['rows']} |\n")
     md += (
-        "\nThe read columns are the candidate-only-fetch witness — JVM\n"
-        "/proc rchar deltas, i.e. bytes actually requested from the\n"
-        "filesystem (the stage-metrics inputBytes field both\n"
+        "\nThe read columns are the candidate-only-fetch witness —\n"
+        "process-tree /proc rchar deltas (driver + JVM + python workers,\n"
+        "so blob reads and Arrow socket traffic are COUNTED AGAINST the\n"
+        "trigram side; the stage-metrics inputBytes field both\n"
         "under-reports local parquet scans and counts cached-memory\n"
         "reads, so it is not used). The full scan reads every corpus\n"
-        "byte on every query; the trigram path reads int-keyed posting\n"
-        "slices plus blob bytes proportional to its CANDIDATE set\n"
-        "(content_store pointer lookup + ranged reads). At 10^12 files\n"
-        "the scan column is off the table entirely.\n"
+        "byte on every query. The trigram path tiers by the driver-side\n"
+        "candidate bound: selective patterns point-read exactly their\n"
+        "candidates' blob bytes; mid-size sets on this SMALL-DOC corpus\n"
+        "(~190 B/doc — per-doc blob framing would exceed the content,\n"
+        "measured) semi-join the columnar doc_map so content IO equals\n"
+        "the scan but the regex verify runs over candidates only; sets\n"
+        "past the 15% union knee are handed to the scan, which is the\n"
+        "honest winner there. At 10^12 files the scan column is off the\n"
+        "table entirely, and real code files (5-50 KB) put the blob tier\n"
+        "back in play for the mid-size range (BLOB_MIN_DOC_BYTES gate).\n"
     )
+    if bigdoc_cmp:
+        bm = bigdoc_meta
+        md += (
+            f"\n### big-doc corpus ({bm['n_docs']:,} docs x "
+            f"~{bm['avg_doc_bytes']:,} B = {bm['corpus_mb']} MB): the "
+            "blob pointer-join tier\n\n"
+            "Same comparison on a body_scale=8 corpus whose store "
+            f"clears BLOB_MIN_DOC_BYTES (marker avg_raw_len "
+            f"{bm['avg_raw_len_marker']}): over-cap candidate sets fetch "
+            "via the distributed pointer join + ranged blob reads — "
+            "bytes ∝ candidates even when the set is far too large to "
+            "collect.\n\n"
+            "| pattern | scan wall (s) | trigram wall (s) | scan CPU (s) "
+            "| trigram CPU (s) | CPU saving | scan read (MB) "
+            "| trigram read (MB) | IO saving | candidates | rows |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for pat, v in bigdoc_cmp.items():
+            md += (f"| `{pat}` | {v['scan_wall_s']} | {v['trigram_wall_s']} "
+                   f"| {v['scan_cpu_s']} | {v['trigram_cpu_s']} "
+                   f"| {v['cpu_saving']}x | {v['scan_read_mb']} "
+                   f"| {v['trigram_read_mb']} | {v['io_saving']}x "
+                   f"| {v['candidates']} | {v['rows']} |\n")
     ur = update_report
     cd = ur["changed_docs"]
     md += (

@@ -357,12 +357,13 @@ def test_grep_indexed_overflow_distributed_blob_tier(spark, indexed,
     shutil.copytree(shared_root, root)  # must stay store-free
     build_content_store(spark, root)
     monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 2)
+    monkeypatch.setattr(tri_mod, "BLOB_MIN_DOC_BYTES", 0)  # force blob tier
     key = lambda r: (r["path"], r["line_no"])
     scan = grep(corpus, "def ").collect()
     fast = grep_indexed(spark, corpus, root, "def ").collect()
     assert sorted(map(key, fast)) == sorted(map(key, scan))
-    # the overflow tier itself: a DataFrame (not the None scan fallback)
-    # whose lineage reads pointer rows, not doc_map content
+    # the overflow blob tier itself: a DataFrame whose lineage reads
+    # pointer rows, not doc_map content
     tri = TrigramIndex.load(spark, root)
     cands = tri.candidates(trigram_dnf("def "))
     fetched = tri_mod._fetch_candidates(tri.doc_map_df, cands,
@@ -381,6 +382,71 @@ def test_grep_indexed_overflow_distributed_blob_tier(spark, indexed,
     assert not bad, bad
     n_cand = cands.count()
     assert fetched.count() == n_cand  # every candidate fetched exactly once
+
+
+def test_grep_indexed_overflow_semijoin_tier(spark, indexed, monkeypatch,
+                                             tmp_path):
+    """On small-doc corpora (avg_raw_len below BLOB_MIN_DOC_BYTES) the
+    overflow continuation is a doc_map semi-join — sequential columnar
+    content IO, regex verify over candidates only — NOT the blob tier
+    (per-doc framing overhead would exceed the content) and NOT a full
+    scan (the regex would run over every doc). Rows identical."""
+    import shutil
+
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.index.content_store import build_content_store
+    from ck_spark.query.grep import grep
+    from ck_spark.query.trigram import TrigramIndex, trigram_dnf
+
+    corpus, shared_root = indexed
+    root = str(tmp_path / "idx_semi")
+    shutil.copytree(shared_root, root)
+    build_content_store(spark, root)
+    tri = TrigramIndex.load(spark, root)
+    assert 0 < tri.content_store.avg_raw_len < tri_mod.BLOB_MIN_DOC_BYTES
+    monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 2)
+    key = lambda r: (r["path"], r["line_no"])
+    scan = grep(corpus, "def ").collect()
+    fast = grep_indexed(spark, corpus, root, "def ").collect()
+    assert sorted(map(key, fast)) == sorted(map(key, scan))
+    cands = tri.candidates(trigram_dnf("parse_buffer"))
+    fetched = tri_mod._fetch_candidates(tri.doc_map_df, cands,
+                                        store=tri.content_store)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        fetched._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" in plan and "doc_map" in plan
+    assert "content_store" not in plan.replace("\\", "/")
+    assert fetched.count() == cands.count()
+
+
+def test_estimate_skips_probe_and_runs_intersection_once(spark, indexed,
+                                                         monkeypatch,
+                                                         tmp_path):
+    """When the driver-side df bound proves the candidate set overflows
+    the collect cap, _fetch_candidates receives est > cap and must NOT
+    run the probe collect — the intersection job executes exactly once,
+    inside the continuation join (asserted via the estimate API and by
+    passing an est that makes the probe impossible to satisfy)."""
+    import ck_spark.query.trigram as tri_mod
+    from ck_spark.query.trigram import TrigramIndex, required_trigrams
+
+    corpus, root = indexed
+    tri = TrigramIndex.load(spark, root)
+    grams = required_trigrams("parse_buffer")
+    est = tri.estimate_candidates(grams)
+    actual = tri.candidates([grams]).count()
+    assert est is not None and est >= actual  # sound upper bound
+    # est > cap routes straight to the distributed tier: no probe job
+    monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 0)
+    fetched = tri_mod._fetch_candidates(
+        tri.doc_map_df, tri.candidates([grams]), store=None, est=est or 1
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        fetched._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" in plan  # semi-join continuation, not a collect probe
+    assert fetched.count() == actual
 
 
 def test_triage_scan_floor_loosens_with_store(spark, indexed, monkeypatch,
@@ -756,3 +822,55 @@ def test_removal_only_update_keeps_trigram_valid(spark, tmp_path):
         scan = grep(corpus2, pat).collect()
         fast = grep_indexed(spark, None, root, pat).collect()
         assert sorted(map(key, fast)) == sorted(map(key, scan)), pat
+
+
+def test_updated_to_binary_doc_not_duplicated(spark, tmp_path):
+    """A doc rewritten to contain a NUL byte by an incremental update
+    lingers in stale trigram postings (delta appends never remove
+    entries) while its live doc_map row turns is_binary. The candidate
+    fetch must NOT return it — the binary-docs union branch already
+    covers it — or its matching lines appear TWICE vs the full scan.
+    Checked on the stored-content path, the caller-corpus path, and the
+    blob-store point-read path."""
+    import pandas as pd
+
+    from ck_spark.index.builder import build_index, update_index
+    from ck_spark.index.content_store import build_content_store
+    from ck_spark.query.grep import grep
+
+    pdf = generate_corpus(30, seed=9)
+    marker_doc = pd.DataFrame([{
+        "repo": "r0", "path": "src/turncoat.py", "commit": "c0",
+        "lang": "python",
+        "content": "alpha omegaturncoat_literal()\nplain tail line\n",
+    }])
+    pdf = pd.concat([pdf, marker_doc], ignore_index=True)
+    corpus = spark.createDataFrame(pdf)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, mode="code", n_segments=2,
+                term_buckets=4, resume=False)
+    build_trigram_index(spark, corpus, root)
+
+    # rewrite the doc to BINARY while keeping the literal greppable
+    pdf2 = pdf.copy()
+    mask = pdf2["path"] == "src/turncoat.py"
+    pdf2.loc[mask, "content"] = (
+        "alpha omegaturncoat_literal()\x00binary now\n"
+    )
+    corpus2 = spark.createDataFrame(pdf2)
+    update_index(spark, corpus2, root)
+
+    key = lambda r: (r["path"], r["line_no"], r["line"])
+    scan = sorted(map(key, grep(corpus2, "omegaturncoat_literal").collect()))
+    assert len(scan) == 1  # the binary doc's one matching line
+    for src in (corpus2, None):  # caller-corpus and stored-content paths
+        fast = grep_indexed(
+            spark, src, root, "omegaturncoat_literal"
+        ).collect()
+        assert sorted(map(key, fast)) == scan, (
+            "binary doc duplicated" if len(fast) > len(scan) else fast
+        )
+    # blob point-read path (exclude_binary must hold there too)
+    build_content_store(spark, root)
+    fast = grep_indexed(spark, None, root, "omegaturncoat_literal").collect()
+    assert sorted(map(key, fast)) == scan
