@@ -33,42 +33,80 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+
+def _documents_state(spark: SparkSession, sf_dir: str, suffix: str = ""):
+    """Shared cache bookkeeping for every documents-derived artifact:
+    (root, snap, corpus_fn). ``snap`` is the mtime+size snapshot token
+    (ck's manifest fast path, ck-index/src/lib.rs:851-906) — a rewritten
+    documents.parquet under the same path invalidates caches instead of
+    being served stale. ``corpus_fn`` builds the repartitioned corpus
+    lazily so cache hits never pay the count job."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(ENTRY_INDEX_ROOT, tag + suffix)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
+
+    def corpus_fn() -> DataFrame:
+        # test tables are single parquet files -> 1 scan partition; spread
+        # the tokenize UDF across a size-scaled number of partitions (a
+        # real corpus arrives already partitioned; tiny inputs drown in
+        # per-task overhead)
+        docs = load_documents(spark, sf_dir)
+        par = min(spark.sparkContext.defaultParallelism,
+                  max(2, docs.count() // 512))
+        return documents_as_corpus(docs).repartition(par)
+
+    return root, snap, corpus_fn
+
+
+def _sentinel_ok(path: str, version, snap: str) -> bool:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f) == {"version": version, "snap": snap}
+    except (OSError, ValueError):
+        return False
+
+
+def _write_sentinel(path: str, version, snap: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"version": version, "snap": snap}, f)
+
+
 def documents_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     """Build (once, resumable/cached on disk) a simple-mode BM25 index over
     the documents table of the given sf dir and return a query handle.
 
     `simple` mode == the reference's effective tantivy-default analyzer and
-    is exactly expressible in the DuckDB oracle SQL.
+    is exactly expressible in the DuckDB oracle SQL. A (version, snap)
+    sentinel short-circuits cache hits straight to BM25Index.load — no
+    count job, no resume scan (build_index's resume path still rescans the
+    doc_map for stats even when fully complete).
     """
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(ENTRY_INDEX_ROOT, tag)
-    # invalidate caches written by an older on-disk layout
     import shutil
 
     from ck_spark.index.builder import INDEX_VERSION
     from ck_spark.index.manifest import Manifest
 
+    root, snap, corpus_fn = _documents_state(spark, sf_dir)
+    sentinel = os.path.join(root, "_docs_done.json")
+    if _sentinel_ok(sentinel, INDEX_VERSION, snap):
+        return BM25Index.load(spark, root)
+    # invalidate caches written by an older on-disk layout
     try:
         if Manifest(root).load_meta().get("version") != INDEX_VERSION:
             shutil.rmtree(root, ignore_errors=True)
     except FileNotFoundError:
         pass
-    # test tables are single parquet files -> 1 scan partition; spread the
-    # tokenize UDF across a size-scaled number of partitions (a real corpus
-    # arrives already partitioned; tiny inputs drown in per-task overhead)
-    docs = load_documents(spark, sf_dir)
-    par = min(spark.sparkContext.defaultParallelism, max(2, docs.count() // 512))
-    corpus = documents_as_corpus(docs).repartition(par)
-    # mtime+size snapshot token (ck's manifest fast path,
-    # ck-index/src/lib.rs:851-906): a rewritten documents.parquet under the
-    # same path invalidates the cached index instead of being reused stale
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
     build_index(
-        spark, corpus, root, mode="simple",
+        spark, corpus_fn(), root, mode="simple",
         n_segments=4, term_buckets=16, build_groups=2, resume=True,
         snapshot_id=snap,
     )
+    _write_sentinel(sentinel, INDEX_VERSION, snap)
     return BM25Index.load(spark, root)
 
 
@@ -91,22 +129,14 @@ def documents_index_updated(spark: SparkSession, sf_dir: str) -> BM25Index:
 
     from ck_spark.index.builder import INDEX_VERSION, build_index, update_index
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(ENTRY_INDEX_ROOT, tag + "_lsm")
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
+    root, snap, corpus_fn = _documents_state(spark, sf_dir, suffix="_lsm")
     sentinel = os.path.join(root, "_lsm_done.json")
-    try:
-        with open(sentinel) as f:
-            done = json.load(f)
-        if done == {"version": INDEX_VERSION, "snap": snap}:
-            return BM25Index.load(spark, root)
-    except (FileNotFoundError, ValueError):
-        pass
+    if _sentinel_ok(sentinel, INDEX_VERSION, snap):
+        return BM25Index.load(spark, root)
     shutil.rmtree(root, ignore_errors=True)
     docs = load_documents(spark, sf_dir)
     par = min(spark.sparkContext.defaultParallelism, max(2, docs.count() // 512))
-    corpus = documents_as_corpus(docs).repartition(par)
+    corpus = corpus_fn()
     build_index(
         spark, corpus, root, mode="simple",
         n_segments=4, term_buckets=16, build_groups=2, resume=False,
@@ -121,8 +151,7 @@ def documents_index_updated(spark: SparkSession, sf_dir: str) -> BM25Index:
         )
     ).repartition(par)
     update_index(spark, edited, root, full_snapshot=True)
-    with open(sentinel, "w") as f:
-        json.dump({"version": INDEX_VERSION, "snap": snap}, f)
+    _write_sentinel(sentinel, INDEX_VERSION, snap)
     return BM25Index.load(spark, root)
 
 
@@ -247,14 +276,24 @@ def embeddings_ivf_root(spark: SparkSession, sf_dir: str, k_lists: int = 8) -> s
     embeddings table; returns its root. Cached on disk like
     documents_index — the meta json is written last and gates reuse, so a
     partial build rebuilds."""
+    import shutil
+
     from ck_spark.ops.ivf import build_ivf_index, ivf_index_exists
 
     tag = sf_dir.strip("/").replace("/", "_")
     root = os.path.join(ENTRY_INDEX_ROOT, tag, "ivf")
-    if not ivf_index_exists(root):
+    # staleness gate, same mtime+size token as documents_index: a
+    # rewritten embeddings.parquet under the same path must invalidate
+    # the cached lists instead of serving vectors that no longer exist
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    snap = f"mtime{int(st.st_mtime)}-size{st.st_size}"
+    sentinel = os.path.join(root, "_ivf_done.json")
+    if not (ivf_index_exists(root) and _sentinel_ok(sentinel, 1, snap)):
+        shutil.rmtree(root, ignore_errors=True)
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         build_ivf_index(spark, emb, root, k_lists=k_lists,
                         sample_size=16384, iters=10, seed=7)
+        _write_sentinel(sentinel, 1, snap)
     return root
 
 
@@ -270,10 +309,8 @@ def documents_trigram_root(spark: SparkSession, sf_dir: str) -> str:
     )
 
     if not trigram_index_compatible(root):
-        docs = load_documents(spark, sf_dir)
-        par = min(spark.sparkContext.defaultParallelism,
-                  max(2, docs.count() // 512))
-        build_trigram_index(spark, documents_as_corpus(docs).repartition(par), root)
+        _, _, corpus_fn = _documents_state(spark, sf_dir)
+        build_trigram_index(spark, corpus_fn(), root)
     return root
 
 

@@ -200,26 +200,10 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
     )
 
 
-def _doc_map_summary(spark: SparkSession, doc_map_path: str) -> tuple[int, int, str]:
-    """One aggregation job: row count, distinct doc ids (collision check)
-    and an order-independent corpus fingerprint (the analogue of ck's
-    manifest hash gate, O(1) state per executor). Column-pruned scan —
-    tfm never leaves the parquet reader."""
-    row = (
-        spark.read.parquet(doc_map_path)
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("doc_id").alias("nd"),
-            F.bit_xor(F.xxhash64("repo", "path", "commit", "content_sha256")).alias("h"),
-        )
-        .collect()[0]
-    )
-    return int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}"
-
 
 def _summarize_and_write_stats(
     spark: SparkSession, paths: IndexPaths
-) -> tuple[int, int, str, int, float]:
+) -> tuple[int, int, str, int, float, int]:
     """ONE doc_map scan for both the identity summary (row count,
     collision check, corpus fingerprint) and the BM25 corpus stats
     (n_docs/avgdl/total_tokens over non-binary docs); the 1-row
@@ -255,7 +239,8 @@ def _summarize_and_write_stats(
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
     return (int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}",
-            int(row["n_docs"]), float(row["avgdl"] or 0.0))
+            int(row["n_docs"]), float(row["avgdl"] or 0.0),
+            int(row["total_tokens"] or 0))
 
 
 def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
@@ -501,7 +486,12 @@ def repair_index(spark: SparkSession, out_dir: str,
     tmp_dm = marker.get("tmp") or os.path.join(out_dir, "_tmp_doc_map")
     store.heal(paths.doc_map, marker["segs"], tmp_dm)
     store.cleanup(tmp_dm)
-    _, _, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
+    n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
+        _summarize_and_write_stats(spark, paths)
+    if n != nd:
+        raise RuntimeError(
+            f"doc_id collision surfaced by repair: {n} rows, {nd} ids"
+        )
     _reencode_segments(spark, paths, meta, marker["segs"], avgdl)
     # a trigram index is the same pure function of doc_map content: re-run
     # the interrupted refresh for the flagged segments (the marker was
@@ -523,7 +513,7 @@ def repair_index(spark: SparkSession, out_dir: str,
     refresh_content_store_segments(spark, out_dir, marker["segs"])
     n_terms = _write_term_stats(spark, paths)
     meta.update({
-        "avgdl": avgdl, "n_docs": n_docs_nb,
+        "avgdl": avgdl, "n_docs": n_docs_nb, "total_tokens": total_tokens,
         "n_terms": int(n_terms), "input_snapshot": snapshot,
     })
     man.save_meta(meta)
@@ -589,7 +579,8 @@ def build_index(
             .partitionBy("seg")
             .parquet(paths.doc_map)
         )
-    n, nd, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
+    n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
+        _summarize_and_write_stats(spark, paths)
     if n != nd:
         raise RuntimeError(
             f"doc_id collision: {n} rows but {nd} distinct ids — "
@@ -682,6 +673,7 @@ def build_index(
             "n_docs": n_docs_nb,
             "n_terms": int(nterms) if nterms is not None else None,
             "input_snapshot": snapshot,
+            "total_tokens": total_tokens,
         }
     )
     return paths
@@ -794,7 +786,23 @@ def _update_rewrite(
         F.col("o.old_sha").alias("old_sha"),
         F.coalesce(F.col("n.seg"), F.col("o.seg")).alias("seg"),
     )
-    counts = diff.agg(
+    # ---- ONE diff pass (same design as the delta path): the corpus-wide
+    # sha2 hash join is the expensive input; the counts + affected segs
+    # ride the write job as observed metrics and the (small) changed-id
+    # set is MATERIALIZED so every downstream consumer — carried-over
+    # rows, fresh tokenize, trigram append, content-store stage —
+    # broadcast-reads it instead of each re-hashing the full corpus
+    # (measured up to 5 evaluations of the lazy diff before this).
+    from pyspark.sql import Observation
+
+    changed_pred = (
+        F.col("old_sha").isNull()
+        | F.col("new_sha").isNull()
+        | (F.col("old_sha") != F.col("new_sha"))
+    )
+    obs_diff = Observation()
+    diff_o = diff.observe(
+        obs_diff,
         F.sum(F.when(F.col("old_sha").isNull(), 1).otherwise(0)).alias("added"),
         F.sum(F.when(F.col("new_sha").isNull(), 1).otherwise(0)).alias("removed"),
         F.sum(
@@ -810,25 +818,36 @@ def _update_rewrite(
                 F.col("old_sha").isNotNull() & (F.col("new_sha") == F.col("old_sha")), 1
             ).otherwise(0)
         ).alias("unchanged"),
-    ).collect()[0]
+        F.collect_set(F.when(changed_pred, F.col("seg"))).alias("affected"),
+    )
+    diff_dir = os.path.join(out_dir, "_rewrite_diff_staging")
+    (
+        diff_o.where(changed_pred)
+        .select(
+            "doc_id",
+            F.col("seg").cast("int").alias("seg"),
+            F.col("old_sha").isNotNull().alias("is_dead"),
+            F.col("new_sha").isNotNull().alias("is_fresh"),
+        )
+        .write.mode("overwrite")
+        .parquet(diff_dir)
+    )
+    counts = obs_diff.get
     stats = {k: int(counts[k] or 0) for k in ("added", "removed", "modified", "unchanged")}
     stats["repaired"] = repaired
 
-    changed = diff.where(
-        F.col("old_sha").isNull()
-        | F.col("new_sha").isNull()
-        | (F.col("old_sha") != F.col("new_sha"))
-    )
-    affected = sorted(r["seg"] for r in changed.select("seg").distinct().collect())
+    affected = sorted(int(s) for s in (counts["affected"] or []))
     stats["affected_segments"] = affected
     if not affected:
+        shutil.rmtree(diff_dir, ignore_errors=True)
         stats["build_ms"] = int((time.time() - t_start) * 1000)
         return stats
 
     # ids whose OLD state must be dropped (modified + removed); broadcast-
     # sized in the common case, and Spark handles the general anti-join.
-    dead = changed.where(F.col("old_sha").isNotNull()).select("doc_id")
-    fresh_ids = changed.where(F.col("new_sha").isNotNull()).select("doc_id")
+    changed_ids = spark.read.parquet(diff_dir)
+    dead = changed_ids.where(F.col("is_dead")).select("doc_id")
+    fresh_ids = changed_ids.where(F.col("is_fresh")).select("doc_id")
 
     # Tokenize ONLY added/modified docs.
     fresh_corpus = (
@@ -929,7 +948,12 @@ def _update_rewrite(
     store.swap(paths.doc_map, affected, tmp_dm)
     store.cleanup(tmp_dm)
 
-    _, _, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
+    n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
+        _summarize_and_write_stats(spark, paths)
+    if n != nd:
+        raise RuntimeError(
+            f"doc_id collision introduced by update: {n} rows, {nd} ids"
+        )
 
     _reencode_segments(spark, paths, meta, affected, avgdl)
     if tri_refresh:
@@ -946,9 +970,11 @@ def _update_rewrite(
     n_terms = _write_term_stats(spark, paths)
     meta["n_terms"] = int(n_terms)
 
-    meta.update({"avgdl": avgdl, "n_docs": n_docs_nb, "input_snapshot": snapshot})
+    meta.update({"avgdl": avgdl, "n_docs": n_docs_nb,
+                 "input_snapshot": snapshot, "total_tokens": total_tokens})
     man.save_meta(meta)
     man.clear_marker("update_inprogress")
+    shutil.rmtree(diff_dir, ignore_errors=True)
     stats["build_ms"] = int((time.time() - t_start) * 1000)
     man.complete(
         "update", int(time.time()), snapshot,
@@ -1464,7 +1490,8 @@ def _finish_compact(spark: SparkSession, out_dir: str, store: "SegmentStore",
     arith_snapshot = meta.get("input_snapshot")
     meta.update({"gens": [], "n_tombstones": 0})
     man.save_meta(meta)
-    n, nd, snapshot, n_docs_nb, avgdl = _summarize_and_write_stats(spark, paths)
+    n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
+        _summarize_and_write_stats(spark, paths)
     if n != nd:
         raise RuntimeError(
             f"doc_id collision surfaced by compaction: {n} rows, {nd} ids"
@@ -1476,9 +1503,6 @@ def _finish_compact(spark: SparkSession, out_dir: str, store: "SegmentStore",
         )
     _reencode_segments(spark, paths, meta, all_segs, avgdl)
     n_terms = _write_term_stats(spark, paths)
-    total_tokens = int(
-        spark.read.parquet(paths.corpus_stats).collect()[0]["total_tokens"] or 0
-    )
     meta.update({
         "avgdl": avgdl, "n_docs": n_docs_nb, "n_terms": int(n_terms),
         "input_snapshot": snapshot, "term_stats_dir": "term_stats",

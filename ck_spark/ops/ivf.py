@@ -193,10 +193,16 @@ def ivf_append(
     Exactly-once per `batch_tag`: the batch stages to a scratch dir, its
     files rename (atomically, per file) into the list partitions under
     names prefixed `delta-<batch_tag>-`, and the tag commits into the meta
-    json LAST. A retry of a committed tag is a no-op; a retry of a crashed
-    (uncommitted) tag first removes that tag's partial files, so replays
-    never duplicate rows. Caller contract: vec_ids are new to the index
-    (replacement needs a version column — run exact dedup upstream).
+    json LAST. The tag is recorded as `pending` BEFORE any rename becomes
+    visible: a retry of a committed tag is a no-op; a retry of a crashed
+    (uncommitted) tag first removes that tag's partial files; and
+    ivf_compact scrubs a pending tag's files instead of folding them into
+    the base (where a later retry would re-append the full batch and
+    duplicate the partial rows). Within the crash window the partial rows
+    are visible to queries (at-least-once reads, exactly-once after the
+    retry/scrub). Caller contract: vec_ids are new to the index
+    (replacement needs a version column — run exact dedup upstream), and
+    mutators are single-writer (same as compact).
 
     Returns the number of rows appended (0 for a committed-tag replay)."""
     import glob
@@ -227,6 +233,27 @@ def ivf_append(
     ):
         os.remove(stale)
 
+    def _write_meta() -> None:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
+
+    # pending marker FIRST: if we crash between the renames below and the
+    # commit, compact knows these delta files are uncommitted and scrubs
+    # them rather than folding them into base. A LIST, not a slot — two
+    # successive crashed appends with different tags must both stay
+    # scrubbable or the first one's partial rows get folded and its retry
+    # duplicates them
+    pend = meta.setdefault("pending", [])
+    if isinstance(pend, str):  # pre-list marker from an older crash
+        pend = meta["pending"] = [pend]
+    if batch_tag not in pend:
+        pend.append(batch_tag)
+    _write_meta()
+
     # stage INSIDE index_dir (same filesystem ⇒ os.rename is atomic; an
     # across-device staging dir would make the per-file renames copies)
     staging = tempfile.mkdtemp(prefix=f".staging-{batch_tag}-", dir=index_dir)
@@ -244,9 +271,14 @@ def ivf_append(
             .partitionBy("centroid_id")
             .parquet(staging)
         )
-        # count from the staged batch (bounded), never by re-scanning lists
-        n_rows = spark.read.parquet(staging).count()
-        for part_dir in sorted(glob.glob(os.path.join(staging, "centroid_id=*"))):
+        # count from the staged batch (bounded), never by re-scanning
+        # lists. An EMPTY batch writes no partition dirs (and no parquet
+        # footers — reading the bare staging dir would die on schema
+        # inference): commit the tag as a 0-row append instead of
+        # poisoning every retry
+        part_dirs = sorted(glob.glob(os.path.join(staging, "centroid_id=*")))
+        n_rows = spark.read.parquet(staging).count() if part_dirs else 0
+        for part_dir in part_dirs:
             dest_dir = os.path.join(lists_dir, os.path.basename(part_dir))
             os.makedirs(dest_dir, exist_ok=True)
             for src in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
@@ -256,27 +288,32 @@ def ivf_append(
                                  f"delta-{batch_tag}-{os.path.basename(src)}"),
                 )
         meta.setdefault("appends", []).append(batch_tag)
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, meta_path)
+        if batch_tag in meta.get("pending", []):
+            meta["pending"].remove(batch_tag)
+        _write_meta()
         return n_rows
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
 
 def _heal_lists(index_dir: str) -> None:
-    """Roll a crashed compact swap forward/back so readers always see a
-    complete lists dir. States (lists / lists.staging / lists.old):
+    """WRITER-ONLY: roll a crashed compact swap forward/back so the next
+    mutation starts from a complete lists dir. States (lists /
+    lists.staging / lists.old):
       - lists only ................. normal
       - lists + staging ............ crashed before the swap: staging is a
                                      duplicate rewrite — discard it
       - staging + old, no lists .... crashed mid-swap: finish it
+      - old only, no lists ......... crashed between the two swap renames
+                                     with staging already moved: restore
       - lists + old ................ crashed after swap: drop the aside
     The append ledger in the meta is a commit ledger, not a file
-    inventory, so it stays valid across every one of these."""
+    inventory, so it stays valid across every one of these.
+
+    Readers must NOT call this: a query healing concurrently with a live
+    compactor would rmtree the compactor's just-finished staging between
+    its two renames (single-writer discipline covers writers; reads use
+    the non-mutating _lists_read_dir)."""
     import shutil
 
     lists_d = os.path.join(index_dir, "lists")
@@ -284,9 +321,28 @@ def _heal_lists(index_dir: str) -> None:
     old = os.path.join(index_dir, "lists.old")
     if not os.path.exists(lists_d) and os.path.exists(staging):
         os.rename(staging, lists_d)
+    if not os.path.exists(lists_d) and os.path.exists(old):
+        os.rename(old, lists_d)
     if os.path.exists(lists_d):
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+
+
+def _lists_read_dir(index_dir: str) -> str:
+    """Non-mutating read-path resolution: the live lists dir, or the
+    swap-aside copy when a crashed (or in-flight) compact hides `lists`
+    for the instant between its two renames. Equivalent data either way —
+    compaction only re-buckets files."""
+    lists_d = os.path.join(index_dir, "lists")
+    if os.path.exists(lists_d):
+        return lists_d
+    old = os.path.join(index_dir, "lists.old")
+    if os.path.exists(old):
+        return old
+    staging = os.path.join(index_dir, "lists.staging")
+    if os.path.exists(staging):
+        return staging
+    return lists_d  # let the read fail with the true path in the error
 
 
 def ivf_compact(spark: SparkSession, index_dir: str) -> dict:
@@ -303,6 +359,28 @@ def ivf_compact(spark: SparkSession, index_dir: str) -> dict:
     cent = load_centroids(index_dir)  # also validates completeness
     k_eff = cent.shape[0]
     lists_d = os.path.join(index_dir, "lists")
+    # a crashed append's UNCOMMITTED delta files must not fold into the
+    # base: the tag's retry would then re-append the whole batch and
+    # duplicate the partial rows. Scrub them (the retry re-appends all)
+    meta_path = os.path.join(index_dir, META_NAME)
+    with open(meta_path) as f:
+        _meta = json.load(f)
+    pending = _meta.pop("pending", None) or []
+    if isinstance(pending, str):
+        pending = [pending]
+    scrubbed = [t for t in pending if t not in _meta.get("appends", [])]
+    if scrubbed or pending:
+        for tag in scrubbed:
+            for stale in glob.glob(
+                os.path.join(lists_d, "centroid_id=*", f"delta-{tag}-*")
+            ):
+                os.remove(stale)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
     staging = os.path.join(index_dir, "lists.staging")
     old = os.path.join(index_dir, "lists.old")
     shutil.rmtree(staging, ignore_errors=True)
@@ -362,7 +440,6 @@ def ivf_topk(
     probed centroid partitions (PartitionFilters in the plan), exact
     cosine within them. nprobe >= k_lists ⇒ exact brute-force answer."""
     cent = load_centroids(index_dir)
-    _heal_lists(index_dir)
     probes = probe_lists(cent, query_vec, nprobe)
     qv = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in qv)) or 1.0
@@ -372,7 +449,7 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    df = spark.read.parquet(os.path.join(index_dir, "lists")).where(
+    df = spark.read.parquet(_lists_read_dir(index_dir)).where(
         F.col("centroid_id").isin(probes)
     )
     return (

@@ -122,15 +122,22 @@ class BM25Index:
             from ck_spark.index.builder import repair_index
 
             repair_index(spark, root)
-        elif Manifest(root).load_marker("update_inprogress") is not None:
-            import warnings
-
-            warnings.warn(
-                f"index at {root} has an update in progress (or a crashed "
-                "one): results may be mid-update until the owner repairs "
-                "it (BM25Index.load(repair=True) / update_index)",
-                stacklevel=2,
+        else:
+            man = Manifest(root)
+            inflight = next(
+                (m for m in ("update_inprogress", "compact_inprogress")
+                 if man.load_marker(m) is not None), None,
             )
+            if inflight is not None:
+                import warnings
+
+                warnings.warn(
+                    f"index at {root} has an in-progress "
+                    f"{inflight.split('_')[0]} (or a crashed one): results "
+                    "may be mid-mutation until the owner repairs it "
+                    "(BM25Index.load(repair=True) / update_index)",
+                    stacklevel=2,
+                )
         meta = Manifest(root).load_meta()
         return cls(spark, IndexPaths(root), meta)
 
@@ -216,15 +223,23 @@ class BM25Index:
         from ck_spark.index.lsm import term_stats_path
 
         ts_path = term_stats_path(self.paths.root, self.meta)
-        cache = self.__dict__.get("_term_cache")
-        if cache is None:
+        if "_term_cache" not in self.__dict__:
+            # one attempt per handle: a stored None means "dict exceeds
+            # the cap" — without the sentinel a too-big dict would be
+            # fully materialized driver-side on EVERY query. When meta
+            # lacks n_terms (legacy/resume), a metadata-only count gates
+            # the toPandas so an oversized dict never reaches the driver.
             ts = self.spark.read.parquet(ts_path)
             n_terms = self.meta.get("n_terms")
-            if n_terms is None or n_terms <= self._TERM_CACHE_MAX:
+            if n_terms is None:
+                n_terms = ts.count()
+            cache = None
+            if n_terms <= self._TERM_CACHE_MAX:
                 pdf = ts.toPandas()
                 if len(pdf) <= self._TERM_CACHE_MAX:
                     cache = pdf.set_index("term", drop=False)
-                    self.__dict__["_term_cache"] = cache
+            self.__dict__["_term_cache"] = cache
+        cache = self.__dict__["_term_cache"]
         if cache is not None:
             found = [t for t in terms if t in cache.index]
             return cache.loc[found].reset_index(drop=True)
@@ -234,9 +249,13 @@ class BM25Index:
             .toPandas()
         )
 
-    def idfs(self, terms: list[str]) -> dict[str, float]:
+    def idfs(self, terms: list[str],
+             ts: "pd.DataFrame | None" = None) -> dict[str, float]:
+        """Lucene idf per term. Pass the already-fetched term_stats frame
+        (every search path has one) to skip a second dictionary lookup."""
         n = self.meta["n_docs"]
-        ts = self.term_stats(terms)
+        if ts is None:
+            ts = self.term_stats(terms)
         return {
             r.term: math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5))
             for r in ts.itertuples()
@@ -345,7 +364,7 @@ class BM25Index:
             return self._finish(empty, k, normalize, threshold, with_paths)
 
         ts = self.term_stats(terms)
-        idfs = self.idfs(terms)
+        idfs = self.idfs(terms, ts=ts)
         if ts.empty or (mode == "and" and len(ts) < len(terms)):
             # conjunctive with any unknown term matches nothing
             return self._finish(empty, k, normalize, threshold, with_paths)
@@ -437,7 +456,7 @@ class BM25Index:
             )
 
         ts = self.term_stats(pq.all_terms)
-        idfs = self.idfs(pq.all_terms)
+        idfs = self.idfs(pq.all_terms, ts=ts)
         known = set(ts["term"])
         must = list(dict.fromkeys(pq.must + [t for p in pq.phrases for t in p]))
         if any(t not in known for t in must):
@@ -592,7 +611,7 @@ class BM25Index:
         ts = self.term_stats(sorted(all_terms))
         if ts.empty:
             return empty
-        idfs = self.idfs(sorted(all_terms))
+        idfs = self.idfs(sorted(all_terms), ts=ts)
         known = set(ts["term"])
 
         avgdl = float(self.meta["avgdl"])

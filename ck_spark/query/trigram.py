@@ -360,6 +360,14 @@ BLOB_MIN_DOC_BYTES = 4096
 # ~2-3x fewer content bytes than the scan (framing included at >= 4 KB
 # docs); past ~1/3 the sequential scan wins back.
 BLOB_SCAN_FRACTION = 0.30
+
+# the semi-join tier must BROADCAST the candidate ids: letting the join
+# shuffle doc_map moves every content byte through shuffle write+read —
+# measured 3x the corpus bytes (BENCH/SCALE_DEMO.md). 5M ids ≈ 40 MB
+# broadcast; sets past that (possible only on >33M-doc corpora, where
+# the 15% knee exceeds it) fall back to the scan, whose content never
+# leaves the sequential columnar read.
+SEMIJOIN_BROADCAST_MAX = 5_000_000
 # executor-side early stop: once the accumulated intersection is this
 # small, further gram decodes cost more than the false positives they
 # would remove (the regex verify removes them anyway)
@@ -1397,10 +1405,16 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
             )
             return store.fetch_rows(ptr_rows).select(*narrow)
         # semi-join tier: sequential columnar content read (same IO as
-        # the scan), regex verify over candidates only
-        return dm.where(nb).join(
-            cands.select("doc_id"), "doc_id"
-        ).select(*narrow)
+        # the scan), regex verify over candidates only. The candidate
+        # side MUST broadcast — a shuffled join would move every content
+        # byte through shuffle write+read (measured 3x the corpus). When
+        # the bound can't prove the set broadcastable, the scan (which
+        # never moves content) is the honest choice.
+        if est is not None and est <= SEMIJOIN_BROADCAST_MAX:
+            return dm.where(nb).join(
+                F.broadcast(cands.select("doc_id")), "doc_id"
+            ).select(*narrow)
+        return dm.where(nb).select(*narrow)
     if not rows:
         return dm.select(*narrow).limit(0)
     segs = sorted({r["seg"] for r in rows})

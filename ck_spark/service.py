@@ -69,7 +69,9 @@ def _page(df: DataFrame, order_cols: list[tuple[str, str]],
     formulation collected offset+size+1 rows at deep cursors."""
     import json
 
-    size = min(page_size or DEFAULT_PAGE_SIZE, MAX_PAGE_SIZE)
+    # clamp to the reference's 1..MAX range — a negative size would
+    # otherwise reach df.limit() / window[-1] and blow up
+    size = max(1, min(page_size or DEFAULT_PAGE_SIZE, MAX_PAGE_SIZE))
     last = _decode_cursor(cursor)
     sort_exprs = [
         F.desc(c) if d == "desc" else F.asc(c) for c, d in order_cols
@@ -125,16 +127,19 @@ class CkService:
 
     # -- index lifecycle ----------------------------------------------------
 
-    def _index(self) -> BM25Index:
-        """Auto-index-before-search (L7): build on first use if absent."""
+    def _index(self, bootstrap: DataFrame | None = None) -> BM25Index:
+        """Auto-index-before-search (L7): build on first use if absent.
+        ``bootstrap`` supplies the initial-build corpus when the service
+        holds none (reindex(corpus=batch) on a fresh root)."""
         if self._idx is not None:
             return self._idx
         try:
             Manifest(self.root).load_meta()
         except FileNotFoundError:
-            if self.corpus is None:
+            src = bootstrap if bootstrap is not None else self.corpus
+            if src is None:
                 raise RuntimeError("no index at root and no corpus to build from")
-            build_index(self.spark, self.corpus, self.root, mode=self.mode,
+            build_index(self.spark, src, self.root, mode=self.mode,
                         **self.build_opts)
         # the service owns its root exclusively -> safe to heal a crashed
         # update at load time
@@ -173,7 +178,7 @@ class CkService:
         src = corpus if corpus is not None else self.corpus
         if src is None:
             raise RuntimeError("reindex needs a corpus")
-        self._index()  # ensure built
+        self._index(bootstrap=src)  # ensure built (fresh root: build from src)
         stats = update_index(self.spark, src, self.root,
                              full_snapshot=full_snapshot)
         self._idx = BM25Index.load(self.spark, self.root, repair=True)  # refresh meta
@@ -415,7 +420,10 @@ class CkService:
             from ck_spark.query.sections import grep_full_section
 
             hits = grep_full_section(self._scan_source(), pattern, **grep_kw)
-            order = [("path", "asc"), ("line_no", "asc")]
+            # (repo, path, line_no) — path alone is not unique across
+            # repos, and keyset pagination needs a TOTAL order or rows on
+            # a tied page boundary are silently skipped/duplicated
+            order = [("repo", "asc"), ("path", "asc"), ("line_no", "asc")]
         else:
             tri = self._trigram()
             if tri is not None:
@@ -428,7 +436,7 @@ class CkService:
                 hits = tri.grep(_src, pattern, **grep_kw)
             else:
                 hits = grep(self._scan_source(), pattern, **grep_kw)
-            order = [("path", "asc"), ("line_no", "asc")]
+            order = [("repo", "asc"), ("path", "asc"), ("line_no", "asc")]
         if include_snippet is not None or snippet_length is not None:
             col = "section" if full_section else "line"
             hits = _apply_snippet(hits, col,

@@ -37,11 +37,21 @@ def stream_corpus_dir(spark: SparkSession, input_dir: str, fmt: str = "parquet")
 
 
 def index_upsert_sink(index_root: str, stats_log: list | None = None):
-    """foreachBatch sink: upsert the micro-batch into the index."""
+    """foreachBatch sink: upsert the micro-batch into the index.
+
+    Within-batch dedup on the (repo, path, commit) doc key: two files in
+    one trigger window can carry the same doc (re-dropped dump, overlap
+    between feeds). Without the dedup, update_index's doc_id-collision
+    check would fail the batch — and checkpoint replay re-delivers the
+    identical batch, wedging the stream permanently. The kept row is
+    arbitrary among key-duplicates (a micro-batch has no intra-batch
+    order); feeds that need last-wins must carry a version column and
+    pre-aggregate upstream."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = batch_df.dropDuplicates(["repo", "path", "commit"])
         stats = update_index(
             batch_df.sparkSession, batch_df, index_root, full_snapshot=False
         )

@@ -237,9 +237,11 @@ def test_compact_merges_deltas_and_keeps_exactness(spark):
 
 
 def test_compact_crash_heals(spark):
-    """Kill points around the rename-aside swap all heal to a complete,
-    correct lists dir on the next reader."""
-    from ck_spark.ops.ivf import build_ivf_index, ivf_topk
+    """Kill points around the rename-aside swap: READERS stay correct
+    WITHOUT mutating anything (a reader healing concurrently with a live
+    compactor could delete its just-finished staging between the two
+    swap renames); the next WRITER rolls the state forward."""
+    from ck_spark.ops.ivf import _heal_lists, build_ivf_index, ivf_topk
 
     d = tempfile.mkdtemp(prefix="ck_ivf_heal_")
     try:
@@ -257,15 +259,30 @@ def test_compact_crash_heals(spark):
         os.rename(lists_d, os.path.join(d, "lists.old"))
         got = [(r["vec_id"], round(r["cosine"], 9))
                for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
-        assert got == want
+        assert got == want  # reader answers from the aside copy
+        assert not os.path.exists(lists_d)  # ...and did NOT mutate
+        assert os.path.exists(os.path.join(d, "lists.old"))
+        _heal_lists(d)  # the next writer's first step
         assert os.path.exists(lists_d)
         assert not os.path.exists(os.path.join(d, "lists.old"))
-        # crash before the swap: lists + stale staging -> staging discarded
+        assert not os.path.exists(os.path.join(d, "lists.staging"))
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+        assert got == want
+        # crash before the swap: lists + stale staging — the reader uses
+        # lists untouched; the writer heal discards the stale staging
         _sh.copytree(lists_d, os.path.join(d, "lists.staging"))
         got = [(r["vec_id"], round(r["cosine"], 9))
                for r in ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
         assert got == want
+        assert os.path.exists(os.path.join(d, "lists.staging"))  # untouched
+        _heal_lists(d)
         assert not os.path.exists(os.path.join(d, "lists.staging"))
+        # crash after BOTH renames with the aside not yet dropped is the
+        # 'old only' case already covered above; 'lists + old' heals too
+        _sh.copytree(lists_d, os.path.join(d, "lists.old"))
+        _heal_lists(d)
+        assert not os.path.exists(os.path.join(d, "lists.old"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -293,3 +310,72 @@ def test_append_rejects_unsafe_batch_tags(spark, ivf_dir, emb):
     for bad in ("", "a-b", "a/b", "a*b", "a b", "é", "a."):
         with pytest.raises(ValueError, match="batch_tag"):
             ivf_append(spark, ivf_dir, emb.limit(1), batch_tag=bad)
+
+
+def test_append_empty_batch_commits_tag(spark):
+    """An empty batch must commit its tag as a 0-row append (a quiet feed
+    is normal) instead of crashing on schema inference over a staging dir
+    with no parquet footers — which would poison every retry."""
+    import json
+
+    from ck_spark.ops.ivf import META_NAME, build_ivf_index, ivf_append
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_empty_")
+    try:
+        base = _synth_emb(spark, 100, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=4, sample_size=128,
+                        iters=5, seed=7)
+        empty = _synth_emb(spark, 100, 5000, seed=2).limit(0)
+        assert ivf_append(spark, d, empty, batch_tag="quiet1") == 0
+        with open(os.path.join(d, META_NAME)) as f:
+            meta = json.load(f)
+        assert "quiet1" in meta.get("appends", [])
+        assert not meta.get("pending")
+        # replay is a committed-tag no-op
+        assert ivf_append(spark, d, empty, batch_tag="quiet1") == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_scrubs_pending_tag_so_retry_cannot_duplicate(spark):
+    """The duplicate-rows hazard: a crashed append's uncommitted delta
+    files must NOT be folded into the base by compaction — the tag's
+    retry would then re-append the whole batch. Compact scrubs the
+    pending tag's files first; the retry appends exactly once."""
+    import glob as _glob
+    import json
+
+    from ck_spark.ops.ivf import (
+        META_NAME, build_ivf_index, ivf_append, ivf_compact, ivf_topk,
+    )
+    from ck_spark.ops.similarity import cosine_topk
+
+    d = tempfile.mkdtemp(prefix="ck_ivf_pend_")
+    try:
+        base = _synth_emb(spark, 200, 0, seed=1)
+        build_ivf_index(spark, base, d, k_lists=4, sample_size=256,
+                        iters=8, seed=7)
+        extra = _synth_emb(spark, 80, 2000, seed=3)
+        # simulate the crash window: run a real append, then roll the meta
+        # back to pending (files in, tag not committed) — exactly the
+        # state after a crash between the renames and the commit
+        ivf_append(spark, d, extra, batch_tag="t1")
+        with open(os.path.join(d, META_NAME)) as f:
+            meta = json.load(f)
+        meta["appends"].remove("t1")
+        meta["pending"] = ["t1"]
+        with open(os.path.join(d, META_NAME), "w") as f:
+            json.dump(meta, f)
+        assert _glob.glob(os.path.join(d, "lists", "centroid_id=*",
+                                       "delta-t1-*"))
+        ivf_compact(spark, d)  # must scrub t1's uncommitted rows
+        n = ivf_append(spark, d, extra, batch_tag="t1")  # the retry
+        assert n == 80
+        q = _query_vec()
+        exact = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                 cosine_topk(base.unionByName(extra), q, k=15).collect()]
+        got = [(r["vec_id"], round(r["cosine"], 9)) for r in
+               ivf_topk(spark, d, q, k=15, nprobe=4).collect()]
+        assert got == exact  # no duplicates, nothing lost
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -87,3 +87,116 @@ def test_grep_context_window_exact(spark):
     rows = grep_with_context(df, "^line15$", before=2, after=1).collect()
     assert len(rows) == 1
     assert rows[0]["context"] == ["line13", "line14", "line15", "line16"]
+
+
+def test_rewrite_update_refreshes_total_tokens(spark, tmp_path):
+    """A rewrite-strategy update must refresh meta['total_tokens']:
+    a later delta update trusts that value arithmetically, so a stale one
+    silently corrupts avgdl (and every BM25 score after)."""
+    from ck_spark.index import build_index
+    from ck_spark.index.builder import update_index
+    from ck_spark.index.manifest import Manifest
+    from ck_spark.query import BM25Index
+
+    rows = [f"alpha beta doc number {i} with words" for i in range(30)]
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(_corpus(rows)), root,
+                mode="code", n_segments=2, term_buckets=4)
+    meta0 = Manifest(root).load_meta()
+    assert meta0.get("total_tokens"), "build must persist total_tokens"
+
+    # rewrite update that changes token totals (longer docs + an add)
+    rows2 = [r + " extra tokens appended here" for r in rows] + [
+        "brand new document gamma delta"
+    ]
+    update_index(spark, spark.createDataFrame(_corpus(rows2)), root,
+                 strategy="rewrite")
+    meta1 = Manifest(root).load_meta()
+    assert meta1["total_tokens"] != meta0["total_tokens"]
+
+    # delta update on top: avgdl must equal a from-scratch build's
+    rows3 = rows2 + ["another fresh doc epsilon zeta eta"]
+    update_index(spark, spark.createDataFrame(_corpus(rows3)), root,
+                 strategy="delta")
+    fresh_root = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(_corpus(rows3)), fresh_root,
+                mode="code", n_segments=2, term_buckets=4)
+    upd = BM25Index.load(spark, root).meta
+    ref = BM25Index.load(spark, fresh_root).meta
+    assert upd["n_docs"] == ref["n_docs"]
+    assert abs(upd["avgdl"] - ref["avgdl"]) < 1e-9
+    assert upd["total_tokens"] == ref["total_tokens"]
+
+
+def test_regex_pagination_total_order_across_repos(spark, tmp_path):
+    """Keyset pagination needs a TOTAL order: two repos holding the same
+    path with a match on the same line used to tie on (path, line_no) and
+    lose/duplicate rows at a page boundary."""
+    from ck_spark.service import CkService
+
+    pdf = pd.DataFrame(
+        [(f"repo{r}", "src/main.py", f"c{r}", "python",
+          "needle one\nfiller\nneedle two\n") for r in range(4)],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    svc = CkService(spark, str(tmp_path / "idx"),
+                    corpus=spark.createDataFrame(pdf))
+    seen = []
+    cursor = None
+    while True:
+        out = svc.regex_search("needle", cursor=cursor, page_size=1)
+        seen.extend((r["repo"], r["path"], r["line_no"])
+                    for r in out["results"])
+        if not out["pagination"]["has_more"]:
+            break
+        cursor = out["pagination"]["next_cursor"]
+    assert len(seen) == 8  # 4 repos x 2 matching lines, no loss
+    assert len(set(seen)) == 8  # and no duplicates
+
+
+def test_page_size_clamped_to_valid_range(spark, tmp_path):
+    """Negative/zero page_size must clamp into the reference's 1..200
+    range instead of crashing in limit() or the cursor indexing."""
+    from ck_spark.service import CkService
+
+    pdf = _corpus([f"needle doc {i}" for i in range(5)])
+    svc = CkService(spark, str(tmp_path / "idx"),
+                    corpus=spark.createDataFrame(pdf))
+    out = svc.regex_search("needle", page_size=-1)
+    assert out["pagination"]["page_size"] == 1
+    assert len(out["results"]) == 1
+    out = svc.regex_search("needle", page_size=0)
+    assert out["pagination"]["returned"] == 5
+
+
+def test_reindex_with_corpus_bootstraps_fresh_root(spark, tmp_path):
+    """reindex(corpus=batch) on a root with no index must build from the
+    supplied batch instead of raising 'no corpus to build from'."""
+    from ck_spark.service import CkService
+
+    batch = spark.createDataFrame(_corpus(["alpha doc", "beta doc"]))
+    svc = CkService(spark, str(tmp_path / "idx"))  # no service corpus
+    out = svc.reindex(corpus=batch)
+    assert out["summary"] == "reindex complete"
+    hits = svc.lexical_search("alpha")["results"]
+    assert len(hits) == 1
+
+
+def test_load_warns_on_compact_marker(spark, tmp_path):
+    """BM25Index.load(repair=False) must warn on a compact_inprogress
+    marker exactly as it does for update_inprogress — mid-compaction
+    base postings are stale in the same way."""
+    import warnings
+
+    from ck_spark.index import build_index
+    from ck_spark.index.manifest import Manifest
+    from ck_spark.query import BM25Index
+
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(_corpus(["alpha", "beta"])),
+                root, mode="code", n_segments=2, term_buckets=2)
+    Manifest(root).save_marker("compact_inprogress", {"ts": 0})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        BM25Index.load(spark, root, repair=False)
+    assert any("in-progress compact" in str(x.message) for x in w)

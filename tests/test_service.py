@@ -50,8 +50,11 @@ def test_pagination_cursor_roundtrip(service):
     assert p1["pagination"]["page_size"] == 7
     assert p1["pagination"]["has_more"] is True
     # keyset cursor: order-column values of the page's last row
+    # (repo leads — (path, line_no) alone is not unique across repos)
     last = p1["results"][-1]
-    assert json.loads(p1["pagination"]["next_cursor"]) == [last["path"], last["line_no"]]
+    assert json.loads(p1["pagination"]["next_cursor"]) == [
+        last["repo"], last["path"], last["line_no"]
+    ]
     p2 = service.regex_search("def", page_size=7, cursor=p1["pagination"]["next_cursor"])
     k1 = {(r["path"], r["line_no"]) for r in p1["results"]}
     k2 = {(r["path"], r["line_no"]) for r in p2["results"]}

@@ -176,3 +176,49 @@ def test_stream_event_stats_matches_batch(spark, tmp_path):
     exp = {(r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
            for r in _agg(batch_df).collect()}
     assert got == exp
+
+
+def test_stream_batch_with_duplicate_keys_does_not_wedge(spark, tmp_path):
+    """Two files in one trigger window carrying the SAME (repo, path,
+    commit) doc used to fail update_index's collision check — and the
+    checkpoint replays the identical batch forever (a wedged stream).
+    The sink dedups within the batch; the stream completes and the doc
+    is indexed once."""
+    import os
+
+    from ck_spark.query import BM25Index
+
+    from ck_spark.index import build_index
+
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    rows = [("r0", "dup.py", "c0", "python", "zebra alpha content")]
+    cols = ["repo", "path", "commit", "lang", "content"]
+    seed = [("r0", "seed.py", "c0", "python", "seed doc alpha")]
+    build_index(spark, spark.createDataFrame(seed, cols), root,
+                mode="code", n_segments=2, term_buckets=4)
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "overwrite").parquet(inp + "/a")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "overwrite").parquet(inp + "/b")
+    # both files under one input dir -> one availableNow drain; the 64-file
+    # trigger puts them in the same micro-batch
+    import shutil
+
+    for sub in ("a", "b"):
+        for f in os.listdir(os.path.join(inp, sub)):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(inp, sub, f),
+                            os.path.join(inp, f"{sub}_{f}"))
+        shutil.rmtree(os.path.join(inp, sub))
+    stats = []
+    q = start_index_stream(spark, inp, root, ckpt, available_now=True,
+                           stats_log=stats)
+    q.awaitTermination(120)
+    assert stats, "batch must be processed, not crash the stream"
+    idx = BM25Index.load(spark, root)
+    assert int(idx.meta["n_docs"]) == 2  # seed + the dup doc exactly once
+    hits = idx.search("zebra", k=5).collect()
+    assert len(hits) == 1

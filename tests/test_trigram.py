@@ -409,15 +409,26 @@ def test_grep_indexed_overflow_semijoin_tier(spark, indexed, monkeypatch,
     scan = grep(corpus, "def ").collect()
     fast = grep_indexed(spark, corpus, root, "def ").collect()
     assert sorted(map(key, fast)) == sorted(map(key, scan))
-    cands = tri.candidates(trigram_dnf("parse_buffer"))
+    dnf = trigram_dnf("parse_buffer")
+    cands = tri.candidates(dnf)
+    est = sum(tri.estimate_candidates(cl) for cl in dnf)
     fetched = tri_mod._fetch_candidates(tri.doc_map_df, cands,
-                                        store=tri.content_store)
+                                        store=tri.content_store, est=est)
     plan = spark._jvm.PythonSQLUtils.explainString(
         fetched._jdf.queryExecution(), "formatted"
     )
-    assert "Join" in plan and "doc_map" in plan
+    # candidates must BROADCAST (a shuffled join would move content bytes)
+    assert "BroadcastHashJoin" in plan and "doc_map" in plan
     assert "content_store" not in plan.replace("\\", "/")
     assert fetched.count() == cands.count()
+    # without a provable bound the tier degrades to the plain scan —
+    # content must never move through a shuffle
+    unk = tri_mod._fetch_candidates(tri.doc_map_df, cands,
+                                    store=tri.content_store, est=None)
+    uplan = spark._jvm.PythonSQLUtils.explainString(
+        unk._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in uplan
 
 
 def test_estimate_skips_probe_and_runs_intersection_once(spark, indexed,
