@@ -609,6 +609,15 @@ def _q_simhash(spark, sf_dir):
     return simhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """Cross-document line-level boilerplate removal (CCNet/RefinedWeb):
+    a trimmed line present in >= 2 distinct docs is dropped everywhere;
+    surviving lines reassemble in order."""
+    from ck_spark.ops.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH candidate pairs: every doc
     labelled with the min doc id reachable through the near-dup graph
@@ -2212,6 +2221,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_lines": _q_dedup_lines,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2347,6 +2357,31 @@ FROM h ORDER BY doc_id""",
         "dedup_ngram_jaccard": _jaccard_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_lines": """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents
+), keyed AS (
+  SELECT doc_id, pos, line, trim(line) AS key FROM lines
+), boiler AS (
+  SELECT key FROM keyed WHERE len(key) >= 4
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM keyed
+  WHERE len(key) < 4 OR key NOT IN (SELECT key FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM documents
+)
+SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""",
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

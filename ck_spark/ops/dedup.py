@@ -187,6 +187,73 @@ def simhash_near_pairs(
     )
 
 
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_dup_docs: int = 2, min_line_chars: int = 4,
+) -> DataFrame:
+    """Cross-document line-level exact dedup (CCNet / RefinedWeb-style
+    boilerplate removal): a line whose trimmed form occurs in at least
+    ``min_dup_docs`` DISTINCT documents is boilerplate (nav bars, license
+    headers, cookie banners) and is removed from every document; the
+    surviving lines are reassembled in their original order.
+
+    Lines shorter than ``min_line_chars`` after trimming (including empty
+    lines) are never removed — they are structure, not boilerplate, and
+    counting them would tie every document to every other.
+
+    Returns (id, clean_text, n_lines, n_removed) for EVERY input doc —
+    a doc that loses all its lines comes back with clean_text = ''.
+
+    Scale notes (100 TB): three key-partitioned shuffles, no driver state
+    — (1) groupBy(trimmed line) with map-side partial counts to find the
+    boilerplate set, (2) a left-semi-shaped join of the exploded lines
+    against that (much smaller) set, (3) groupBy(doc) to reassemble.
+    Skew on ubiquitous lines ('', 'import os') is bounded by the
+    min_line_chars floor and by count-distinct partial aggregation; AQE
+    handles the rest. No regex, no Python UDF — whole-stage codegen end
+    to end.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    eligible = F.length("key") >= min_line_chars
+    boiler = (
+        lines.where(eligible)
+        .groupBy("key")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("key")
+    )
+    kept = (
+        lines.where(eligible).join(boiler, "key", "left_anti").drop("key")
+        .unionByName(lines.where(~eligible).drop("key"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, universe: DataFrame,
     id_col: str = "doc_id", max_iterations: int = 25,

@@ -5,12 +5,15 @@ in the canonical order:
   1. language filter        (ops/textstats.lang_id)
   2. quality + repetition   (ops/textstats.quality_scores,
                              ops/repetition.gopher_repetition_flags)
-  3. exact dedup            (ops/dedup.exact_dedup keeps min doc_id)
-  4. near-dedup             (ops/dedup MinHash-LSH clusters, keep one)
-  5. decontamination        (ops/decontam vs a benchmark table)
-  6. PII redaction          (ops/redact)
-  7. mixture weighting      (ops/mixing, optional)
-  8. sequence packing       (ops/packing.pack_greedy, optional)
+  3. line-level dedup       (ops/dedup.line_dedup — cross-document
+                             boilerplate line removal; opt-in, rewrites
+                             `text` and drops docs emptied by it)
+  4. exact dedup            (ops/dedup.exact_dedup keeps min doc_id)
+  5. near-dedup             (ops/dedup MinHash-LSH clusters, keep one)
+  6. decontamination        (ops/decontam vs a benchmark table)
+  7. PII redaction          (ops/redact)
+  8. mixture weighting      (ops/mixing, optional)
+  9. sequence packing       (ops/packing.pack_greedy, optional)
 
 Each stage is individually DuckDB-oracle-verified by the driver
 contract; this module only composes them lazily (one DataFrame plan —
@@ -38,14 +41,15 @@ class PreprocessConfig:
     languages: list[str] | None = None        # None = keep all
     min_quality: float = 0.0                  # quality_scores threshold
     repetition_thresholds: dict | None = None  # None = Gopher defaults
+    line_dedup: bool = False                  # cross-doc boilerplate lines
     near_dedup: bool = True
     decontam_n: int = 8
     redact: bool = True
     mixture_weights: dict[str, float] | None = None
     pack_seq_len: int | None = None
     stages: list[str] = field(default_factory=lambda: [
-        "lang", "quality", "repetition", "exact_dedup", "near_dedup",
-        "decontam", "redact", "mixture", "pack"])
+        "lang", "quality", "repetition", "line_dedup", "exact_dedup",
+        "near_dedup", "decontam", "redact", "mixture", "pack"])
 
 
 def preprocess_corpus(
@@ -97,10 +101,26 @@ def preprocess_corpus(
         cur = cur.join(rep, "doc_id").where("keep").drop("keep")
         note("repetition")
 
+    if "line_dedup" in cfg.stages and cfg.line_dedup:
+        from ck_spark.ops.dedup import line_dedup
+
+        cleaned = line_dedup(cur).select(
+            "doc_id", "clean_text", "n_removed")
+        cur = (
+            cur.join(cleaned, "doc_id")
+            .where(F.length("clean_text") > 0)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "n_removed")
+        )
+        note("line_dedup")
+
     if "exact_dedup" in cfg.stages:
         from ck_spark.ops.dedup import exact_dedup
 
-        keep = exact_dedup(cur).select("doc_id")
+        # keep only canonical rows: without the is_duplicate filter the
+        # join is the identity and exact dups silently survive whenever
+        # near_dedup is off
+        keep = exact_dedup(cur).where(~F.col("is_duplicate")).select("doc_id")
         cur = cur.join(keep, "doc_id")
         note("exact_dedup")
 

@@ -274,3 +274,77 @@ def test_dedup_clusters_connected_components(spark):
     for d in (10, 11):
         assert got[d] == (10, 2)
     assert got[50] == (50, 1)  # singleton: no pair mentions it
+
+
+def _line_dedup_py(rows, min_dup_docs=2, min_line_chars=4):
+    """Independent reference: trimmed lines >= min_line_chars chars that
+    occur in >= min_dup_docs distinct docs are removed everywhere."""
+    from collections import defaultdict
+
+    key_docs = defaultdict(set)
+    for did, text in rows:
+        for line in text.split("\n"):
+            k = line.strip(" ")
+            if len(k) >= min_line_chars:
+                key_docs[k].add(did)
+    boiler = {k for k, d in key_docs.items() if len(d) >= min_dup_docs}
+    out = {}
+    for did, text in rows:
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if len(ln.strip(" ")) < min_line_chars or ln.strip(" ") not in boiler
+        ]
+        out[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from ck_spark.ops.dedup import line_dedup
+
+    rows = [
+        (0, "# MIT License\nunique alpha line\n\n# MIT License"),
+        (1, "# MIT License\nunique beta line\nok"),          # 'ok' < 4 chars: kept
+        (2, "totally original doc\nwith its own lines"),
+        (3, ""),                                              # empty doc
+        (4, "# MIT License\n# MIT License"),                  # loses everything
+        (5, "   # MIT License   \ntrailing-space variant"),   # trim matches key
+        (6, "with its own lines"),                            # dups a line of doc 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    want = _line_dedup_py(rows)
+    assert set(got) == set(want)  # every input doc comes back
+    for did, (clean, n_lines, n_removed) in want.items():
+        assert got[did]["clean_text"] == clean, did
+        assert got[did]["n_lines"] == n_lines, did
+        assert got[did]["n_removed"] == n_removed, did
+    # spot semantics: the license line is gone from every doc, both its
+    # duplicated-within-doc copies counted, trim-variant removed too
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 2
+    assert got[5]["clean_text"] == "trailing-space variant"
+    assert "MIT" not in got[0]["clean_text"]
+    # 'with its own lines' now appears in 2 docs -> removed from doc 2 as well
+    assert got[2]["clean_text"] == "totally original doc"
+    # short lines and empties never removed
+    assert got[1]["clean_text"].endswith("ok")
+    assert got[3]["clean_text"] == "" and got[3]["n_lines"] == 1 and got[3]["n_removed"] == 0
+
+
+def test_line_dedup_threshold_and_floor(spark):
+    from ck_spark.ops.dedup import line_dedup
+
+    rows = [
+        (0, "shared line one\nsolo a"),
+        (1, "shared line one\nsolo b"),
+        (2, "shared line one\nsolo c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # raise the doc threshold above the dup count: nothing is removed
+    out3 = {r["doc_id"]: r for r in line_dedup(df, min_dup_docs=4).collect()}
+    assert all(out3[d]["n_removed"] == 0 for d in (0, 1, 2))
+    # raise the char floor above the shared line's length: nothing removed
+    out_floor = {
+        r["doc_id"]: r for r in line_dedup(df, min_line_chars=40).collect()
+    }
+    assert all(out_floor[d]["n_removed"] == 0 for d in (0, 1, 2))
