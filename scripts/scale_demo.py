@@ -717,6 +717,36 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         f"seq_len 2048): **{po['pack_greedy_1m_s']} s** "
         f"({po['pack_docs_per_sec']:,.0f} docs/s).\n"
     )
+    # best / median / latest across all 1M-doc runs of this script: the
+    # spread is host noise (identical code, deterministic input), so the
+    # distribution is the honest headline
+    hist = []
+    try:
+        with open(os.path.join(repo, "BENCH", "scale_demo_runs.jsonl")) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("n_docs") == n_docs and r.get("cores") == cores:
+                    hist.append(r)
+    except OSError:
+        pass
+    if len(hist) >= 2:
+        import statistics
+
+        def row(key: str) -> str:
+            vals = [h[key] for h in hist if h.get(key) is not None]
+            return (f"| {key} | {min(vals)} | "
+                    f"{round(statistics.median(vals), 1)} | {vals[-1]} | "
+                    f"{len(vals)} |")
+
+        md += (
+            f"\n## run history at {n_docs:,} docs (same code path, "
+            "deterministic input — spread = host)\n\n"
+            "| metric (s) | best | median | this run | n |\n"
+            "|---|---|---|---|---|\n"
+            + row("build_s") + "\n"
+            + row("trigram_build_s") + "\n"
+            + row("update_s") + "\n"
+        )
     md += (
         "\nHost variance: identical code measured 159-306 s builds across "
         "runs of this script (shared physical host — see "
