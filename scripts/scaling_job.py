@@ -31,6 +31,11 @@ def main() -> None:
                          "input is a STORED table (north rule: 'over an "
                          "Iceberg table'), so when set, generation is "
                          "excluded from the timed build at both levels")
+    ap.add_argument("--stage-metrics", action="store_true",
+                    help="enable the Spark UI and report per-stage executor "
+                         "run/CPU/GC time via the REST API — attributes "
+                         "sub-linear N-vs-4N scaling to compute vs memory-"
+                         "bandwidth vs GC vs scheduling, per stage")
     ap.add_argument("--with-trigram", action="store_true",
                     help="also time the (corpus-free, shard-local) trigram "
                          "index build and fingerprint candidate sets — the "
@@ -54,11 +59,19 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE (measured, A/B'd): forcing small read splits
+        # (maxPartitionBytes=8m) to widen the stored-corpus scan did NOT
+        # speed the 8-core doc_map stage (27.0 s vs 25.7 s control) and
+        # SLOWED the 2-core postings stage ~40% (per-task setup overhead
+        # dominates at narrow parallelism) — the default 128m coalescing
+        # is kept; the sub-4x doc_map scaling is attributed by
+        # --stage-metrics instead (executor run-vs-cpu gap).
         # NOTE: driver memory is set by the LAUNCHER (scripts/scaling.py /
         # scaling_harvest.py pass --driver-memory 2g*cores): memory scales
         # WITH the level, as on a real cluster where N executors bring
         # N x memory. An in-process config here would be ignored.
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if "--stage-metrics" in sys.argv
+                else "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,6 +160,39 @@ def main() -> None:
     }
     if trigram_s is not None:
         out["trigram_build_s"] = round(trigram_s, 2)
+    if args.stage_metrics:
+        # sum executor task metrics per completed stage: run (wall inside
+        # tasks), cpu (on-CPU ns), gc — run >> cpu+gc means tasks were
+        # waiting (IO / memory stalls / scheduling), the signature that
+        # separates "engine doesn't scale" from "one box's memory bus"
+        import urllib.request
+
+        try:
+            app_id = spark.sparkContext.applicationId
+            ui = spark.sparkContext.uiWebUrl or "http://localhost:4040"
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            ) as r:
+                st = json.loads(r.read())
+            out["executor_totals"] = {
+                "run_s": round(sum(s["executorRunTime"] for s in st) / 1e3, 1),
+                "cpu_s": round(sum(s["executorCpuTime"] for s in st) / 1e9, 1),
+                "gc_s": round(sum(s["jvmGcTime"] for s in st) / 1e3, 1),
+            }
+            big = sorted(st, key=lambda s: -s["executorRunTime"])[:8]
+            out["top_stages"] = [
+                {
+                    "id": s["stageId"], "tasks": s["numCompleteTasks"],
+                    "run_s": round(s["executorRunTime"] / 1e3, 1),
+                    "cpu_s": round(s["executorCpuTime"] / 1e9, 1),
+                    "gc_s": round(s["jvmGcTime"] / 1e3, 1),
+                    "name": s["name"].split("\n")[0][:60],
+                }
+                for s in big
+            ]
+        except Exception as e:  # metrics must never fail the run
+            out["executor_totals"] = {"error": str(e)[:200]}
     print("SCALING_RESULT " + json.dumps(out))
     spark.stop()
 
