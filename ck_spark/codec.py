@@ -255,32 +255,35 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_posting_blocks_batch(
-    ids_list, tfs_list, dls_list, poss_flat_list,
+def encode_posting_blocks_flat(
+    flat_ids, flat_tfs, flat_dls, flat_pos, lens,
     avgdl: float, k1: float, b: float, block: int,
 ) -> dict:
-    """Encode MANY terms' posting lists at once, byte-identical to calling
-    encode_posting_blocks + encode_positions_block per term (property-tested
-    in tests/test_codec.py) but with batch-level vectorization: all numpy
-    work — delta gaps, varint packing, block-max — runs over flat
-    concatenated arrays, and the only per-term Python left is output-list
-    slicing. ``poss_flat_list`` holds ONE flat position array per term (the
-    per-doc lists pre-flattened JVM-side with F.flatten; per-doc boundaries
-    recover from the tf stream), or None to skip positions entirely.
+    """Flat core of the batch postings encoder: inputs are ONE concatenated
+    array per stream, already in (term, doc_id) order, plus per-term run
+    lengths ``lens`` — exactly what the bucket encoder holds after its
+    lexsort, so no per-term split/re-concatenate round-trip is needed.
+    ``flat_pos`` is the per-doc positions pre-flattened (boundaries recover
+    from the tf stream), or None to skip positions.
 
-    Returns dict of per-term lists: ids_blocks, tfs_blocks, dls_blocks,
-    pos_blocks, block_max, block_last.
+    Returns FLAT outputs keyed for zero-copy Arrow assembly: ids_blocks /
+    tfs_blocks / dls_blocks / pos_blocks (python lists of bytes, one per
+    BLOCK), block_max (float32[B]), block_last (int64[B]), and blk_off
+    (int64[T+1] exclusive block-count cumsum — the list offsets that turn
+    the flat streams back into per-term lists).
     """
-    T = len(ids_list)
+    lens = np.asarray(lens, dtype=np.int64)
+    T = lens.size
     if T == 0:
-        return {k: [] for k in ("ids_blocks", "tfs_blocks", "dls_blocks",
-                                "pos_blocks", "block_max", "block_last")}
-    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+        return {"ids_blocks": [], "tfs_blocks": [], "dls_blocks": [],
+                "pos_blocks": [], "block_max": np.empty(0, dtype=np.float32),
+                "block_last": np.empty(0, dtype=np.int64),
+                "blk_off": np.zeros(1, dtype=np.int64)}
     term_off = _excl_cumsum(lens)          # doc-axis boundaries per term
     N = int(term_off[-1])
-    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
-    flat_tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_list])
-    flat_dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_list])
+    flat_ids = np.ascontiguousarray(flat_ids, dtype=_U64)
+    flat_tfs = np.ascontiguousarray(flat_tfs, dtype=np.int64)
+    flat_dls = np.ascontiguousarray(flat_dls, dtype=np.int64)
 
     # block structure: per term t, ceil(n_t/block) blocks of width `block`
     nblocks = (lens + block - 1) // block
@@ -315,15 +318,12 @@ def encode_posting_blocks_batch(
         bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
     blk_last = flat_ids[blk_end - 1].astype(np.int64)
 
-    # positions: flatten per-doc lists; delta within doc, absolute at doc
-    # starts; position-space block bounds map through the tf cumsum
-    if poss_flat_list is not None:
+    # positions: delta within doc, absolute at doc starts; position-space
+    # block bounds map through the tf cumsum
+    if flat_pos is not None:
         doc_plens = flat_tfs  # tf == len(positions) by construction
         pos_off = _excl_cumsum(doc_plens)
-        flat_pos = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in poss_flat_list]
-            or [np.empty(0, dtype=np.int64)]
-        )
+        flat_pos = np.ascontiguousarray(flat_pos, dtype=np.int64)
         P = int(pos_off[-1])
         assert flat_pos.size == P, "tf/positions misalignment"
         if P:
@@ -339,16 +339,53 @@ def encode_posting_blocks_batch(
     else:
         pos_blocks = None
 
+    return {"ids_blocks": ids_blocks, "tfs_blocks": tfs_blocks,
+            "dls_blocks": dls_blocks, "pos_blocks": pos_blocks,
+            "block_max": bmax32, "block_last": blk_last, "blk_off": blk_off}
+
+
+def encode_posting_blocks_batch(
+    ids_list, tfs_list, dls_list, poss_flat_list,
+    avgdl: float, k1: float, b: float, block: int,
+) -> dict:
+    """Encode MANY terms' posting lists at once, byte-identical to calling
+    encode_posting_blocks + encode_positions_block per term (property-tested
+    in tests/test_codec.py). List-in/list-out wrapper over
+    encode_posting_blocks_flat: concatenates the per-term inputs, runs the
+    flat vectorized core, and slices the outputs back into per-term lists.
+    ``poss_flat_list`` holds ONE flat position array per term (per-doc
+    boundaries recover from the tf stream), or None to skip positions.
+
+    Returns dict of per-term lists: ids_blocks, tfs_blocks, dls_blocks,
+    pos_blocks, block_max, block_last.
+    """
+    T = len(ids_list)
+    if T == 0:
+        return {k: [] for k in ("ids_blocks", "tfs_blocks", "dls_blocks",
+                                "pos_blocks", "block_max", "block_last")}
+    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
+    flat_tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_list])
+    flat_dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_list])
+    flat_pos = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in poss_flat_list]
+                       or [np.empty(0, dtype=np.int64)])
+        if poss_flat_list is not None else None
+    )
+    f = encode_posting_blocks_flat(
+        flat_ids, flat_tfs, flat_dls, flat_pos, lens, avgdl, k1, b, block
+    )
+    blk_off, pos_blocks = f["blk_off"], f["pos_blocks"]
     out = {"ids_blocks": [], "tfs_blocks": [], "dls_blocks": [],
            "pos_blocks": [], "block_max": [], "block_last": []}
     for t in range(T):
         lo, hi = int(blk_off[t]), int(blk_off[t + 1])
-        out["ids_blocks"].append(ids_blocks[lo:hi])
-        out["tfs_blocks"].append(tfs_blocks[lo:hi])
-        out["dls_blocks"].append(dls_blocks[lo:hi])
+        out["ids_blocks"].append(f["ids_blocks"][lo:hi])
+        out["tfs_blocks"].append(f["tfs_blocks"][lo:hi])
+        out["dls_blocks"].append(f["dls_blocks"][lo:hi])
         out["pos_blocks"].append(pos_blocks[lo:hi] if pos_blocks is not None else None)
-        out["block_max"].append([float(x) for x in bmax32[lo:hi]])
-        out["block_last"].append([int(x) for x in blk_last[lo:hi]])
+        out["block_max"].append([float(x) for x in f["block_max"][lo:hi]])
+        out["block_last"].append([int(x) for x in f["block_last"][lo:hi]])
     return out
 
 

@@ -56,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ck_spark.codec import encode_posting_blocks_batch
+from ck_spark.codec import encode_posting_blocks_flat
 from ck_spark.constants import (
     BLOCK_SIZE,
     BM25_B,
@@ -260,7 +260,7 @@ def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
 
 
 def _make_bucket_encoder(avgdl: float, k1: float, b: float, block: int):
-    """applyInPandas encoder: one call per (seg, bucket) group, whose rows
+    """applyInArrow encoder: one call per (seg, bucket) group, whose rows
     are FLAT (term, doc_id, tf, dl, poss) pairs straight off the shuffle.
 
     Why grouped-flat instead of JVM collect_list: aggregating nested
@@ -268,60 +268,83 @@ def _make_bucket_encoder(avgdl: float, k1: float, b: float, block: int):
     in-flight group's object graph on the JVM heap — that design hit an
     execution-memory cliff once segments carried tens of thousands of
     docs (480k docs × 16 segments OOMed an 8g heap). Here the shuffle
-    carries compact UnsafeRows (sort-based, spillable), the whole bucket
-    arrives as Arrow buffers, and the sort/group work happens in numpy:
-    np.unique over terms + lexsort by (term, doc_id) + boundary slicing,
-    then ONE vectorized encode_posting_blocks_batch call for every term
-    in the bucket. Group count = segments × buckets (thousands), so the
-    ~ms per-group Python overhead is noise while per-task memory stays
-    bounded by one bucket regardless of corpus size."""
+    carries compact UnsafeRows (sort-based, spillable), and the whole
+    bucket arrives as Arrow buffers which are consumed DIRECTLY
+    (applyInArrow, not applyInPandas): the positions list column is
+    permuted with Arrow take + flatten (measured 33x faster than the
+    per-row numpy-object concatenate the pandas path paid, and it skips
+    the Arrow->pandas conversion of every column), term codes come from
+    Arrow dictionary_encode + a sorted remap of the (small) unique array
+    (identical codes to np.unique(return_inverse=True), but only the
+    uniques get sorted — hashing replaces n object-string comparisons),
+    and the per-term output lists are assembled as Arrow ListArrays from
+    the codec's flat outputs + block-offset cumsum with zero per-term
+    Python. Group count = segments × buckets (thousands), so per-group
+    overhead is noise while per-task memory stays bounded by one bucket
+    regardless of corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(columns=[
-                "term", "n_docs", "ids_blocks", "tfs_blocks", "dls_blocks",
-                "pos_blocks", "block_max", "block_last", "avgdl_enc",
-                "seg", "bucket",
-            ])
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        uniq, codes = np.unique(terms, return_inverse=True)
+    out_schema = pa.schema([
+        ("term", pa.string()), ("n_docs", pa.int32()),
+        ("ids_blocks", pa.list_(pa.binary())),
+        ("tfs_blocks", pa.list_(pa.binary())),
+        ("dls_blocks", pa.list_(pa.binary())),
+        ("pos_blocks", pa.list_(pa.binary())),
+        ("block_max", pa.list_(pa.float32())),
+        ("block_last", pa.list_(pa.int64())),
+        ("avgdl_enc", pa.float64()), ("seg", pa.int32()),
+        ("bucket", pa.int32()),
+    ])
+
+    def encode_bucket(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        raw_codes = denc.indices.to_numpy().astype(np.int64)
+        raw_uniq = denc.dictionary.to_numpy(zero_copy_only=False)
+        su = np.argsort(raw_uniq, kind="stable")
+        inv = np.empty_like(su)
+        inv[su] = np.arange(len(su))
+        uniq, codes = raw_uniq[su], inv[raw_codes]
+        doc_ids = tbl.column("doc_id").to_numpy()
+        tfs = tbl.column("tf").to_numpy()
+        dls = tbl.column("dl").to_numpy()
         order = np.lexsort((doc_ids, codes))  # (term, doc_id) ascending
         codes_s = codes[order]
         bounds = np.concatenate(
-            [[0], np.flatnonzero(np.diff(codes_s)) + 1, [len(codes_s)]]
+            [[0], np.flatnonzero(np.diff(codes_s)) + 1, [n]]
         )
-        ids_l = np.split(doc_ids[order], bounds[1:-1])
-        tfs_l = np.split(tfs[order], bounds[1:-1])
-        dls_l = np.split(dls[order], bounds[1:-1])
-        # positions: concatenate per-doc lists in sorted row order once,
-        # slice per term via the tf cumsum (tf == len(positions))
-        poss_rows = pdf["poss"].to_numpy()[order]
-        flat_pos = (
-            np.concatenate([np.asarray(p, dtype=np.int64) for p in poss_rows])
-            if len(poss_rows) else np.empty(0, dtype=np.int64)
+        lens = np.diff(bounds)
+        # positions, permuted into sorted row order entirely in Arrow:
+        # take on the list array, then flatten to ONE int64 buffer
+        flat_pos = pc.take(
+            tbl.column("poss").combine_chunks(), pa.array(order)
+        ).flatten().to_numpy()
+        f = encode_posting_blocks_flat(
+            doc_ids[order], tfs[order], dls[order], flat_pos, lens,
+            avgdl, k1, b, block,
         )
-        tf_cum = np.cumsum(tfs[order])
-        pos_bounds = np.concatenate([[0], tf_cum])[bounds[1:-1]]
-        poss_l = np.split(flat_pos, pos_bounds)
-        enc = encode_posting_blocks_batch(
-            ids_l, tfs_l, dls_l, poss_l, avgdl, k1, b, block
-        )
-        return pd.DataFrame({
-            "term": uniq,
-            "n_docs": np.diff(bounds).astype("int64"),
-            "ids_blocks": enc["ids_blocks"],
-            "tfs_blocks": enc["tfs_blocks"],
-            "dls_blocks": enc["dls_blocks"],
-            "pos_blocks": enc["pos_blocks"],
-            "block_max": enc["block_max"],
-            "block_last": enc["block_last"],
-            "avgdl_enc": avgdl,
-            "seg": int(pdf["seg"].iloc[0]),
-            "bucket": int(pdf["bucket"].iloc[0]),
-        })
+        blk_off = pa.array(f["blk_off"], type=pa.int32())
+        T = lens.size
+
+        def blocks(flat_bytes):
+            return pa.ListArray.from_arrays(
+                blk_off, pa.array(flat_bytes, type=pa.binary())
+            )
+
+        return pa.Table.from_arrays([
+            pa.array(uniq, type=pa.string()),
+            pa.array(lens.astype(np.int32)),
+            blocks(f["ids_blocks"]), blocks(f["tfs_blocks"]),
+            blocks(f["dls_blocks"]), blocks(f["pos_blocks"]),
+            pa.ListArray.from_arrays(blk_off, pa.array(f["block_max"])),
+            pa.ListArray.from_arrays(blk_off, pa.array(f["block_last"])),
+            pa.array(np.full(T, avgdl, dtype=np.float64)),
+            pa.array(np.full(T, tbl.column("seg")[0].as_py(), dtype=np.int32)),
+            pa.array(np.full(T, tbl.column("bucket")[0].as_py(), dtype=np.int32)),
+        ], schema=out_schema)
 
     return encode_bucket
 
@@ -372,7 +395,7 @@ def _encode_and_write_postings(
     enc = (
         pairs.repartition(enc_width, "seg", "bucket")
         .groupBy("seg", "bucket")
-        .applyInPandas(
+        .applyInArrow(
             _make_bucket_encoder(float(avgdl), k1, b, block_size), enc_schema
         )
     )
