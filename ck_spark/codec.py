@@ -20,25 +20,48 @@ _U64 = np.uint64
 _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=_U64)
 
 
+def _varint_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a non-empty uint64 array; returns (bytes as uint8
+    array, per-value end offsets).
+
+    Memory-traffic-aware: the encode stage is DRAM-bandwidth-bound under
+    executor concurrency (BENCH/membw_probe.jsonl), so the byte-count uses
+    ONE searchsorted pass (binary search against 9 thresholds) instead of
+    nine >=-comparisons with int64 temporaries, byte slot 0 — which every
+    value has — is written unmasked (``starts`` ascends, so it is a
+    sequential write), and slots >= 1 touch a progressively narrowed
+    integer index set: for delta-gap/tf/doc-len streams the bulk of values
+    is 1-2 bytes, so later passes shrink geometrically. Output is
+    byte-identical to the per-slot masked loop it replaced."""
+    # bytes needed per value: 1 + count of thresholds <= value  (1..10)
+    nbytes = np.searchsorted(_THRESHOLDS, v, side="right")
+    nbytes += 1
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    more = nbytes > 1
+    out[starts] = (v & _U64(0x7F)).astype(np.uint8) | (
+        more.astype(np.uint8) << 7
+    )
+    idx = np.flatnonzero(more)
+    i = 1
+    while idx.size:
+        vv = (v[idx] >> _U64(7 * i)) & _U64(0x7F)
+        more_i = nbytes[idx] > i + 1
+        out[starts[idx] + i] = vv.astype(np.uint8) | (
+            more_i.astype(np.uint8) << 7
+        )
+        idx = idx[more_i]
+        i += 1
+    return out, ends
+
+
 def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: one pass per byte slot."""
+    """LEB128-encode a uint64 array. Vectorized (see _varint_core)."""
     v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + count of thresholds <= value  (1..10)
-    nbytes = np.ones(v.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for i in range(10):
-        mask = nbytes > i
-        if not mask.any():
-            break
-        chunk = (v[mask] >> _U64(7 * i)) & _U64(0x7F)
-        cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
-        out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    out, _ = _varint_core(v)
     return out.tobytes()
 
 
@@ -229,19 +252,7 @@ def encode_varint_stream_slices(values: np.ndarray, bounds: np.ndarray) -> list[
     v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
         return [b""] * (len(bounds) - 1)
-    nbytes = np.ones(v.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for i in range(10):
-        mask = nbytes > i
-        if not mask.any():
-            break
-        chunk = (v[mask] >> _U64(7 * i)) & _U64(0x7F)
-        cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
-        out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    out, ends = _varint_core(v)
     # byte offset of value-boundary k = ends[k-1] (0 for k == 0)
     bt = out.tobytes()
     b_off = np.concatenate([[0], ends])[np.asarray(bounds, dtype=np.int64)]
@@ -302,8 +313,9 @@ def encode_posting_blocks_flat(
     gaps[blk_start] = flat_ids[blk_start]
     doc_bounds = np.concatenate([blk_start, [N]])
     ids_blocks = encode_varint_stream_slices(gaps, doc_bounds)
-    tfs_blocks = encode_varint_stream_slices(flat_tfs.astype(_U64), doc_bounds)
-    dls_blocks = encode_varint_stream_slices(flat_dls.astype(_U64), doc_bounds)
+    # non-negative contiguous int64 -> uint64 is a zero-copy reinterpret
+    tfs_blocks = encode_varint_stream_slices(flat_tfs.view(_U64), doc_bounds)
+    dls_blocks = encode_varint_stream_slices(flat_dls.view(_U64), doc_bounds)
 
     # per-block max of the idf-independent BM25 factor (float32 round-UP,
     # same soundness rule as block_max_partial)
@@ -333,7 +345,7 @@ def encode_posting_blocks_flat(
             dstarts = pos_off[:-1][doc_plens > 0]
             pgaps[dstarts] = flat_pos[dstarts]
             pos_bounds = pos_off[doc_bounds]
-            pos_blocks = encode_varint_stream_slices(pgaps.astype(_U64), pos_bounds)
+            pos_blocks = encode_varint_stream_slices(pgaps.view(_U64), pos_bounds)
         else:
             pos_blocks = [b""] * B
     else:
@@ -389,20 +401,22 @@ def encode_posting_blocks_batch(
     return out
 
 
-def encode_id_blocks_batch(ids_list, block: int) -> dict:
-    """ids-only batch encoder (trigram candidate index — no tf/dl/positions
-    streams, no block-max): delta+varint id blocks with the same layout and
-    batch-level vectorization as encode_posting_blocks_batch.
+def encode_id_blocks_flat(flat_ids, lens, block: int) -> dict:
+    """Flat core of the ids-only batch encoder (trigram candidate index —
+    no tf/dl/positions streams, no block-max): delta+varint id blocks over
+    ONE concatenated, already (term, doc_id)-ordered id array plus per-term
+    run lengths — no per-term split/re-concatenate round trip.
 
-    Returns dict of per-term lists: ids_blocks, block_last.
-    """
-    T = len(ids_list)
+    Returns flat outputs: ids_blocks (one bytes per BLOCK), block_last
+    (int64[B]), blk_off (int64[T+1] — per-term block-list offsets)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    T = lens.size
     if T == 0:
-        return {"ids_blocks": [], "block_last": []}
-    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+        return {"ids_blocks": [], "block_last": np.empty(0, dtype=np.int64),
+                "blk_off": np.zeros(1, dtype=np.int64)}
     term_off = _excl_cumsum(lens)
     N = int(term_off[-1])
-    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
+    flat_ids = np.ascontiguousarray(flat_ids, dtype=_U64)
     nblocks = (lens + block - 1) // block
     blk_off = _excl_cumsum(nblocks)
     B = int(blk_off[-1])
@@ -416,6 +430,23 @@ def encode_id_blocks_batch(ids_list, block: int) -> dict:
     gaps[blk_start] = flat_ids[blk_start]
     ids_blocks = encode_varint_stream_slices(gaps, np.concatenate([blk_start, [N]]))
     blk_last = flat_ids[blk_end - 1].astype(np.int64)
+    return {"ids_blocks": ids_blocks, "block_last": blk_last,
+            "blk_off": blk_off}
+
+
+def encode_id_blocks_batch(ids_list, block: int) -> dict:
+    """List-in/list-out wrapper over encode_id_blocks_flat.
+
+    Returns dict of per-term lists: ids_blocks, block_last.
+    """
+    T = len(ids_list)
+    if T == 0:
+        return {"ids_blocks": [], "block_last": []}
+    lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64, count=T)
+    flat_ids = np.concatenate([np.asarray(x, dtype=_U64) for x in ids_list])
+    f = encode_id_blocks_flat(flat_ids, lens, block)
+    ids_blocks, blk_last, blk_off = \
+        f["ids_blocks"], f["block_last"], f["blk_off"]
     return {
         "ids_blocks": [ids_blocks[int(blk_off[t]):int(blk_off[t + 1])] for t in range(T)],
         "block_last": [[int(x) for x in blk_last[int(blk_off[t]):int(blk_off[t + 1])]]

@@ -398,43 +398,80 @@ def gram_hash(gram: str | bytes) -> int:
     return (b[0] << 16) | (b[1] << 8) | b[2]
 
 
-# extraction processes each Arrow batch in sub-chunks of at most this
-# many content bytes: the per-position arrays (code + doc index + dedupe
-# key) cost ~20 bytes/position transiently, so 8 MB of content tops out
-# around ~170 MB of scratch per worker — bounded however large the batch
-_EXTRACT_CHUNK_BYTES = 8 << 20
+# extraction processes docs in sub-chunks of at most 255 docs / 1 MB of
+# content: with <= 255 docs the (doc_idx << 24 | code) dedupe key fits
+# uint32, and a ~1 MB sub-chunk's scratch (~10 bytes/position) stays
+# L2/L3-RESIDENT — the uint64 whole-batch variant this replaces streamed
+# every sort pass through DRAM and inflated 2.7x under 8-way executor
+# concurrency on one box (BENCH/membw_probe.jsonl); the sub-chunked
+# kernel measures ~2x faster solo and near-flat at 8-way
+_EXTRACT_CHUNK_DOCS = 255
+_EXTRACT_CHUNK_BYTES = 1 << 20
 
 
-def _extract_chunk(bufs: list[bytes], doc_ids: np.ndarray,
-                   segs: np.ndarray) -> tuple[np.ndarray, ...]:
-    """Distinct (code, doc_id, seg) byte-trigram triples for a chunk of
+def _extract_pairs_sub(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (code, doc_idx) byte-trigram pairs for <= 255
     already-lowercased UTF-8 buffers — fully vectorized: pack every
-    3-byte window of the concatenated buffer, mask windows that cross a
-    doc boundary, dedupe per doc via a 64-bit (doc_idx<<24 | code) key."""
+    3-byte window of the concatenated buffer, mask the 2 window slots at
+    each doc's end (the exact cross-boundary set), dedupe per doc via a
+    32-bit (doc_idx<<24 | code) key."""
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
     big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     n = big.size
     if n < 3:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z
+        return z, z
     codes_all = (
         (big[:-2].astype(np.uint32) << 16)
         | (big[1:-1].astype(np.uint32) << 8)
         | big[2:]
     )
-    doc_idx_all = np.repeat(
-        np.arange(len(bufs), dtype=np.int32), lens
-    )[: n - 2]
     ends = np.cumsum(lens)
-    # window at position p belongs to doc d and is real iff p+2 < ends[d]
-    valid = (np.arange(n - 2, dtype=np.int64) + 2) < ends[doc_idx_all]
-    key = (
-        (doc_idx_all[valid].astype(np.uint64) << 24)
-        | codes_all[valid].astype(np.uint64)
-    )
+    # window at position p inside doc d is real iff p+2 < ends[d]; the
+    # invalid positions are exactly ends[d]-2 and ends[d]-1 for every d
+    # (for docs shorter than 3 bytes those indices fall in earlier docs'
+    # already-invalid slots, so clipping keeps the set exact)
+    valid = np.ones(n - 2, dtype=bool)
+    bad = np.concatenate([ends - 2, ends - 1])
+    bad = bad[(bad >= 0) & (bad < n - 2)]
+    valid[bad] = False
+    doc_idx_all = np.repeat(
+        np.arange(len(bufs), dtype=np.uint32), lens
+    )[: n - 2]
+    key = (doc_idx_all[valid] << np.uint32(24)) | codes_all[valid]
     key = np.unique(key)
-    didx = (key >> np.uint64(24)).astype(np.int64)
-    codes = (key & np.uint64(0xFFFFFF)).astype(np.int64)
+    didx = (key >> np.uint32(24)).astype(np.int64)
+    codes = (key & np.uint32(0xFFFFFF)).astype(np.int64)
+    return codes, didx
+
+
+def _extract_pairs(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (code, doc_idx) pairs for ANY number of buffers, processed
+    in cache-resident sub-chunks (see _EXTRACT_CHUNK_DOCS)."""
+    code_parts, didx_parts = [], []
+    i, N = 0, len(bufs)
+    while i < N:
+        j, nb = i, 0
+        while j < N and j - i < _EXTRACT_CHUNK_DOCS \
+                and nb < _EXTRACT_CHUNK_BYTES:
+            nb += len(bufs[j])
+            j += 1
+        c, d = _extract_pairs_sub(bufs[i:j])
+        code_parts.append(c)
+        didx_parts.append(d + i)
+        i = j
+    if not code_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(code_parts), np.concatenate(didx_parts)
+
+
+def _extract_chunk(bufs: list[bytes], doc_ids: np.ndarray,
+                   segs: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Distinct (code, doc_id, seg) byte-trigram triples for a chunk of
+    already-lowercased UTF-8 buffers (compat wrapper over
+    _extract_pairs for callers that hold per-doc id/seg arrays)."""
+    codes, didx = _extract_pairs(bufs)
     return codes, doc_ids[didx], segs[didx]
 
 
@@ -454,57 +491,72 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
     UNIONED unpruned into every indexed grep's scan — so grep_indexed
     stays exactly result-identical to the full scan, which has no binary
     filter (matching the reference's regex_search)."""
-    from ck_spark.codec import encode_id_blocks_batch
+    from ck_spark.codec import encode_id_blocks_flat
     from ck_spark.constants import BLOCK_SIZE
 
     def gen(iterator):
-        code_parts, id_parts, seg_parts = [], [], []
+        code_parts, didx_parts, id_arrs, seg_arrs = [], [], [], []
+        ndocs = 0
         for pdf in iterator:
             texts = pdf["content"].fillna("")
-            doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-            segs = pdf["seg"].to_numpy().astype(np.int64)
-            bufs, ids_c, segs_c, nbytes = [], [], [], 0
-            for i, t in enumerate(texts):
-                b = str(t).lower().encode("utf-8")
-                bufs.append(b)
-                ids_c.append(doc_ids[i])
-                segs_c.append(segs[i])
-                nbytes += len(b)
-                if nbytes >= _EXTRACT_CHUNK_BYTES:
-                    code_parts_i = _extract_chunk(
-                        bufs, np.asarray(ids_c), np.asarray(segs_c))
-                    code_parts.append(code_parts_i[0])
-                    id_parts.append(code_parts_i[1])
-                    seg_parts.append(code_parts_i[2])
-                    bufs, ids_c, segs_c, nbytes = [], [], [], 0
-            if bufs:
-                c, d, s = _extract_chunk(
-                    bufs, np.asarray(ids_c), np.asarray(segs_c))
-                code_parts.append(c)
-                id_parts.append(d)
-                seg_parts.append(s)
+            id_arrs.append(pdf["doc_id"].to_numpy().astype(np.int64))
+            seg_arrs.append(pdf["seg"].to_numpy().astype(np.int64))
+            bufs = [str(t).lower().encode("utf-8") for t in texts]
+            c, d = _extract_pairs(bufs)
+            code_parts.append(c)
+            didx_parts.append(d + ndocs)
+            ndocs += len(bufs)
         if not code_parts:
             return
         codes = np.concatenate(code_parts)
-        ids = np.concatenate(id_parts)
-        segs = np.concatenate(seg_parts)
+        didx = np.concatenate(didx_parts)
         if codes.size == 0:
             return
+        doc_ids = np.concatenate(id_arrs)
+        segs = np.concatenate(seg_arrs)
         # group this partition's triples by (seg, code); ids ascending
-        # within each group (the delta-gap encoder's contract)
-        k = (segs.astype(np.uint64) << np.uint64(24)) | codes.astype(np.uint64)
-        order = np.lexsort((ids, k))
-        k, ids = k[order], ids[order]
-        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        counts = np.diff(np.r_[bounds, k.size])
-        uniq = k[bounds]
+        # within each group (the delta-gap encoder's contract). ONE
+        # argsort of a packed (seg, code, doc-RANK) uint64 key replaces
+        # the former lexsort((ids, seg<<24|code)) — two stable int64
+        # argsort passes — because ranking the partition's few-thousand
+        # doc ids once makes doc order fit 24 bits. Keys are unique
+        # ((doc, code) pairs are distinct post-dedupe), so an unstable
+        # sort is exact. Falls back to lexsort if the geometry ever
+        # exceeds the bit budget (seg >= 2^16 or 16M docs in one task).
+        nd = doc_ids.size
+        if nd < (1 << 24) and (segs.size == 0 or int(segs.max()) < (1 << 16)):
+            doc_order = np.argsort(doc_ids, kind="stable")
+            rank_of = np.empty(nd, dtype=np.uint64)
+            rank_of[doc_order] = np.arange(nd, dtype=np.uint64)
+            k = (
+                (segs[didx].astype(np.uint64) << np.uint64(48))
+                | (codes.astype(np.uint64) << np.uint64(24))
+                | rank_of[didx]
+            )
+            order = np.argsort(k)
+            k = k[order]
+            ids = doc_ids[didx[order]]
+            kgrp = k >> np.uint64(24)  # (seg, code) — rank bits dropped
+        else:
+            k = (segs[didx].astype(np.uint64) << np.uint64(24)) \
+                | codes.astype(np.uint64)
+            ids = doc_ids[didx]
+            order = np.lexsort((ids, k))
+            k, ids = k[order], ids[order]
+            kgrp = k
+        bounds = np.flatnonzero(np.r_[True, kgrp[1:] != kgrp[:-1]])
+        counts = np.diff(np.r_[bounds, kgrp.size])
+        uniq = kgrp[bounds]
         gsegs = (uniq >> np.uint64(24)).astype(np.int64)
         gcodes = (uniq & np.uint64(0xFFFFFF)).astype(np.int64)
-        enc = encode_id_blocks_batch(np.split(ids, bounds[1:]), BLOCK_SIZE)
+        f = encode_id_blocks_flat(ids, counts, BLOCK_SIZE)
+        fblocks, boff = f["ids_blocks"], f["blk_off"]
+        ids_blocks = [fblocks[int(boff[t]):int(boff[t + 1])]
+                      for t in range(counts.size)]
         yield pd.DataFrame({
             "ghash": gcodes,
             "n_docs": counts.astype(np.int64),
-            "ids_blocks": enc["ids_blocks"],
+            "ids_blocks": ids_blocks,
             "seg": gsegs,
             "bucket": gcodes % np.int64(term_buckets),
         })

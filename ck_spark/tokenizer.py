@@ -175,6 +175,12 @@ def term_freqs_udf(mode: str = "code"):
 
 _STOP_BYTES = frozenset(w.encode("ascii") for w in CODE_STOPWORDS)
 
+# low-L-bytes masks for the packed-uint64 short-token dedupe (L = 1..8)
+_LEN_MASKS = np.array(
+    [(1 << (8 * L)) - 1 if L < 8 else (1 << 64) - 1 for L in range(9)],
+    dtype=np.uint64,
+)
+
 
 def _ascii_positions_groups(docs: List[bytes], mode: str):
     """Numpy byte-level tokenization of a batch of pure-ASCII documents —
@@ -254,12 +260,31 @@ def _ascii_positions_groups(docs: List[bytes], mode: str):
 
     low = np.where(upper_m, arr + 32, arr).astype(np.uint8)
 
-    # term-id assignment: per length bucket, view the (k, L) token matrix as
-    # void rows and np.unique them — one Python bytes object per DISTINCT
-    # token in the batch.
+    # term-id assignment. Tokens of <= 8 bytes — the bulk of code
+    # identifiers post-camel-split — are read as ONE unaligned uint64
+    # sliding-window gather and masked to length (tokens are alnum-only,
+    # so zero-padding is injective across lengths), then deduped with a
+    # single integer np.unique: ~1.7x over the per-length void-row sorts,
+    # and no (k, L) index-matrix construction. Longer tokens keep the
+    # per-length void-view path. One Python bytes object per DISTINCT
+    # token in the batch either way.
     term_ids = np.empty(starts.size, dtype=np.int64)
     uniq: List[bytes] = []
-    for L in np.unique(tok_len).tolist():
+    short = np.flatnonzero(tok_len <= 8)
+    if short.size:
+        n = low.size
+        m = (n + 15) // 8 * 8
+        padded = np.zeros(m, dtype=np.uint8)
+        padded[:n] = low
+        u64 = np.lib.stride_tricks.as_strided(
+            padded.view(np.uint64), shape=(m - 7,), strides=(1,)
+        )
+        packed = u64[starts[short]] & _LEN_MASKS[tok_len[short]]
+        u, inv = np.unique(packed, return_inverse=True)
+        term_ids[short] = inv
+        ub = u.astype("<u8").tobytes()  # little-endian: token bytes, then pad
+        uniq.extend(ub[i:i + 8].rstrip(b"\0") for i in range(0, len(ub), 8))
+    for L in np.unique(tok_len[tok_len > 8]).tolist():
         sel = np.flatnonzero(tok_len == L)
         mat = low[starts[sel, None] + np.arange(L)]
         view = np.ascontiguousarray(mat).view(np.dtype((np.void, L))).ravel()
@@ -278,8 +303,13 @@ def _ascii_positions_groups(docs: List[bytes], mode: str):
 
     terms = [t.decode("ascii") for t in uniq]
     # stable sort by (doc, term): equal keys keep buffer order, so each
-    # group's positions stay strictly increasing
-    order = np.lexsort((term_ids, did))
+    # group's positions stay strictly increasing. Packed single stable
+    # argsort (did < 2^32 per batch, term_ids < token count) measures
+    # ~2.5x over lexsort's two stable passes.
+    order = np.argsort(
+        (did.astype(np.uint64) << np.uint64(32)) | term_ids.astype(np.uint64),
+        kind="stable",
+    )
     did_s, tid_s, pos_s = did[order], term_ids[order], rawpos[order]
     bnd = np.flatnonzero((did_s[1:] != did_s[:-1]) | (tid_s[1:] != tid_s[:-1])) + 1
     return did_s, tid_s, pos_s, np.concatenate(([0], bnd)), terms

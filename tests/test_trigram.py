@@ -670,6 +670,38 @@ def test_extract_chunk_matches_analyzer_domain():
     assert set(zip(codes.tolist(), dids.tolist())) == expected
 
 
+def test_extract_pairs_sub_chunk_boundaries():
+    """The cache-resident extractor processes <= 255 docs per sub-chunk;
+    crossing that boundary (and mixing 0/1/2-byte docs right at it) must
+    not drop, duplicate, or misattribute any (doc, gram) pair."""
+    import numpy as np
+
+    from ck_spark.query.trigram import _extract_pairs, gram_hash
+
+    rng = np.random.default_rng(11)
+    bufs = []
+    for i in range(600):  # spans three sub-chunks
+        if i % 7 == 0:
+            bufs.append(b"")          # empty doc
+        elif i % 7 == 1:
+            bufs.append(b"a")         # sub-trigram doc
+        elif i % 7 == 2:
+            bufs.append(b"xy")
+        else:
+            n = int(rng.integers(3, 40))
+            bufs.append(bytes(rng.integers(97, 110, n, dtype=np.uint8)))
+    codes, didx = _extract_pairs(bufs)
+    expected = {
+        (gram_hash(b[j:j + 3]), i)
+        for i, b in enumerate(bufs)
+        for j in range(max(0, len(b) - 2))
+    }
+    got = set(zip(codes.tolist(), didx.tolist()))
+    assert got == expected
+    # per-doc pairs are deduped and keys unique
+    assert len(got) == codes.size
+
+
 def test_gram_hash_packs_bytes():
     from ck_spark.query.trigram import GRAM_HASH_SPACE, gram_hash
 
