@@ -417,6 +417,9 @@ def _extract_pairs_sub(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     32-bit (doc_idx<<24 | code) key."""
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
     big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # the packed uint32 key gives doc_idx only 8 bits; callers must chunk
+    # (as _extract_pairs does) or doc attribution silently wraps
+    assert len(bufs) <= 255, "chunk _extract_pairs_sub inputs to <=255 docs"
     n = big.size
     if n < 3:
         z = np.empty(0, dtype=np.int64)
@@ -497,15 +500,34 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
     def gen(iterator):
         code_parts, didx_parts, id_arrs, seg_arrs = [], [], [], []
         ndocs = 0
+        # encoded UTF-8 copies are flushed to extraction every ~8 MB so
+        # transient memory stays bounded by the flush budget, not by the
+        # Arrow batch size (10k rows of 100 KB docs would otherwise hold
+        # ~1 GB of byte copies per task)
+        bufs: list[bytes] = []
+        nb = 0
+
+        def flush() -> None:
+            nonlocal bufs, nb
+            if not bufs:
+                return
+            c, d = _extract_pairs(bufs)
+            code_parts.append(c)
+            didx_parts.append(d + (ndocs - len(bufs)))
+            bufs, nb = [], 0
+
         for pdf in iterator:
             texts = pdf["content"].fillna("")
             id_arrs.append(pdf["doc_id"].to_numpy().astype(np.int64))
             seg_arrs.append(pdf["seg"].to_numpy().astype(np.int64))
-            bufs = [str(t).lower().encode("utf-8") for t in texts]
-            c, d = _extract_pairs(bufs)
-            code_parts.append(c)
-            didx_parts.append(d + ndocs)
-            ndocs += len(bufs)
+            for t in texts:
+                b = str(t).lower().encode("utf-8")
+                bufs.append(b)
+                nb += len(b)
+                ndocs += 1
+                if nb >= 8 * _EXTRACT_CHUNK_BYTES:
+                    flush()
+        flush()
         if not code_parts:
             return
         codes = np.concatenate(code_parts)

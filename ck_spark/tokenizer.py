@@ -276,8 +276,11 @@ def _ascii_positions_groups(docs: List[bytes], mode: str):
         m = (n + 15) // 8 * 8
         padded = np.zeros(m, dtype=np.uint8)
         padded[:n] = low
+        # explicit little-endian view: the masks below keep the LOW 8*L
+        # bits and the unpack slices token bytes from the low end, so the
+        # byte order must be LE regardless of host endianness (free on x86)
         u64 = np.lib.stride_tricks.as_strided(
-            padded.view(np.uint64), shape=(m - 7,), strides=(1,)
+            padded.view(np.dtype("<u8")), shape=(m - 7,), strides=(1,)
         )
         packed = u64[starts[short]] & _LEN_MASKS[tok_len[short]]
         u, inv = np.unique(packed, return_inverse=True)

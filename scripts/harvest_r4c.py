@@ -1,0 +1,77 @@
+"""Load-gated 480k scaling harvester for the post-kernel-fix evidence
+(appends to BENCH/scaling_runs_r4c.jsonl; --with-trigram so every run
+also times the trigram-build stage and fingerprints candidate sets).
+
+Same protocol as scripts/scaling_harvest.py: wait for 1-min loadavg
+below the threshold, fire ONE spark-submit run, alternate levels,
+record loadavg bracketing. min-per-level filters external noise only —
+every run is the identical deterministic job and must reproduce the
+same results hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH", "scaling_runs_r4c.jsonl")
+ZIP = os.path.join(REPO, "BENCH", "dist.zip")
+
+
+def one_run(cores: int, n_docs: int) -> dict | None:
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", f"{2 * cores}g",
+        "--py-files", ZIP, "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "scripts", "scaling_job.py"),
+        "--cores", str(cores), "--n-docs", str(n_docs), "--with-trigram",
+    ]
+    lb = os.getloadavg()[0]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    la = os.getloadavg()[0]
+    for ln in out.stdout.splitlines():
+        if ln.startswith("SCALING_RESULT "):
+            rec = json.loads(ln[len("SCALING_RESULT "):])
+            rec["load_before"] = round(lb, 2)
+            rec["load_after_incl_self"] = round(la, 2)
+            rec["ts"] = time.time()
+            return rec
+    sys.stderr.write(out.stderr[-2000:] + "\n")
+    return None
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("HARVEST_DOCS", "480000"))
+    quiet = float(os.environ.get("HARVEST_QUIET_LOAD", "2.0"))
+    want = int(os.environ.get("HARVEST_RUNS", "4"))
+    max_minutes = float(os.environ.get("HARVEST_MINUTES", "240"))
+    counts = {2: 0, 8: 0}
+    if os.path.exists(OUT):
+        for ln in open(OUT):
+            try:
+                rec = json.loads(ln)
+                if "trigram_build_s" in rec:  # only count with-trigram rows
+                    counts[rec["cores"]] += 1
+            except Exception:
+                pass
+    deadline = time.time() + max_minutes * 60
+    while time.time() < deadline and min(counts.values()) < want:
+        if os.getloadavg()[0] > quiet:
+            time.sleep(60)
+            continue
+        cores = 8 if counts[8] <= counts[2] else 2
+        rec = one_run(cores, n_docs)
+        if rec is not None:
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            counts[cores] += 1
+            print(cores, rec["build_s"], rec.get("trigram_build_s"),
+                  rec["results_sha256"][:8], flush=True)
+
+
+if __name__ == "__main__":
+    main()
