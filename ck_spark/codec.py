@@ -18,6 +18,13 @@ import numpy as np
 
 _U64 = np.uint64
 _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=_U64)
+# continuation-bit patterns by total byte count nb (index 0 unused):
+# bytes 0..nb-2 carry 0x80; _CONT_LO covers lanes 0-7, _CONT_HI lanes 8-9
+_CONT_LO = np.array(
+    [sum(0x80 << (8 * j) for j in range(min(max(nb - 1, 0), 8)))
+     for nb in range(11)], dtype=_U64)
+_CONT_HI = np.array(
+    [0x80 if nb == 10 else 0 for nb in range(11)], dtype=np.uint16)
 
 
 def _varint_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -37,23 +44,29 @@ def _varint_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nbytes = np.searchsorted(_THRESHOLDS, v, side="right")
     nbytes += 1
     ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    out = np.empty(int(ends[-1]), dtype=np.uint8)
-    more = nbytes > 1
-    out[starts] = (v & _U64(0x7F)).astype(np.uint8) | (
-        more.astype(np.uint8) << 7
-    )
-    idx = np.flatnonzero(more)
-    i = 1
-    while idx.size:
-        vv = (v[idx] >> _U64(7 * i)) & _U64(0x7F)
-        more_i = nbytes[idx] > i + 1
-        out[starts[idx] + i] = vv.astype(np.uint8) | (
-            more_i.astype(np.uint8) << 7
-        )
-        idx = idx[more_i]
-        i += 1
-    return out, ends
+    m = int(nbytes.max())  # widest value in this stream (1..10)
+    n = v.size
+    # pack each value's LEB128 bytes into one uint64 lane (bytes 0-7; a
+    # second uint16 lane covers bytes 8-9 of >=2^56 values): byte j =
+    # ((v >> 7j) & 0x7F) | continuation. Every op is a SEQUENTIAL pass —
+    # the former per-slot masked scatter moved ~8 B of int64 index per
+    # written byte through DRAM, and the encode stage is bandwidth-bound
+    # under executor concurrency (BENCH/membw_probe.jsonl). The loop is
+    # adaptive in m: tf/dl/gap streams (1-2 B values) pay 1-2 passes.
+    lo = v & _U64(0x7F)
+    for j in range(1, min(m, 8)):
+        lo |= ((v >> _U64(7 * j)) & _U64(0x7F)) << _U64(8 * j)
+    lo |= _CONT_LO[nbytes]
+    arr = np.empty((n, m), dtype=np.uint8)
+    w = min(m, 8)
+    arr[:, :w] = lo.astype("<u8", copy=False).view(np.uint8).reshape(n, 8)[:, :w]
+    if m > 8:
+        hi = ((v >> _U64(56)) & _U64(0x7F)).astype(np.uint16)
+        hi |= (v >> _U64(63)).astype(np.uint16) << np.uint16(8)
+        hi |= _CONT_HI[nbytes]
+        arr[:, 8:m] = hi.astype("<u2", copy=False).view(np.uint8).reshape(n, 2)[:, : m - 8]
+    mask = np.arange(m, dtype=np.int64)[None, :] < nbytes[:, None]
+    return arr[mask], ends
 
 
 def encode_varint(values: np.ndarray) -> bytes:

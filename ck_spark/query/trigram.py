@@ -478,6 +478,82 @@ def _extract_chunk(bufs: list[bytes], doc_ids: np.ndarray,
     return codes, doc_ids[didx], segs[didx]
 
 
+# pairs per in-task encode chunk: 8M pairs ≈ 130 MB of sort/encode
+# working set — big enough that per-chunk numpy overhead is noise, small
+# enough that the allocator reuses warm pages across chunks
+_PAIRS_CHUNK = 8 << 20
+
+
+def _encode_pairs_chunk(code_parts, didx_parts, id_arrs, seg_arrs,
+                        term_buckets: int) -> pd.DataFrame:
+    """Sort+group+block-encode one chunk of extracted (code, doc-index)
+    pairs into partial posting rows.
+
+    Groups the triples by (seg, code); ids ascending within each group
+    (the delta-gap encoder's contract). ONE argsort of a packed
+    (seg, code, doc-RANK) uint64 key replaces the former
+    lexsort((ids, seg<<24|code)) — two stable int64 argsort passes —
+    because ranking the task's doc ids once makes doc order fit 24 bits.
+    Keys are unique ((doc, code) pairs are distinct post-dedupe), so an
+    unstable sort is exact. Falls back to lexsort if the geometry ever
+    exceeds the bit budget (seg >= 2^16 or 16M docs in one task).
+    ``didx`` values index the TASK's doc axis, so ``id_arrs``/``seg_arrs``
+    must cover every doc seen so far (they are small; the pair streams
+    are what chunking bounds)."""
+    from ck_spark.codec import encode_id_blocks_flat
+    from ck_spark.constants import BLOCK_SIZE
+
+    codes = np.concatenate(code_parts)
+    didx = np.concatenate(didx_parts)
+    doc_ids = np.concatenate(id_arrs)
+    segs = np.concatenate(seg_arrs)
+    if codes.size == 0:
+        return pd.DataFrame({
+            "ghash": np.empty(0, dtype=np.int64),
+            "n_docs": np.empty(0, dtype=np.int64),
+            "ids_blocks": [],
+            "seg": np.empty(0, dtype=np.int64),
+            "bucket": np.empty(0, dtype=np.int64),
+        })
+    nd = doc_ids.size
+    if nd < (1 << 24) and (segs.size == 0 or int(segs.max()) < (1 << 16)):
+        doc_order = np.argsort(doc_ids, kind="stable")
+        rank_of = np.empty(nd, dtype=np.uint64)
+        rank_of[doc_order] = np.arange(nd, dtype=np.uint64)
+        k = (
+            (segs[didx].astype(np.uint64) << np.uint64(48))
+            | (codes.astype(np.uint64) << np.uint64(24))
+            | rank_of[didx]
+        )
+        order = np.argsort(k)
+        k = k[order]
+        ids = doc_ids[didx[order]]
+        kgrp = k >> np.uint64(24)  # (seg, code) — rank bits dropped
+    else:
+        k = (segs[didx].astype(np.uint64) << np.uint64(24)) \
+            | codes.astype(np.uint64)
+        ids = doc_ids[didx]
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        kgrp = k
+    bounds = np.flatnonzero(np.r_[True, kgrp[1:] != kgrp[:-1]])
+    counts = np.diff(np.r_[bounds, kgrp.size])
+    uniq = kgrp[bounds]
+    gsegs = (uniq >> np.uint64(24)).astype(np.int64)
+    gcodes = (uniq & np.uint64(0xFFFFFF)).astype(np.int64)
+    f = encode_id_blocks_flat(ids, counts, BLOCK_SIZE)
+    fblocks, boff = f["ids_blocks"], f["blk_off"]
+    ids_blocks = [fblocks[int(boff[t]):int(boff[t + 1])]
+                  for t in range(counts.size)]
+    return pd.DataFrame({
+        "ghash": gcodes,
+        "n_docs": counts.astype(np.int64),
+        "ids_blocks": ids_blocks,
+        "seg": gsegs,
+        "bucket": gcodes % np.int64(term_buckets),
+    })
+
+
 def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
     """Encoded trigram posting rows straight from (doc_id, seg, content)
     (Zoekt's shard-local build, distributed): each input partition
@@ -494,12 +570,10 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
     UNIONED unpruned into every indexed grep's scan — so grep_indexed
     stays exactly result-identical to the full scan, which has no binary
     filter (matching the reference's regex_search)."""
-    from ck_spark.codec import encode_id_blocks_flat
-    from ck_spark.constants import BLOCK_SIZE
-
     def gen(iterator):
         code_parts, didx_parts, id_arrs, seg_arrs = [], [], [], []
         ndocs = 0
+        npairs = 0
         # encoded UTF-8 copies are flushed to extraction every ~8 MB so
         # transient memory stays bounded by the flush budget, not by the
         # Arrow batch size (10k rows of 100 KB docs would otherwise hold
@@ -508,12 +582,13 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
         nb = 0
 
         def flush() -> None:
-            nonlocal bufs, nb
+            nonlocal bufs, nb, npairs
             if not bufs:
                 return
             c, d = _extract_pairs(bufs)
             code_parts.append(c)
             didx_parts.append(d + (ndocs - len(bufs)))
+            npairs += c.size
             bufs, nb = [], 0
 
         for pdf in iterator:
@@ -527,61 +602,30 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
                 ndocs += 1
                 if nb >= 8 * _EXTRACT_CHUNK_BYTES:
                     flush()
+                    # emit the accumulated pairs in BOUNDED chunks: the
+                    # sort+group+encode working set stays ~_PAIRS_CHUNK
+                    # x 16 B instead of growing with the whole task, so
+                    # (a) fresh-page faulting per task is capped and the
+                    # next chunk reuses the allocator's already-faulted
+                    # pages (see session._pin_malloc_env — first-touch
+                    # faults dominated the 8-way per-task wall), and
+                    # (b) a task of arbitrarily many docs runs in flat
+                    # memory. Each emission is one more partial row per
+                    # (seg, gram) touched — the reader unions partials
+                    # by construction (LSM delta shape), so chunking
+                    # changes layout, never candidate sets.
+                    if npairs >= _PAIRS_CHUNK:
+                        yield _encode_pairs_chunk(
+                            code_parts, didx_parts, id_arrs, seg_arrs,
+                            term_buckets,
+                        )
+                        code_parts, didx_parts = [], []
+                        npairs = 0
         flush()
-        if not code_parts:
-            return
-        codes = np.concatenate(code_parts)
-        didx = np.concatenate(didx_parts)
-        if codes.size == 0:
-            return
-        doc_ids = np.concatenate(id_arrs)
-        segs = np.concatenate(seg_arrs)
-        # group this partition's triples by (seg, code); ids ascending
-        # within each group (the delta-gap encoder's contract). ONE
-        # argsort of a packed (seg, code, doc-RANK) uint64 key replaces
-        # the former lexsort((ids, seg<<24|code)) — two stable int64
-        # argsort passes — because ranking the partition's few-thousand
-        # doc ids once makes doc order fit 24 bits. Keys are unique
-        # ((doc, code) pairs are distinct post-dedupe), so an unstable
-        # sort is exact. Falls back to lexsort if the geometry ever
-        # exceeds the bit budget (seg >= 2^16 or 16M docs in one task).
-        nd = doc_ids.size
-        if nd < (1 << 24) and (segs.size == 0 or int(segs.max()) < (1 << 16)):
-            doc_order = np.argsort(doc_ids, kind="stable")
-            rank_of = np.empty(nd, dtype=np.uint64)
-            rank_of[doc_order] = np.arange(nd, dtype=np.uint64)
-            k = (
-                (segs[didx].astype(np.uint64) << np.uint64(48))
-                | (codes.astype(np.uint64) << np.uint64(24))
-                | rank_of[didx]
+        if code_parts:
+            yield _encode_pairs_chunk(
+                code_parts, didx_parts, id_arrs, seg_arrs, term_buckets
             )
-            order = np.argsort(k)
-            k = k[order]
-            ids = doc_ids[didx[order]]
-            kgrp = k >> np.uint64(24)  # (seg, code) — rank bits dropped
-        else:
-            k = (segs[didx].astype(np.uint64) << np.uint64(24)) \
-                | codes.astype(np.uint64)
-            ids = doc_ids[didx]
-            order = np.lexsort((ids, k))
-            k, ids = k[order], ids[order]
-            kgrp = k
-        bounds = np.flatnonzero(np.r_[True, kgrp[1:] != kgrp[:-1]])
-        counts = np.diff(np.r_[bounds, kgrp.size])
-        uniq = kgrp[bounds]
-        gsegs = (uniq >> np.uint64(24)).astype(np.int64)
-        gcodes = (uniq & np.uint64(0xFFFFFF)).astype(np.int64)
-        f = encode_id_blocks_flat(ids, counts, BLOCK_SIZE)
-        fblocks, boff = f["ids_blocks"], f["blk_off"]
-        ids_blocks = [fblocks[int(boff[t]):int(boff[t + 1])]
-                      for t in range(counts.size)]
-        yield pd.DataFrame({
-            "ghash": gcodes,
-            "n_docs": counts.astype(np.int64),
-            "ids_blocks": ids_blocks,
-            "seg": gsegs,
-            "bucket": gcodes % np.int64(term_buckets),
-        })
 
     return (
         docs.where(~F.contains("content", F.lit("\x00")))
@@ -598,14 +642,15 @@ def _encode_and_write_grams(
     """Write the trigram table from (doc_id, seg, content) rows.
 
     ONE narrow exchange, then shard-local everything: the input rows are
-    hash-repartitioned by (seg, doc_id%k) — content bytes move once,
+    RANGE-partitioned by (seg, doc_id%salt) — content bytes move once,
     which for code corpora is ~10x lighter than the former per-(doc,gram)
     pair shuffle (a doc contributes len(content) bytes here vs ~12 bytes
     PER DISTINCT TRIGRAM there) — and each task then extracts, aggregates
     and block-encodes its docs' (seg, ghash) posting lists in numpy,
-    emitting at most k partial rows per (seg, gram) index-wide (k =
-    ceil(width / n_segments), i.e. EXACT single rows when segments >=
-    cores, the production geometry). Bounded fragmentation is the lesson
+    emitting at most (k+1) x ceil(task_pairs/_PAIRS_CHUNK) partial rows
+    per (seg, gram) index-wide (k = ceil(width / n_segments); the +1 is
+    range-boundary rounding, the chunk factor is the in-task bounded-
+    memory emission). Bounded fragmentation is the lesson
     of the pure zero-shuffle variant: letting partials scale with
     arbitrary input partitioning multiplied table rows ~40x at 1M docs
     (256 input splits x 64 segs of tiny groups) and made every
@@ -631,9 +676,18 @@ def _encode_and_write_grams(
         # spread (k=width) rather than failing — still bounded
         n_segments = 1
     k = max(1, -(-width // max(int(n_segments), 1)))
-    docs = docs.repartition(
-        width, F.col("seg"), F.pmod(F.col("doc_id"), F.lit(k))
-    )
+    # RANGE partition on (seg, salt), not hash: with only segs*k distinct
+    # keys, hash placement is balls-in-bins — measured at 480k/16 segs it
+    # left 6 of 16 tasks EMPTY and gave one task 3 segs (a 3x straggler
+    # that flattened 2-vs-8-core scaling). Range boundaries split the
+    # keys evenly by sampled row weight, keep each seg contiguous (so
+    # partials per (seg, gram) stay bounded by the salt count), and the
+    # extra sampling pass reads only the two key columns. Four salts per
+    # seg give the range partitioner slack to balance around boundary
+    # rounding. Output layout depends on partitioning; candidate SETS do
+    # not (partials union at read).
+    salt = F.pmod(F.col("doc_id"), F.lit(4 * k))
+    docs = docs.repartitionByRange(width, F.col("seg"), salt)
     obs = Observation()
     enc_df = (
         _partial_posting_rows(docs, term_buckets)

@@ -12,6 +12,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pin_malloc_env() -> None:
+    """Keep glibc from mmap/munmap-ing every large numpy buffer.
+
+    The pandas-UDF kernels (tokenize, trigram extract, postings encode)
+    allocate and free ~100 MB arrays per task; with the default
+    M_MMAP_THRESHOLD every task re-faults those pages in, and first-touch
+    page faults on this class of host cost ~50 us/4 KB and SERIALIZE
+    across concurrent workers — measured as the dominant share of the
+    per-task wall at 8-way concurrency (a warm-allocator rerun of the
+    same kernel is 2-5x faster and scales flat). Raising the mmap and
+    trim thresholds keeps freed big blocks on the heap free list so the
+    NEXT task reuses already-faulted pages. Must be set before the JVM
+    (and hence the pyspark worker daemon) is spawned — os.environ here
+    propagates: python driver -> JVM -> daemon -> workers. Opt out with
+    CK_SPARK_NO_MALLOC_TUNING=1.
+    """
+    if os.environ.get("CK_SPARK_NO_MALLOC_TUNING"):
+        return
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+
 def get_spark(
     app_name: str = "ck_spark",
     cores: int | None = None,
@@ -23,6 +45,7 @@ def get_spark(
     cores=None -> local[*]. On a real cluster the master is supplied by
     spark-submit and this builder only contributes conf.
     """
+    _pin_malloc_env()
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None:
         n = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"

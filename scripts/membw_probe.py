@@ -68,6 +68,42 @@ def _encode_kernel(rows: int, seed: int) -> float:
     return time.perf_counter() - t0
 
 
+def _trigram_kernel(rows: int, seed: int) -> float:
+    """One trigram-extraction task's worth of work, timed: synthetic
+    code-like documents -> lowercase/encode -> `_extract_pairs` in the
+    same ~8 MB flush rhythm `_partial_posting_rows` uses. ``rows`` is
+    interpreted as total content bytes (default 2 MB * rows/2e6 docs of
+    ~2 KB). This is the stage the 480k with-trigram scaling runs show
+    FLAT across 2-vs-8 cores (scaling_runs_r4c.jsonl); this probe
+    attributes that to per-process inflation under concurrency, not to a
+    serial term in the job."""
+    import numpy as np
+
+    from ck_spark.query.trigram import _extract_pairs
+
+    from ck_spark.corpus import generate_corpus
+
+    # the REAL corpus content (identifier diversity matters: a low-
+    # diversity synthetic shows NO inflation because its post-dedupe
+    # arrays stay cache-resident; production content does not)
+    n_docs = max(64, rows // 900)  # ~900 B/doc at body_scale 1
+    docs = [
+        str(c).lower().encode("utf-8")
+        for c in generate_corpus(n_docs, seed=seed)["content"]
+    ]
+    t0 = time.perf_counter()
+    bufs, nb = [], 0
+    for b in docs:
+        bufs.append(b)
+        nb += len(b)
+        if nb >= 8 * (1 << 20):
+            _extract_pairs(bufs)
+            bufs, nb = [], 0
+    if bufs:
+        _extract_pairs(bufs)
+    return time.perf_counter() - t0
+
+
 def _control_kernel(rows: int, seed: int) -> float:
     """Cache-resident compute control: repeated 192x192 matmul (~300 KB
     working set, fits L2) with FLOP count scaled to ~the kernel's wall
@@ -86,7 +122,8 @@ def _control_kernel(rows: int, seed: int) -> float:
 
 def _worker(kind: str, rows: int, seed: int, q: mp.Queue) -> None:
     os.environ["OMP_NUM_THREADS"] = "1"  # one core per process, no BLAS fan-out
-    fn = _encode_kernel if kind == "kernel" else _control_kernel
+    fn = {"kernel": _encode_kernel, "trigram": _trigram_kernel,
+          "control": _control_kernel}[kind]
     q.put(fn(rows, seed))
 
 
@@ -117,10 +154,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--workloads", default="kernel,control")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo, "BENCH", "membw_probe.jsonl")
-    for kind in ("kernel", "control"):
+    for kind in args.workloads.split(","):
         base = None
         for k in (1, 2, 4, 8):
             rec = run_level(kind, k, args.rows, args.reps)

@@ -46,6 +46,13 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from ck_spark.session import _pin_malloc_env
+
+    # before the JVM spawns, so the worker daemon inherits it (see
+    # session._pin_malloc_env: first-touch fault avoidance is worth 2-5x
+    # on the UDF kernels and removes their 8-way fault serialization)
+    _pin_malloc_env()
+
     from ck_spark.corpus import generate_corpus_spark
     from ck_spark.index import build_index
     from ck_spark.query import BM25Index

@@ -773,7 +773,11 @@ def test_partial_rows_bounded_by_salt(spark, indexed):
         .groupBy("seg", "ghash").count()
         .agg(F.max("count")).collect()[0][0]
     )
-    assert worst <= k, (worst, k)
+    # range partitioning on (seg, salt) keeps a seg within <= k
+    # consecutive ranges plus one boundary-rounding overlap; in-task
+    # chunked emission (_PAIRS_CHUNK) adds a factor of
+    # ceil(task_pairs / _PAIRS_CHUNK), which is 1 at this fixture size
+    assert worst <= k + 1, (worst, k)
 
 
 def test_partial_delta_append_invisible_and_gcd(spark, tmp_path):
