@@ -18,7 +18,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH", "scaling_runs_r4c.jsonl")
+OUT = os.path.join(
+    REPO, "BENCH",
+    os.environ.get("HARVEST_OUT", "scaling_runs_r4c.jsonl"),
+)
 ZIP = os.path.join(REPO, "BENCH", "dist.zip")
 
 
