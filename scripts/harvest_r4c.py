@@ -33,6 +33,11 @@ def one_run(cores: int, n_docs: int) -> dict | None:
         os.path.join(REPO, "scripts", "scaling_job.py"),
         "--cores", str(cores), "--n-docs", str(n_docs), "--with-trigram",
     ]
+    segs = os.environ.get("HARVEST_SEGMENTS")
+    if segs:
+        # input-proportional partitioning (the 960k lesson: per-task set
+        # must not double when the input does)
+        cmd += ["--n-segments", segs]
     corpus_path = os.environ.get("HARVEST_CORPUS")
     if corpus_path:
         # the production input is a STORED table (north rule: "over an
