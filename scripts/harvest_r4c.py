@@ -65,7 +65,12 @@ def main() -> None:
     quiet = float(os.environ.get("HARVEST_QUIET_LOAD", "2.0"))
     want = int(os.environ.get("HARVEST_RUNS", "4"))
     max_minutes = float(os.environ.get("HARVEST_MINUTES", "240"))
-    counts = {2: 0, 8: 0}
+    # N-vs-4N pair; e.g. HARVEST_LEVELS=1,4 measures the pair at a
+    # concurrency the one-box DRAM bus can feed without saturating
+    lo, hi = (
+        int(x) for x in os.environ.get("HARVEST_LEVELS", "2,8").split(",")
+    )
+    counts = {lo: 0, hi: 0}
     if os.path.exists(OUT):
         for ln in open(OUT):
             try:
@@ -75,7 +80,8 @@ def main() -> None:
                 if "trigram_build_s" in rec and rec.get("stored_corpus") == bool(
                     os.environ.get("HARVEST_CORPUS")
                 ):
-                    counts[rec["cores"]] += 1
+                    if rec["cores"] in counts:
+                        counts[rec["cores"]] += 1
             except Exception:
                 pass
     deadline = time.time() + max_minutes * 60
@@ -83,7 +89,7 @@ def main() -> None:
         if os.getloadavg()[0] > quiet:
             time.sleep(60)
             continue
-        cores = 8 if counts[8] <= counts[2] else 2
+        cores = hi if counts[hi] <= counts[lo] else lo
         rec = one_run(cores, n_docs)
         if rec is not None:
             with open(OUT, "a") as f:

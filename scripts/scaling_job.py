@@ -188,16 +188,38 @@ def main() -> None:
                 "gc_s": round(sum(s["jvmGcTime"] for s in st) / 1e3, 1),
             }
             big = sorted(st, key=lambda s: -s["executorRunTime"])[:8]
-            out["top_stages"] = [
-                {
+
+            def task_quantiles(stage_id: int, attempt: int) -> dict:
+                # per-task duration spread: max/med >> 1 on a wide stage
+                # means wave-packing loss (stragglers), a DIFFERENT
+                # signature from uniform bandwidth inflation
+                with urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages/{stage_id}/"
+                    f"{attempt}/taskSummary?quantiles=0.0,0.5,1.0",
+                    timeout=10,
+                ) as rq:
+                    q = json.loads(rq.read())
+                lo, med, hi = q["executorRunTime"]
+                return {
+                    "task_min_s": round(lo / 1e3, 1),
+                    "task_med_s": round(med / 1e3, 1),
+                    "task_max_s": round(hi / 1e3, 1),
+                }
+
+            out["top_stages"] = []
+            for s in big:
+                row = {
                     "id": s["stageId"], "tasks": s["numCompleteTasks"],
                     "run_s": round(s["executorRunTime"] / 1e3, 1),
                     "cpu_s": round(s["executorCpuTime"] / 1e9, 1),
                     "gc_s": round(s["jvmGcTime"] / 1e3, 1),
                     "name": s["name"].split("\n")[0][:60],
                 }
-                for s in big
-            ]
+                try:
+                    row.update(task_quantiles(s["stageId"], s["attemptId"]))
+                except Exception:
+                    pass
+                out["top_stages"].append(row)
         except Exception as e:  # metrics must never fail the run
             out["executor_totals"] = {"error": str(e)[:200]}
     print("SCALING_RESULT " + json.dumps(out))
