@@ -77,6 +77,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # local mode defaults to maxFailures=1: one transient python-worker
+        # crash (observed ~1/60 long runs: Arrow socket reset mid-batch)
+        # aborts a whole build instead of retrying the task. Cluster
+        # deployments default to 4; match that resilience here. Every
+        # operator is deterministic and idempotent per-task, so a retry
+        # cannot change results.
+        .config("spark.task.maxFailures", "4")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

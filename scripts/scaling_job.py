@@ -66,6 +66,9 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # one transient python-worker crash should retry (cluster default
+        # 4), not abort a 10-minute leg — observed once in ~60 runs
+        .config("spark.task.maxFailures", "4")
         # NOTE (measured, A/B'd): forcing small read splits
         # (maxPartitionBytes=8m) to widen the stored-corpus scan did NOT
         # speed the 8-core doc_map stage (27.0 s vs 25.7 s control) and
