@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--n-queries", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-segments", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +61,8 @@ def main() -> None:
         corpus = spark.read.parquet(args.corpus_path)
         build_index(
             spark, corpus, args.index_root, mode="code",
-            n_segments=16, term_buckets=16, build_groups=1, resume=False,
+            n_segments=args.n_segments, term_buckets=16, build_groups=1,
+            resume=False,
         )
 
     from pyspark.sql import functions as F
