@@ -1389,6 +1389,36 @@ FROM boosted ORDER BY boosted.score DESC, doc_id LIMIT 20"""
 NEAR_MISS_THRESHOLD = 0.55
 
 
+_BATCH_QUERIES = [
+    ("spark", "or"), ("table join", "and"), ("spark join window", "or"),
+]
+
+
+def _q_bm25_batch(spark, sf_dir):
+    """search_many batch contract: three queries answered in ONE Spark job
+    per fetch round (ck batches agent queries the same way), each verified
+    against its independent per-query DuckDB oracle via UNION ALL."""
+    from pyspark.sql import functions as F
+
+    from ck_spark.adapters import search_documents_many
+
+    df = search_documents_many(spark, sf_dir, _BATCH_QUERIES, k=20)
+    return df.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_batch_sql() -> str:
+    parts = []
+    for qid, (q, mode) in enumerate(_BATCH_QUERIES):
+        sub = _bm25_sql(q.split(), 20, mode=mode)
+        parts.append(
+            f"SELECT CAST({qid} AS INTEGER) AS query_id, doc_id, score "
+            f"FROM ({sub}) q{qid}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_bm25_near_miss(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2250,6 +2280,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_whole_word": _q_grep_whole_word,
         "bm25_paged": _q_bm25_paged,
         "bm25_near_miss": _q_bm25_near_miss,
+        "bm25_batch": _q_bm25_batch,
         "bm25_rerank": _q_bm25_rerank,
         "bm25_results": _q_bm25_results,
         "grep_results": _q_grep_results,
@@ -2408,5 +2439,6 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""",
         "grep_whole_word": _GREP_WW_SQL,
         "bm25_paged": _BM25_PAGED_SQL,
         "bm25_near_miss": _BM25_NEAR_MISS_SQL,
+        "bm25_batch": _bm25_batch_sql(),
         "bm25_rerank": _BM25_RERANK_SQL,
     }

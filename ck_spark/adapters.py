@@ -215,6 +215,78 @@ def search_documents(
     return spark.createDataFrame(out)
 
 
+def search_documents_many(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[tuple[str, str]],
+    k: int,
+    tie_buffer: int = 20,
+    idx: BM25Index | None = None,
+) -> DataFrame:
+    """Batched BM25 over documents: ONE search_many Spark job per fetch
+    round for the WHOLE query set, with the same oracle-exact tie
+    protocol as search_documents applied per query (fetch k+buffer; if
+    any query's k-th score still ties its last fetched score, refetch
+    the batch with a 4x window). Internal engine ids map back to the
+    ORIGINAL documents.doc_id through a narrow (doc_id, path) doc_map
+    read, so ordering and truncation match the SQL oracle's
+    ORDER BY score DESC, doc_id per query.
+
+    Returns (query_id int, doc_id long, score double) — query_id is the
+    position in ``queries``."""
+    import pandas as pd
+
+    if idx is None:
+        idx = documents_index(spark, sf_dir)
+    n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
+    dm = (
+        spark.read.parquet(idx.paths.doc_map)
+        .select(
+            F.col("doc_id").alias("_eng_id"),
+            F.col("path").cast("long").alias("_orig_id"),
+        )
+    )
+    fetch = min(k + tie_buffer, n_docs)
+    while True:
+        res = idx.search_many(queries, k=fetch)
+        pdf = (
+            res.join(dm, res["doc_id"] == dm["_eng_id"])
+            .select("query_id", F.col("_orig_id").alias("doc_id"), "score")
+            .toPandas()
+        )
+        if fetch >= n_docs:
+            break
+        boundary_tie = False
+        for qid in range(len(queries)):
+            q = (
+                pdf[pdf["query_id"] == qid]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)
+            )
+            if len(q) < fetch or len(q) < k:
+                continue  # exhausted: every tying doc already fetched
+            if float(q["score"].iloc[-1]) == float(q["score"].iloc[k - 1]):
+                boundary_tie = True
+                break
+        if not boundary_tie:
+            break
+        fetch = min(fetch * 4, n_docs)
+    out = pd.concat(
+        [
+            pdf[pdf["query_id"] == qid]
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)
+            for qid in range(len(queries))
+        ],
+        ignore_index=True,
+    )
+    if len(out) == 0:
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, "query_id int, doc_id long, score double")
+    return spark.createDataFrame(out)
+
+
 _RESULTS_SCHEMA = (
     "doc_id long, score double, preview string, byte_start long, "
     "byte_end long, line_start int, line_end int, lang string"

@@ -59,6 +59,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 1:  # optional name filter: check only these queries
+        qs = {n: f for n, f in qs.items() if n in sys.argv[1:]}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

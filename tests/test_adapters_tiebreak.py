@@ -59,3 +59,23 @@ def test_cut_exactly_at_tie_end(spark, tied_sf_dir):
 def test_no_tie_fast_path(spark, tied_sf_dir):
     got = search_documents(spark, tied_sf_dir, "gamma", k=5).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_batch_matches_per_query_with_ties(spark, tied_sf_dir):
+    """search_documents_many must apply the same per-query tie protocol:
+    batch results == the single-query adapter's, query by query — even
+    when k lands inside a tie group wider than the fetch buffer."""
+    from ck_spark.adapters import search_documents_many
+
+    queries = [("needle", "or"), ("gamma", "or"), ("needle alpha", "and")]
+    batch = search_documents_many(
+        spark, tied_sf_dir, queries, k=5, tie_buffer=2
+    ).collect()
+    for qid, (q, mode) in enumerate(queries):
+        single = search_documents(
+            spark, tied_sf_dir, q, k=5, mode=mode, tie_buffer=2
+        ).collect()
+        got = [(r["doc_id"], round(r["score"], 9)) for r in batch
+               if r["query_id"] == qid]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in single]
+        assert got == want, (qid, got, want)
