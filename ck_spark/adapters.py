@@ -236,6 +236,10 @@ def search_documents_many(
     position in ``queries``."""
     import pandas as pd
 
+    if not queries:
+        from ck_spark.plans.schemas import empty_df
+
+        return empty_df(spark, "query_id int, doc_id long, score double")
     if idx is None:
         idx = documents_index(spark, sf_dir)
     n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
