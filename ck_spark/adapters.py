@@ -224,13 +224,16 @@ def search_documents_many(
     idx: BM25Index | None = None,
 ) -> DataFrame:
     """Batched BM25 over documents: ONE search_many Spark job per fetch
-    round for the WHOLE query set, with the same oracle-exact tie
-    protocol as search_documents applied per query (fetch k+buffer; if
-    any query's k-th score still ties its last fetched score, refetch
-    the batch with a 4x window). Internal engine ids map back to the
-    ORIGINAL documents.doc_id through a narrow (doc_id, path) doc_map
-    read, so ordering and truncation match the SQL oracle's
-    ORDER BY score DESC, doc_id per query.
+    round, with the same oracle-exact tie protocol as search_documents
+    applied per query (fetch k+buffer; if a query's k-th score still
+    ties its last fetched score, refetch with a 4x window).  Refetch
+    rounds re-run ONLY the queries that reported a boundary tie, so a
+    single pathological tie group does not multiply whole-batch work.
+    Internal engine ids map back to the ORIGINAL documents.doc_id
+    through the index's LIVE doc_map view (base ∪ committed LSM deltas
+    minus tombstones — the same view the single-query path reads), so
+    delta-generation docs survive the join and ordering/truncation
+    match the SQL oracle's ORDER BY score DESC, doc_id per query.
 
     Returns (query_id int, doc_id long, score double) — query_id is the
     position in ``queries``."""
@@ -243,51 +246,44 @@ def search_documents_many(
     if idx is None:
         idx = documents_index(spark, sf_dir)
     n_docs = max(int(idx.meta.get("n_docs") or 0), 1)
-    dm = (
-        spark.read.parquet(idx.paths.doc_map)
-        .select(
-            F.col("doc_id").alias("_eng_id"),
-            F.col("path").cast("long").alias("_orig_id"),
-        )
+    dm = idx.doc_map_df.select(
+        F.col("doc_id").alias("_eng_id"),
+        F.col("path").cast("long").alias("_orig_id"),
     )
+    done: dict[int, pd.DataFrame] = {}
+    pending = list(range(len(queries)))
     fetch = min(k + tie_buffer, n_docs)
-    while True:
-        res = idx.search_many(queries, k=fetch)
+    while pending:
+        res = idx.search_many([queries[qid] for qid in pending], k=fetch)
         pdf = (
             res.join(dm, res["doc_id"] == dm["_eng_id"])
             .select("query_id", F.col("_orig_id").alias("doc_id"), "score")
             .toPandas()
         )
-        if fetch >= n_docs:
-            break
-        boundary_tie = False
-        for qid in range(len(queries)):
+        still: list[int] = []
+        for pos, qid in enumerate(pending):
             q = (
-                pdf[pdf["query_id"] == qid]
+                pdf[pdf["query_id"] == pos]
                 .sort_values(["score", "doc_id"], ascending=[False, True])
                 .reset_index(drop=True)
             )
-            if len(q) < fetch or len(q) < k:
-                continue  # exhausted: every tying doc already fetched
-            if float(q["score"].iloc[-1]) == float(q["score"].iloc[k - 1]):
-                boundary_tie = True
-                break
-        if not boundary_tie:
-            break
+            exhausted = fetch >= n_docs or len(q) < fetch or len(q) < k
+            if not exhausted and float(q["score"].iloc[-1]) == float(
+                q["score"].iloc[k - 1]
+            ):
+                still.append(qid)  # boundary tie: widen this query only
+                continue
+            done[qid] = q.head(k).assign(query_id=qid)
+        pending = still
         fetch = min(fetch * 4, n_docs)
     out = pd.concat(
-        [
-            pdf[pdf["query_id"] == qid]
-            .sort_values(["score", "doc_id"], ascending=[False, True])
-            .head(k)
-            for qid in range(len(queries))
-        ],
-        ignore_index=True,
-    )
+        [done[qid] for qid in sorted(done)], ignore_index=True
+    )[["query_id", "doc_id", "score"]]
     if len(out) == 0:
         from ck_spark.plans.schemas import empty_df
 
         return empty_df(spark, "query_id int, doc_id long, score double")
+    out["query_id"] = out["query_id"].astype("int32")
     return spark.createDataFrame(out)
 
 

@@ -72,12 +72,14 @@ def main() -> None:
     idx = BM25Index.load(spark, args.index_root)
 
     # deterministic query set from the index's own term stats: order by
-    # (df desc, term asc) is total, so every level derives the same list
-    import os
+    # (df desc, term asc) is total, so every level derives the same list.
+    # term_stats_path resolves the LIVE term dict (an LSM-updated index
+    # redirects it to delta/term_stats_gen_K via meta).
+    from ck_spark.index.lsm import term_stats_path
 
     terms = [
         r["term"]
-        for r in spark.read.parquet(os.path.join(args.index_root, "term_stats"))
+        for r in spark.read.parquet(term_stats_path(args.index_root, idx.meta))
         .select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(3000)

@@ -79,3 +79,61 @@ def test_batch_matches_per_query_with_ties(spark, tied_sf_dir):
                if r["query_id"] == qid]
         want = [(r["doc_id"], round(r["score"], 9)) for r in single]
         assert got == want, (qid, got, want)
+
+
+def test_batch_sees_delta_generation_docs(spark, tmp_path):
+    """Docs ADDED by an LSM delta update carry engine ids absent from the
+    base doc_map parquet. search_documents_many must map them through the
+    index's LIVE doc_map view (base ∪ deltas minus tombstones) exactly
+    like the single-query path — an inner join against the raw base read
+    would silently drop them AND misread the short result as corpus
+    exhaustion (ADVICE r4, adapters.py)."""
+    from ck_spark.adapters import (
+        documents_as_corpus,
+        search_documents,
+        search_documents_many,
+    )
+    from ck_spark.index import build_index
+    from ck_spark.index.builder import update_index
+    from ck_spark.query import BM25Index
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"alpha common filler doc{i}", "lang": "en",
+         "source": "t", "n_chars": 25}
+        for i in range(50)
+    ]
+    rows += [
+        {"doc_id": 50 + i, "text": "brandnew delta doc alpha", "lang": "en",
+         "source": "t", "n_chars": 24}
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    root = str(tmp_path / "idx")
+    build_index(
+        spark, documents_as_corpus(docs.where("doc_id < 50")), root,
+        mode="simple", n_segments=2, term_buckets=4,
+    )
+    update_index(spark, documents_as_corpus(docs), root, full_snapshot=True)
+    idx = BM25Index.load(spark, root)
+
+    queries = [("brandnew", "or"), ("alpha", "or")]
+    batch = search_documents_many(
+        spark, str(d), queries, k=10, idx=idx
+    ).collect()
+    delta_hits = [r for r in batch if r["query_id"] == 0]
+    assert delta_hits, "delta-generation docs dropped from batch results"
+    assert {r["doc_id"] for r in delta_hits} == set(range(50, 60))
+    for qid, (q, mode) in enumerate(queries):
+        single = search_documents(
+            spark, str(d), q, k=10, mode=mode, idx=idx
+        ).collect()
+        got = [(r["doc_id"], round(r["score"], 9)) for r in batch
+               if r["query_id"] == qid]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in single]
+        assert got == want, (qid, got, want)
