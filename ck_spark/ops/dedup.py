@@ -98,22 +98,39 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct token-shingle sets. With `candidates`
-    (id_a, id_b) the join is restricted to those pairs — the 100 TB path
-    is LSH candidates -> exact verify; all-pairs is test-scale only."""
+    (id_a, id_b) the work is DRIVEN BY the candidate pairs — a's shingles
+    join the pair list on id_a, then b's shingles on (id_b, sh) — so the
+    verify cost is ∝ Σ over candidate pairs of shingle-set size, never the
+    shingle self-join (whose cost is quadratic in docs-per-shingle and is
+    dominated by ubiquitous shingles at corpus scale). The 100 TB path is
+    LSH candidates -> exact verify; the all-pairs self-join runs only when
+    candidates is None (test-scale / tiny corpora)."""
     sh = (
         df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
         .dropDuplicates([id_col, "sh"])
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").cast("long").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        # id_a < id_b mirrors the self-join's orientation filter
+        cand = candidates.select("id_a", "id_b").where(
+            F.col("id_a") < F.col("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
+        b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, "sh")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").cast("long").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (

@@ -91,6 +91,49 @@ def test_ngram_jaccard_exact(spark, docs):
         assert abs(got[(a, b)] - exp) < 1e-12
 
 
+def test_ngram_jaccard_candidates_pushdown(spark):
+    """LSH->verify path (VERDICT r4 'What's wrong' #2): with `candidates`
+    supplied, the verify must be driven by the candidate pairs — no
+    shingle self-join may survive in the plan (every physical join keyed
+    on `sh` must also carry an id key), so a ubiquitous shingle shared by
+    the whole corpus cannot make verify quadratic. Values must still equal
+    the all-pairs result restricted to the candidate set."""
+    # every doc shares the ubiquitous prefix "common ubiquitous shingle";
+    # pairs (0,1) and (2,3) are real near-dups
+    rows = [
+        (0, "common ubiquitous shingle alpha beta gamma delta"),
+        (1, "common ubiquitous shingle alpha beta gamma epsilon"),
+        (2, "common ubiquitous shingle zeta eta theta iota"),
+        (3, "common ubiquitous shingle zeta eta theta kappa"),
+        (4, "common ubiquitous shingle lambda mu nu xi"),
+        (5, "common ubiquitous shingle omicron pi rho sigma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (3, 2), (0, 4)], ["id_a", "id_b"]
+    )  # (3,2) is mis-oriented: must be ignored like the self-join's a<b
+    out = ngram_jaccard_pairs(df, candidates=cand)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join whose key list mentions the shingle column must also
+    # mention an id column — a bare sh=sh join is the quadratic self-join
+    import re as _re
+
+    for line in plan.splitlines():
+        m = _re.search(r"Join .*?\[([^\]]*)\]", line)
+        if m and _re.search(r"\bsh#", m.group(1)):
+            assert _re.search(r"\bid_[ab]#", m.group(1)), line
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    allpairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3), (0, 4)}
+    for p, j in got.items():
+        assert abs(j - allpairs[p]) < 1e-12
+
+
 def test_simhash_properties(spark, docs):
     df, rows = docs
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
