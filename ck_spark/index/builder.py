@@ -201,6 +201,77 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
 
 
 
+def _local_input_bytes(files: list[str]) -> int:
+    """Sum sizes of file:/-scheme inputs (0 for object stores — there the
+    cluster is wide enough that default split planning already packs)."""
+    total = 0
+    for f in files:
+        p = f
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        else:
+            return 0
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 0
+    return total
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    try:
+        for dirpath, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, n))
+    except OSError:
+        return 0
+    return total
+
+
+class _scan_splits:
+    """Scale `spark.sql.files.maxPartitionBytes` to the job's input size
+    for the duration of one build job, then restore it.
+
+    Why: split planning counts FULL file bytes, but the build's scans
+    prune the widest column (stored content), so a 480k-doc corpus plans
+    as 4-6 splits under the 128m default — at 8 cores the tokenize stage
+    then runs half-idle and the pairs-explode stage packs 1.5 waves
+    (measured: 4x10.3 s corpus-scan tasks, 6 pairs tasks). Targeting
+    ~3 splits per core rebalances those stages; the [16m, 128m] clamp
+    means a narrow driver (defaultParallelism<=2) or a real multi-
+    executor cluster (ample splits at any setting) keeps the default,
+    and per-task overhead never dominates (the measured 8m floor
+    regression)."""
+
+    KEY = "spark.sql.files.maxPartitionBytes"
+
+    def __init__(self, spark: SparkSession, total_bytes: int,
+                 per_core: int = 3):
+        self.spark = spark
+        self.total = total_bytes
+        self.per_core = per_core
+        self.old: str | None = None
+
+    def __enter__(self):
+        if self.total <= 0:
+            return self
+        par = self.spark.sparkContext.defaultParallelism
+        target = self.total // max(par * self.per_core, 1)
+        target = min(128 << 20, max(16 << 20, target))
+        self.old = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(target))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set(self.KEY, self.old)
+        return False
+
+
 def _summarize_and_write_stats(
     spark: SparkSession, paths: IndexPaths
 ) -> tuple[int, int, str, int, float, int]:
@@ -353,6 +424,7 @@ def _encode_and_write_postings(
     spark: SparkSession, pairs: DataFrame, out_dir: str,
     avgdl: float, k1: float, b: float, block_size: int,
     n_groups: int = 0, bucket_dirs: bool = True,
+    check_empty: bool = True,
 ) -> tuple[int, int]:
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
     with dynamic partition overwrite. Returns (rows, ~terms).
@@ -364,10 +436,13 @@ def _encode_and_write_postings(
     bucket) — ~2048 of them at production geometry — while a pushed
     bucket filter over sorted row groups prunes a delta-sized scan just
     as well."""
-    if pairs.isEmpty():
+    if check_empty and pairs.isEmpty():
         # nothing to encode (empty segment group / all docs removed from
         # the affected segments) — Observation.get would hang/assert on a
-        # plan that never runs tasks
+        # plan that never runs tasks. Callers that can PROVE the input is
+        # non-empty (full build, one group, doc_map row count > 0) pass
+        # check_empty=False: the probe is a whole extra driver round-trip
+        # (plan + one-partition job) on the build's critical path.
         return 0, 0
     enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
     # ONE exchange, grouped by (seg, bucket): the shuffle carries compact
@@ -589,19 +664,26 @@ def build_index(
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, snapshot_id))
     if fresh_doc_map:
         docs = _with_doc_columns(corpus, mode, n_segments)
-        (
-            docs.select(*doc_map_cols(store_content))
-            # bound output files: ~1 writer task per segment dir instead of
-            # (input tasks × segments) small files
-            .repartition(n_segments, "seg")
-            # doc_id-sorted rows per file: parquet row-group/page min-max
-            # stats make candidate fetches (literal doc_id IN (...) after
-            # trigram intersection) skip row groups instead of scanning
-            .sortWithinPartitions("seg", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("seg")
-            .parquet(paths.doc_map)
-        )
+        # per_core=2: the tokenize scan's tasks are uniform, so two even
+        # waves pack perfectly while per-task Python-UDF setup (~0.4 s)
+        # stays amortized; the pairs scan below keeps 3/core (its tasks
+        # are cheaper and benefit from finer packing — measured).
+        with _scan_splits(spark, _local_input_bytes(corpus.inputFiles()),
+                          per_core=2):
+            (
+                docs.select(*doc_map_cols(store_content))
+                # bound output files: ~1 writer task per segment dir
+                # instead of (input tasks × segments) small files
+                .repartition(n_segments, "seg")
+                # doc_id-sorted rows per file: parquet row-group/page
+                # min-max stats make candidate fetches (literal doc_id
+                # IN (...) after trigram intersection) skip row groups
+                # instead of scanning
+                .sortWithinPartitions("seg", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(paths.doc_map)
+            )
     n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
         _summarize_and_write_stats(spark, paths)
     if n != nd:
@@ -649,6 +731,7 @@ def build_index(
         [s for s in range(n_segments) if s % build_groups == g]
         for g in range(min(build_groups, n_segments))
     ]
+    doc_map_bytes = _dir_bytes(paths.doc_map)
     for g, segs in enumerate(groups):
         if not segs:
             continue
@@ -657,10 +740,15 @@ def build_index(
         t0 = time.time()
         docs_g = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(segs))
         pairs = _pairs_df(docs_g, term_buckets)
-        nrows, nterms = _encode_and_write_postings(
-            spark, pairs, paths.postings, avgdl, k1, b, block_size,
-            n_groups=len(segs) * term_buckets,
-        )
+        with _scan_splits(spark, doc_map_bytes * len(segs) // n_segments):
+            nrows, nterms = _encode_and_write_postings(
+                spark, pairs, paths.postings, avgdl, k1, b, block_size,
+                n_groups=len(segs) * term_buckets,
+                # one group holding EVERY segment + n>0 rows proves the
+                # pairs frame is non-empty; multi-group builds keep the
+                # probe (a group's segments can all be empty)
+                check_empty=not (len(groups) == 1 and n > 0),
+            )
         man.complete(
             "postings", g, snapshot, nrows, nterms,
             int((time.time() - t0) * 1000),

@@ -56,7 +56,8 @@ _OR_SCORERS = {
 
 def _score_boolean_segment(by_term: dict, plan: dict, idfs: dict,
                            avgdl: float, k1: float, b: float, k: int,
-                           allowed, block_size: int, tombstoned=None):
+                           allowed, block_size: int, tombstoned=None,
+                           cache=None):
     """One boolean-query evaluation inside one segment: must/should/not
     clauses plus (index-only) positive and negative phrases. Shared by
     search_query and search_many(mode='syntax'). `tombstoned` (sorted ids)
@@ -87,7 +88,8 @@ def _score_boolean_segment(by_term: dict, plan: dict, idfs: dict,
             tombstoned if banned is None or not banned.size
             else np.union1d(banned, tombstoned)
         )
-    return _scorer.score_boolean(m, s, n, idfs, avgdl, k1, b, k, allowed, banned)
+    return _scorer.score_boolean(m, s, n, idfs, avgdl, k1, b, k, allowed,
+                                 banned, cache=cache)
 
 
 def _pick_or_scorer(strategy: str, total_postings: int, k: int):
@@ -697,12 +699,31 @@ class BM25Index:
             by_term: dict[str, dict] = {}
             for rec in pdf.to_dict("records"):
                 by_term[rec["term"]] = rec
+            # decoded-postings cache (VERDICT r4 #3): a term shared by Q
+            # plans is decoded ONCE per task instead of Q times. Seed
+            # eagerly for multi-use terms so even the block-selective
+            # kernels hit it (they then slice instead of re-decode);
+            # single-use terms keep their lazy block-skipping decode.
+            from collections import Counter as _Counter
+
+            use = _Counter()
+            for plan in plans_l:
+                if plan["mode"] == "syntax":
+                    terms_p = set(plan["must"]) | set(plan["should"]) | set(
+                        plan["must_not"])
+                else:
+                    terms_p = set(plan["terms"])
+                use.update(t for t in terms_p if t in by_term)
+            cache = _scorer.TermDecodeCache(block_size)
+            for t, c in use.items():
+                if c >= 2:
+                    _scorer._raw_decode(by_term[t], cache)
             out_q, out_d, out_s = [], [], []
             for plan in plans_l:
                 if plan["mode"] == "syntax":
                     res = _score_boolean_segment(
                         by_term, plan, idfs_l, avgdl, k1, b, q_k, allowed,
-                        block_size, tombstoned=banned,
+                        block_size, tombstoned=banned, cache=cache,
                     )
                     if res is None:
                         continue
@@ -715,13 +736,14 @@ class BM25Index:
                         if len(rows) < len(plan["terms"]):
                             continue
                         ids, scores = _scorer.score_and(
-                            rows, idfs_l, avgdl, k1, b, q_k, allowed, banned
+                            rows, idfs_l, avgdl, k1, b, q_k, allowed, banned,
+                            cache=cache,
                         )
                     else:
                         total = sum(int(r["n_docs"]) for r in rows)
                         fn = _pick_or_scorer(q_strategy, total, q_k)
                         ids, scores = fn(rows, idfs_l, avgdl, k1, b, q_k,
-                                         allowed, banned)
+                                         allowed, banned, cache=cache)
                 out_q.extend([plan["qid"]] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(scores.tolist())

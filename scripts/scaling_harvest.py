@@ -19,7 +19,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+OUT = os.environ.get(
+    "HARVEST_OUT", os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+)
 
 
 def one_run(cores: int, n_docs: int, zip_path: str) -> dict | None:
@@ -57,11 +59,16 @@ def main() -> None:
     want_per_level = int(os.environ.get("HARVEST_RUNS", "3"))
     zip_path = os.path.join(REPO, "BENCH", "dist.zip")
 
-    counts = {2: 0, 8: 0}
+    levels = sorted(
+        int(x) for x in os.environ.get("HARVEST_LEVELS", "2,8").split(",")
+    )
+    counts = {c: 0 for c in levels}
     if os.path.exists(OUT):
         for ln in open(OUT):
             try:
-                counts[json.loads(ln)["cores"]] += 1
+                c = json.loads(ln)["cores"]
+                if c in counts:
+                    counts[c] += 1
             except Exception:
                 pass
     deadline = time.time() + max_minutes * 60
@@ -72,7 +79,8 @@ def main() -> None:
             continue
         # run the level with fewer samples first; tie -> the big level
         # (it is the noise-sensitive one)
-        cores = 8 if counts[8] <= counts[2] else 2
+        wide, narrow = levels[-1], levels[0]
+        cores = wide if counts[wide] <= counts[narrow] else narrow
         rec = one_run(cores, n_docs, zip_path)
         if rec is not None:
             with open(OUT, "a") as f:

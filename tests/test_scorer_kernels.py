@@ -76,3 +76,50 @@ def test_empty_and_degenerate():
                scorer.score_maxscore_or, scorer.score_and):
         ids, sc = fn([], {}, 50.0, K1, B, 10)
         assert ids.size == 0 and sc.size == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("k", [1, 5, 50])
+def test_decode_cache_identical(seed, k):
+    """Every kernel must be bit-identical with a pre-seeded
+    TermDecodeCache (the batch path seeds terms shared by >=2 queries;
+    WAND/MaxScore then SLICE the cached flat arrays per block instead of
+    decoding — slices must line up with block boundaries exactly)."""
+    rng = np.random.default_rng(400 + seed)
+    avgdl = 100.0
+    block = 8
+    rows, idfs = _make_rows(rng, n_terms=5, n_docs=250, avgdl=avgdl,
+                            block=block)
+    cache = scorer.TermDecodeCache(block)
+    for r in rows:
+        scorer._raw_decode(r, cache)
+    all_ids = np.unique(np.concatenate(
+        [scorer.decode_all_blocks(r["ids_blocks"]) for r in rows]
+    )).astype(np.int64)
+    allowed = np.sort(rng.choice(all_ids, size=max(1, all_ids.size // 2),
+                                 replace=False))
+    banned = np.sort(rng.choice(all_ids, size=max(1, all_ids.size // 5),
+                                replace=False))
+    for fn in (scorer.score_exhaustive_or, scorer.score_wand_or,
+               scorer.score_maxscore_or, scorer.score_and):
+        for al, bn in ((None, None), (allowed, None), (None, banned),
+                       (allowed, banned)):
+            base = fn(rows, idfs, avgdl, K1, B, k, al, bn)
+            got = fn(rows, idfs, avgdl, K1, B, k, al, bn, cache=cache)
+            np.testing.assert_array_equal(got[0], base[0])
+            np.testing.assert_allclose(got[1], base[1], rtol=1e-12)
+
+
+def test_decode_cache_boolean_identical():
+    rng = np.random.default_rng(900)
+    avgdl = 90.0
+    rows, idfs = _make_rows(rng, n_terms=6, n_docs=200, avgdl=avgdl, block=8)
+    cache = scorer.TermDecodeCache(8)
+    for r in rows:
+        scorer._raw_decode(r, cache)
+    base = scorer.score_boolean(rows[:2], rows[2:4], rows[4:5], idfs,
+                                avgdl, K1, B, 10)
+    got = scorer.score_boolean(rows[:2], rows[2:4], rows[4:5], idfs,
+                               avgdl, K1, B, 10, cache=cache)
+    np.testing.assert_array_equal(got[0], base[0])
+    np.testing.assert_allclose(got[1], base[1], rtol=1e-12)
