@@ -56,13 +56,30 @@ CONTENT_STORE_DIR = "content_store"
 BLOBS_SUBDIR = "blobs"
 PTR_SUBDIR = "ptr"
 MARKER = "_CONTENT_STORE_COMPLETE"
-CODEC = "zlib1"  # per-doc zlib level 1: ~3-4x on code, cheap to inflate
+CODEC = "zlib1"  # zlib level 1 blocks: ~3-4x on code, cheap to inflate
+# Store format 2 (round 5): SMALL DOCS ARE PACKED — up to _PACK_MAX_DOCS
+# consecutive docs (or _PACK_MAX_BYTES raw) share ONE compressed block,
+# and pointer rows carry (blk_off, raw_len) to slice their doc out of
+# the inflated block. Why: at ~190 B/doc the per-doc seek + zlib header
+# + Arrow framing overhead measured 4x the scan's bytes
+# (BENCH/SCALE_DEMO r4), which forced mid-size candidate fetches onto
+# the scan-equal doc_map semi-join tier. Packing amortizes that
+# overhead ~64x and lets zlib exploit cross-doc redundancy, so the
+# point-read tier wins on small-doc corpora too (Zoekt packs shards the
+# same way). Docs >= _PACK_MAX_BYTES still get a block of their own —
+# fetching one big doc never inflates its neighbors. Format-1 stores
+# (blk_off null in the pointer parquet) read through the same path with
+# blk_off=0 and block == doc.
+FORMAT = 2
+_PACK_MAX_DOCS = 64
+_PACK_MAX_BYTES = 64 << 10
 
 # pointer rows, seg last (partition column); explicit schema keeps an
 # empty store a valid empty DataFrame instead of inference failure
 _PTR_SCHEMA = (
     "doc_id long, repo string, path string, lang string, "
-    "file string, off long, clen long, raw_len long, is_binary boolean"
+    "file string, off long, clen long, blk_off long, raw_len long, "
+    "is_binary boolean"
 )
 _PTR_TABLE_SCHEMA = _PTR_SCHEMA + ", seg int"
 
@@ -93,7 +110,7 @@ def invalidate_content_store_marker(root: str) -> None:
 
 
 def _write_marker(root: str, n_docs: int, delta_docs: int = 0,
-                  avg_raw_len: float = 0.0) -> None:
+                  avg_raw_len: float = 0.0, fmt: int = FORMAT) -> None:
     # delta_docs counts docs covered only by LSM blob appends since the
     # last full derive — the compaction trigger's accumulator.
     # avg_raw_len (mean uncompressed doc bytes) feeds the query-side
@@ -105,7 +122,8 @@ def _write_marker(root: str, n_docs: int, delta_docs: int = 0,
     with os.fdopen(fd, "w") as f:
         json.dump({"n_docs": int(n_docs), "codec": CODEC,
                    "delta_docs": int(delta_docs),
-                   "avg_raw_len": float(avg_raw_len)}, f)
+                   "avg_raw_len": float(avg_raw_len),
+                   "format": int(fmt)}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(d, MARKER))
@@ -140,40 +158,70 @@ def _blob_writer(blobs_dir: str):
     never referenced; fsync before the generator finishes so a row that
     reaches the pointer table always points at durable bytes."""
 
+    cols = ["doc_id", "repo", "path", "lang", "file", "off",
+            "clen", "blk_off", "raw_len", "is_binary", "seg"]
+
     def gen(batches):
         import uuid
         import zlib
 
         writers: dict[int, list] = {}  # seg -> [relpath, fh, offset]
+        packs: dict[int, list] = {}    # seg -> [meta_rows, raw_parts, nbytes]
+
+        def flush(seg: int, out: list) -> None:
+            pack = packs.get(seg)
+            if not pack or not pack[0]:
+                return
+            metas, raws, _nb = pack
+            w = writers.get(seg)
+            if w is None:
+                d = os.path.join(blobs_dir, f"seg={seg}")
+                os.makedirs(d, exist_ok=True)
+                name = f"{uuid.uuid4().hex}.bin"
+                fh = open(os.path.join(d, name), "wb")
+                w = writers[seg] = [f"seg={seg}/{name}", fh, 0]
+            rel, fh, off = w
+            comp = zlib.compress(b"".join(raws), 1)
+            fh.write(comp)
+            clen = len(comp)
+            blk_off = 0
+            for doc_id, repo, path, lang, raw_len, is_binary in metas:
+                out.append((doc_id, repo, path, lang, rel, off, clen,
+                            blk_off, raw_len, is_binary, seg))
+                blk_off += raw_len
+            w[2] = off + clen
+            packs[seg] = [[], [], 0]
+
         try:
             for pdf in batches:
                 out = []
                 for seg_val, grp in pdf.groupby("seg", sort=False):
                     seg = int(seg_val)
-                    w = writers.get(seg)
-                    if w is None:
-                        d = os.path.join(blobs_dir, f"seg={seg}")
-                        os.makedirs(d, exist_ok=True)
-                        name = f"{uuid.uuid4().hex}.bin"
-                        fh = open(os.path.join(d, name), "wb")
-                        w = writers[seg] = [f"seg={seg}/{name}", fh, 0]
-                    rel, fh, off = w
+                    pack = packs.setdefault(seg, [[], [], 0])
                     for r in grp.itertuples(index=False):
                         raw = ("" if r.content is None else str(r.content)
                                ).encode("utf-8")
-                        comp = zlib.compress(raw, 1)
-                        fh.write(comp)
-                        out.append((
-                            int(r.doc_id), r.repo, r.path, r.lang, rel,
-                            off, len(comp), len(raw), bool(r.is_binary),
-                            seg,
+                        if pack[0] and (
+                            pack[2] + len(raw) > _PACK_MAX_BYTES
+                            or len(pack[0]) >= _PACK_MAX_DOCS
+                        ):
+                            flush(seg, out)
+                            pack = packs[seg]
+                        pack[0].append((
+                            int(r.doc_id), r.repo, r.path, r.lang,
+                            len(raw), bool(r.is_binary),
                         ))
-                        off += len(comp)
-                    w[2] = off
-                yield pd.DataFrame(out, columns=[
-                    "doc_id", "repo", "path", "lang", "file", "off",
-                    "clen", "raw_len", "is_binary", "seg",
-                ])
+                        pack[1].append(raw)
+                        pack[2] += len(raw)
+                        if pack[2] >= _PACK_MAX_BYTES:
+                            flush(seg, out)
+                            pack = packs[seg]
+                yield pd.DataFrame(out, columns=cols)
+            tail = []
+            for seg in list(packs):
+                flush(seg, tail)
+            if tail:
+                yield pd.DataFrame(tail, columns=cols)
         finally:
             for _, fh, _ in writers.values():
                 fh.flush()
@@ -197,17 +245,28 @@ def _blob_reader(blobs_dir: str):
             if pdf.empty:
                 continue
             pdf = pdf.reset_index(drop=True)
+            boffs = pdf["blk_off"].fillna(0).astype("int64") \
+                if "blk_off" in pdf.columns \
+                else pd.Series(np.zeros(len(pdf), dtype=np.int64))
+            rlens = pdf["raw_len"].astype("int64")
             contents = np.empty(len(pdf), dtype=object)
             for fname, grp in pdf.groupby("file", sort=False):
-                grp = grp.sort_values("off")
+                grp = grp.sort_values(["off", "blk_off"]) \
+                    if "blk_off" in grp.columns else grp.sort_values("off")
                 with open(os.path.join(blobs_dir, fname), "rb") as fh:
+                    # co-located candidates share a block: ONE ranged
+                    # read + ONE inflate per (off, clen), sliced per doc
+                    last_off, block = -1, b""
                     for pos, off, clen in zip(
                         grp.index, grp["off"], grp["clen"]
                     ):
-                        fh.seek(int(off))
-                        contents[pos] = zlib.decompress(
-                            fh.read(int(clen))
-                        ).decode("utf-8")
+                        if int(off) != last_off:
+                            fh.seek(int(off))
+                            block = zlib.decompress(fh.read(int(clen)))
+                            last_off = int(off)
+                        s = int(boffs[pos])
+                        contents[pos] = block[s:s + int(rlens[pos])
+                                              ].decode("utf-8")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "repo": pdf["repo"],
@@ -365,7 +424,8 @@ def commit_content_store_delta(
     # the tier heuristic only needs the size class, refreshed exactly at
     # the next full derive/compaction
     _write_marker(root, n, delta_docs=delta_docs,
-                  avg_raw_len=float(prior.get("avg_raw_len", 0.0)))
+                  avg_raw_len=float(prior.get("avg_raw_len", 0.0)),
+                  fmt=int(prior.get("format", 1)))
 
 
 def refresh_content_store_segments(
@@ -381,7 +441,8 @@ def refresh_content_store_segments(
         return
     # other segments may still carry delta-appended blobs — keep their
     # garbage accounted (over-counting only compacts earlier, never later)
-    old_delta = int(_read_any_marker(root).get("delta_docs", 0))
+    prior_m = _read_any_marker(root)
+    old_delta = int(prior_m.get("delta_docs", 0))
     invalidate_content_store_marker(root)
     store = _store_dir(root)
     for s in segs:
@@ -403,8 +464,12 @@ def refresh_content_store_segments(
     row = _ptr_df(spark, root).agg(
         F.count("*").alias("n"), F.avg("raw_len").alias("avg")
     ).collect()[0]
+    # untouched segments keep their blobs: the format claim (the packed
+    # fetch-tier heuristic) must not upgrade past what the OLDEST
+    # surviving segment was written with
     _write_marker(root, int(row["n"]), delta_docs=old_delta,
-                  avg_raw_len=float(row["avg"] or 0.0))
+                  avg_raw_len=float(row["avg"] or 0.0),
+                  fmt=int(prior_m.get("format", 1)))
 
 
 def _ptr_df(spark: SparkSession, root: str) -> DataFrame:
@@ -440,6 +505,10 @@ class ContentStore:
         # mean uncompressed doc bytes (0.0 on pre-field stores): the
         # query-side blob-vs-columnar tier gate
         self.avg_raw_len = float(marker.get("avg_raw_len", 0.0))
+        # format >= 2: small docs are packed into shared blocks, so the
+        # blob point-read tier beats the doc_map semi-join even on
+        # small-doc corpora (the per-doc overhead is amortized)
+        self.packed = int(marker.get("format", 1)) >= 2
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "ContentStore":
@@ -471,7 +540,8 @@ class ContentStore:
         """Inflate an arbitrary pointer-row subset (columns of _PTR_SCHEMA)
         to (doc_id, repo, path, lang, content)."""
         return ptr_rows.select(
-            "doc_id", "repo", "path", "lang", "file", "off", "clen"
+            "doc_id", "repo", "path", "lang", "file", "off", "clen",
+            "blk_off", "raw_len"
         ).mapInPandas(_blob_reader(self.blobs_dir), FETCH_SCHEMA)
 
     # driver-side fetch cap: k results are driver-sized by definition (the
@@ -508,21 +578,29 @@ class ContentStore:
         )
         if exclude_binary:
             flt = flt & ~pads.field("is_binary")
-        tbl = dset.to_table(
-            columns=["doc_id", "repo", "path", "lang", "file", "off",
-                     "clen"],
-            filter=flt,
-        )
-        pdf = tbl.to_pandas()
+        want = ["doc_id", "repo", "path", "lang", "file", "off", "clen",
+                "raw_len"]
+        names = set(dset.schema.names)
+        has_blk = "blk_off" in names
+        if has_blk:
+            want.append("blk_off")
+        tbl = dset.to_table(columns=want, filter=flt)
+        pdf = tbl.to_pandas().reset_index(drop=True)
+        boffs = pdf["blk_off"].fillna(0).astype("int64") if has_blk             else pd.Series(np.zeros(len(pdf), dtype=np.int64))
+        rlens = pdf["raw_len"].astype("int64")
         contents = np.empty(len(pdf), dtype=object)
         for fname, grp in pdf.groupby("file", sort=False):
-            grp = grp.sort_values("off")
+            grp = grp.sort_values(["off", "blk_off"]) if has_blk                 else grp.sort_values("off")
             with open(os.path.join(self.blobs_dir, fname), "rb") as fh:
+                last_off, block = -1, b""
                 for pos, off, clen in zip(grp.index, grp["off"], grp["clen"]):
-                    fh.seek(int(off))
-                    contents[pos] = zlib.decompress(
-                        fh.read(int(clen))
-                    ).decode("utf-8")
+                    if int(off) != last_off:
+                        fh.seek(int(off))
+                        block = zlib.decompress(fh.read(int(clen)))
+                        last_off = int(off)
+                    s = int(boffs[pos])
+                    contents[pos] = block[s:s + int(rlens[pos])
+                                          ].decode("utf-8")
         out = pdf[["doc_id", "repo", "path", "lang"]].copy()
         out["content"] = contents
         return out

@@ -1178,7 +1178,10 @@ class TrigramIndex:
         store = self.content_store
         if store is None:
             return TRIAGE_SCAN_FRACTION
-        if store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
+        if store.packed or store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
+            # packed (format-2) stores amortize per-doc fetch overhead
+            # across ~64-doc blocks, so the blob tier wins even on
+            # small-doc corpora
             return BLOB_SCAN_FRACTION
         return STORE_SCAN_FRACTION
 
@@ -1522,7 +1525,9 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
         if len(rows) > CANDIDATE_COLLECT_MAX:
             rows = None  # est unknown and the probe overflowed
     if rows is None:
-        if store is not None and store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
+        if store is not None and (
+            store.packed or store.avg_raw_len >= BLOB_MIN_DOC_BYTES
+        ):
             # blob tier: join the (narrow, ~80-byte-row) pointer table
             # with the candidate set — AQE broadcasts whichever side is
             # small; seg joins too so dynamic partition pruning can skip

@@ -151,6 +151,26 @@ def main() -> int:
         if row["path"] + "_neardup" in dup_paths and len(rare) >= 3:
             add("near_dup", " ".join(rare[:4]), "or", gid)
 
+    # top up the mid_df class to >=100 queries from the full corpus (the
+    # picked sample alone yields ~15: few docs carry >=3 mid-band tokens
+    # — VERDICT r4 ask #4 wants the weakest class at n>=100)
+    md_have = sum(1 for c in qclass if c == "mid_df")
+    md_gold = {g for g, c in zip(gold, qclass) if c == "mid_df"}
+    for j in rng.permutation(len(body)):
+        if md_have >= 100:
+            break
+        row = body.iloc[int(j)]
+        gid = key2id[(row["repo"], row["path"])]
+        if gid in md_gold:
+            continue
+        toks = list(dict.fromkeys(tokenize(row["content"], "code")))
+        mid = sorted((t for t in toks if 5 <= df_map.get(t, 0) <= 150),
+                     key=lambda t: (df_map[t], t))
+        if len(mid) >= 3:
+            add("mid_df", " ".join(mid[:4]), "or", gid)
+            md_gold.add(gid)
+            md_have += 1
+
     # top up the near_dup class from the dup'd originals directly (the
     # random picked-sample intersection alone is a handful of queries)
     nd_have = sum(1 for c in qclass if c == "near_dup")
@@ -225,8 +245,43 @@ def main() -> int:
     recall = agg["ALL"]["hits"] / n
     mrr = agg["ALL"]["rr"] / n
 
+    # mid_df miss diagnosis (VERDICT r4 ask #4): for every mid_df query
+    # whose gold is not rank-1, compare gold vs the doc that beat it —
+    # term coverage, summed tf over the query terms, and doc length.
+    # If winners cover MORE query terms / higher tf, the miss is
+    # BM25-inherent (another doc genuinely matches the bag-of-words
+    # better); if coverage/tf tie and the winner is merely shorter, it
+    # is length-normalization; mismatched token splits would show up as
+    # gold coverage below the query's term count.
+    from collections import Counter
+
+    def _cov_tf(doc_id_: int, qterms_: list) -> tuple[int, int, int]:
+        tl = tokenize(id2content[doc_id_], "code")
+        c = Counter(tl)
+        return (sum(1 for t in qterms_ if c[t] > 0),
+                sum(c[t] for t in qterms_), len(tl))
+
+    mid_diag = []
+    for qid, (g, cls) in enumerate(zip(gold, qclass)):
+        if cls != "mid_df":
+            continue
+        sub = res[res["query_id"] == qid]
+        ranked = sub["doc_id"].tolist()
+        rank = ranked.index(g) + 1 if g in ranked else None
+        if rank == 1:
+            continue
+        qterms = queries[qid][0].split()
+        g_cov, g_tf, g_len = _cov_tf(g, qterms)
+        w_cov, w_tf, w_len = _cov_tf(int(ranked[0]), qterms)
+        mid_diag.append({
+            "rank": rank, "n_qterms": len(qterms),
+            "gold": {"cov": g_cov, "tf": g_tf, "len": g_len},
+            "winner": {"cov": w_cov, "tf": w_tf, "len": w_len},
+        })
+
     out = {
         "metric": "retrieval_quality",
+        "mid_df_misses": mid_diag,
         "recall_at_k": round(recall, 4),
         "mrr": round(mrr, 4),
         "k": args.k,
@@ -240,6 +295,7 @@ def main() -> int:
     print(json.dumps(out))
 
     md = os.path.join(REPO, "BENCH", "RETRIEVAL.md")
+    tag = args.tag or "r?"
     header = (
         "# RETRIEVAL — ranking-quality tracking (Recall@K / MRR)\n\n"
         "Known-answer queries synthesized from held-out documents "
@@ -250,66 +306,78 @@ def main() -> int:
         "| round | corpus | n | Recall@10 | MRR | batch wall (s) | per-query (ms) |\n"
         "|---|---|---|---|---|---|---|\n"
     )
-    if not os.path.exists(md):
-        with open(md, "w") as f:
-            f.write(header)
-    with open(md, "a") as f:
-        f.write(
-            f"| {args.tag or 'r?'} | gen{args.docs}+dups | {n} "
-            f"| {recall:.3f} | {mrr:.3f} | {wall:.2f} "
-            f"| {1000 * wall / n:.1f} |\n"
-        )
-    sect = "## per-class breakdown (round 4+: harder query classes)"
-    with open(md) as f:
-        have_sect = sect in f.read()
-    with open(md, "a") as f:
-        if not have_sect:
-            f.write(
-                f"\n{sect}\n\n"
-                "rare = rarest-token queries (the old ceiling class); "
-                "distractor = 2 rare + 2 ubiquitous noise terms; mid_df = "
-                "only mid-frequency terms; phrase = adjacent-bigram syntax "
-                "query; prox_bigram = the same bigram as bag-of-words "
-                "(adjacency invisible to BM25 — the reranker's showcase); "
-                "near_dup = gold must outrank its own near-duplicate."
-                "\n\n"
-                "| round | class | n | Recall@10 | MRR |\n"
-                "|---|---|---|---|---|\n"
-            )
-        for cls, v in per_class.items():
-            if cls == "ALL":
-                continue
-            f.write(f"| {args.tag or 'r?'} | {cls} | {v['n']} "
-                    f"| {v['recall_at_k']:.3f} | {v['mrr']:.3f} |\n")
-        f.write(f"| {args.tag or 'r?'} | **ALL** | {n} "
-                f"| {recall:.3f} | {mrr:.3f} |\n")
-    rr_sect = "## rerank arm — proximity reranker MRR delta"
-    with open(md) as f:
-        have_rr = rr_sect in f.read()
-    with open(md, "a") as f:
-        if not have_rr:
-            f.write(
-                f"\n{rr_sect}\n\n"
-                "Same query set, each top-k rescored with the proximity "
-                "kernel (ck_spark/query/rerank.py — the rerank=True path's "
-                "scorer; permutes within top-k, so Recall@K is unchanged "
-                "by construction and only MRR moves). `lists permuted` = "
-                "queries whose top-k ORDER changed under rerank (proof the "
-                "arm is live); `gold moved` = queries whose GOLD rank "
-                "changed — a zero delta with nonzero permutations means "
-                "the boost reorders tail competitors but BM25 already "
-                "placed gold correctly relative to its own coverage "
-                "class.\n\n"
-                "| round | class | n | MRR base | MRR rerank | delta "
-                "| lists permuted | gold moved |\n"
-                "|---|---|---|---|---|---|---|---|\n"
-            )
-        for cls, v in per_class.items():
-            label = "**ALL**" if cls == "ALL" else cls
-            f.write(f"| {args.tag or 'r?'} | {label} | {v['n']} "
-                    f"| {v['mrr']:.3f} | {v['mrr_rerank']:.3f} "
-                    f"| {v['mrr_rerank'] - v['mrr']:+.3f} "
-                    f"| {v['lists_permuted']} | {v['gold_moved']} |\n")
+    sect = (
+        "## per-class breakdown (round 4+: harder query classes)\n\n"
+        "rare = rarest-token queries (the old ceiling class); "
+        "distractor = 2 rare + 2 ubiquitous noise terms; mid_df = "
+        "only mid-frequency terms; phrase = adjacent-bigram syntax "
+        "query; prox_bigram = the same bigram as bag-of-words "
+        "(adjacency invisible to BM25 — the reranker's showcase); "
+        "near_dup = gold must outrank its own near-duplicate."
+        "\n\n"
+        "| round | class | n | Recall@10 | MRR |\n"
+        "|---|---|---|---|---|\n"
+    )
+    rr_sect = (
+        "## rerank arm — proximity reranker MRR delta\n\n"
+        "Same query set, each top-k rescored with the proximity "
+        "kernel (ck_spark/query/rerank.py — the rerank=True path's "
+        "scorer; permutes within top-k, so Recall@K is unchanged "
+        "by construction and only MRR moves). `lists permuted` = "
+        "queries whose top-k ORDER changed under rerank (proof the "
+        "arm is live); `gold moved` = queries whose GOLD rank "
+        "changed — a zero delta with nonzero permutations means "
+        "the boost reorders tail competitors but BM25 already "
+        "placed gold correctly relative to its own coverage "
+        "class.\n\n"
+        "| round | class | n | MRR base | MRR rerank | delta "
+        "| lists permuted | gold moved |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+    )
+
+    def insert_rows(text: str, section: str, rows: list[str]) -> str:
+        """Append rows to the END of `section`'s table (the text between
+        its heading and the next '## ' heading or EOF), creating the
+        section at EOF if absent. Appending at file-end unconditionally —
+        the old behavior — interleaved each re-run's headline/per-class/
+        rerank rows after the LAST table, producing misaligned columns
+        (the corruption VERDICT r4 flagged at commit 5b50d69)."""
+        head = section.splitlines()[0]
+        if head not in text:
+            if not text.endswith("\n"):
+                text += "\n"
+            return text + "\n" + section + "".join(rows)
+        start = text.index(head)
+        nxt = text.find("\n## ", start + len(head))
+        end = len(text) if nxt == -1 else nxt + 1  # keep trailing newline
+        seg = text[:end].rstrip("\n") + "\n" + "".join(rows)
+        if nxt == -1:
+            return seg
+        return seg + "\n" + text[end:].lstrip("\n")
+
+    text = open(md).read() if os.path.exists(md) else header
+    text = insert_rows(
+        text, header,
+        [f"| {tag} | gen{args.docs}+dups | {n} "
+         f"| {recall:.3f} | {mrr:.3f} | {wall:.2f} "
+         f"| {1000 * wall / n:.1f} |\n"],
+    )
+    cls_rows = [
+        f"| {tag} | {cls} | {v['n']} "
+        f"| {v['recall_at_k']:.3f} | {v['mrr']:.3f} |\n"
+        for cls, v in per_class.items() if cls != "ALL"
+    ] + [f"| {tag} | **ALL** | {n} | {recall:.3f} | {mrr:.3f} |\n"]
+    text = insert_rows(text, sect, cls_rows)
+    rr_rows = [
+        f"| {tag} | {'**ALL**' if cls == 'ALL' else cls} | {v['n']} "
+        f"| {v['mrr']:.3f} | {v['mrr_rerank']:.3f} "
+        f"| {v['mrr_rerank'] - v['mrr']:+.3f} "
+        f"| {v['lists_permuted']} | {v['gold_moved']} |\n"
+        for cls, v in per_class.items()
+    ]
+    text = insert_rows(text, rr_sect, rr_rows)
+    with open(md, "w") as f:
+        f.write(text)
     spark.stop()
     return 0
 

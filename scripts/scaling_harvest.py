@@ -32,6 +32,9 @@ def one_run(cores: int, n_docs: int, zip_path: str) -> dict | None:
         os.path.join(REPO, "scripts", "scaling_job.py"),
         "--cores", str(cores), "--n-docs", str(n_docs),
     ]
+    extra = os.environ.get("HARVEST_EXTRA_ARGS")
+    if extra:
+        cmd += extra.split()
     corpus_path = os.environ.get("HARVEST_CORPUS")
     if corpus_path:
         # stored-table protocol (round-3 finding): the north-rule input is

@@ -337,3 +337,55 @@ def test_update_dead_terms_from_blob_store_exact(spark, tmp_path):
         for p in (root, root2)
     ]
     assert res[0] == res[1]
+
+
+def test_small_docs_share_packed_blocks(spark, stored):
+    """Format-2 packing (VERDICT r4 ask #7): small docs must share
+    compressed blocks — pointer rows with the same (file, off, clen) and
+    ascending blk_off — so mid-size candidate fetches amortize per-doc
+    seek/inflate overhead. Blocks respect the per-block doc/byte caps,
+    and a doc bigger than the byte cap gets a block of its own."""
+    from ck_spark.index.content_store import (
+        _PACK_MAX_BYTES,
+        _PACK_MAX_DOCS,
+        _read_marker,
+    )
+
+    _, root = stored
+    assert _read_marker(root).get("format", 1) >= 2
+    store = ContentStore.load(spark, root)
+    assert store.packed
+    ptr = store.ptr.select("file", "off", "clen", "blk_off", "raw_len",
+                           "doc_id").toPandas()
+    n_docs = len(ptr)
+    blocks = ptr.groupby(["file", "off"])
+    assert blocks.ngroups < n_docs, "no packing happened"
+    for (_f, _o), grp in blocks:
+        assert len(grp) <= _PACK_MAX_DOCS
+        small = grp[grp["raw_len"] < _PACK_MAX_BYTES]
+        if len(grp) > 1:
+            # packed block: per-doc slices tile [0, sum(raw_len)) exactly
+            g = grp.sort_values("blk_off")
+            expect = 0
+            for bo, rl in zip(g["blk_off"], g["raw_len"]):
+                assert int(bo) == expect
+                expect += int(rl)
+        big = grp[grp["raw_len"] >= _PACK_MAX_BYTES]
+        if len(big):
+            assert len(grp) == len(big) == 1, "big doc must sit alone"
+        del small
+
+
+def test_packed_local_fetch_matches_distributed(spark, stored):
+    """fetch_pred_local (driver-side pyarrow path) must slice packed
+    blocks identically to the distributed reader."""
+    _, root = stored
+    dm = spark.read.parquet(root + "/doc_map")
+    rows = dm.select("seg", "doc_id", "content").collect()
+    sub = rows[:: max(1, len(rows) // 40)]
+    store = ContentStore.load(spark, root)
+    pdf = store.fetch_pred_local([r["seg"] for r in sub],
+                                 [r["doc_id"] for r in sub])
+    got = dict(zip(pdf["doc_id"], pdf["content"]))
+    for r in sub:
+        assert got[r["doc_id"]] == r["content"], r["doc_id"]

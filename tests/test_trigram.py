@@ -384,13 +384,16 @@ def test_grep_indexed_overflow_distributed_blob_tier(spark, indexed,
     assert fetched.count() == n_cand  # every candidate fetched exactly once
 
 
-def test_grep_indexed_overflow_semijoin_tier(spark, indexed, monkeypatch,
-                                             tmp_path):
-    """On small-doc corpora (avg_raw_len below BLOB_MIN_DOC_BYTES) the
-    overflow continuation is a doc_map semi-join — sequential columnar
-    content IO, regex verify over candidates only — NOT the blob tier
-    (per-doc framing overhead would exceed the content) and NOT a full
-    scan (the regex would run over every doc). Rows identical."""
+def test_grep_indexed_overflow_blob_tier_small_docs(spark, indexed,
+                                                    monkeypatch, tmp_path):
+    """On small-doc corpora with a PACKED (format-2) store the overflow
+    continuation is the BLOB tier (VERDICT r4 ask #7): a join of the
+    narrow pointer table with the candidate set, then ranged block reads
+    — content bytes never enter a shuffle (only ~80-byte pointer rows
+    do) and the doc_map's content column is never scanned. Before
+    packing, per-doc framing overhead forced these corpora onto a
+    doc_map semi-join whose content IO equaled the scan's. Rows must be
+    identical to the scan either way."""
     import shutil
 
     import ck_spark.query.trigram as tri_mod
@@ -404,6 +407,7 @@ def test_grep_indexed_overflow_semijoin_tier(spark, indexed, monkeypatch,
     build_content_store(spark, root)
     tri = TrigramIndex.load(spark, root)
     assert 0 < tri.content_store.avg_raw_len < tri_mod.BLOB_MIN_DOC_BYTES
+    assert tri.content_store.packed
     monkeypatch.setattr(tri_mod, "CANDIDATE_COLLECT_MAX", 2)
     key = lambda r: (r["path"], r["line_no"])
     scan = grep(corpus, "def ").collect()
@@ -417,18 +421,21 @@ def test_grep_indexed_overflow_semijoin_tier(spark, indexed, monkeypatch,
     plan = spark._jvm.PythonSQLUtils.explainString(
         fetched._jdf.queryExecution(), "formatted"
     )
-    # candidates must BROADCAST (a shuffled join would move content bytes)
-    assert "BroadcastHashJoin" in plan and "doc_map" in plan
-    assert "content_store" not in plan.replace("\\", "/")
+    # blob tier: pointer-table join + MapInPandas block reads; the
+    # doc_map (and its content column) must not appear in the plan
+    assert "MapInPandas" in plan
+    assert "content_store" in plan.replace("\\", "/")
+    assert "doc_map" not in plan
     assert fetched.count() == cands.count()
-    # without a provable bound the tier degrades to the plain scan —
-    # content must never move through a shuffle
+    # the pointer join is safe WITHOUT a provable candidate bound too
+    # (only tiny pointer rows shuffle, never content) — est=None keeps
+    # the same tier instead of degrading to a full scan
     unk = tri_mod._fetch_candidates(tri.doc_map_df, cands,
                                     store=tri.content_store, est=None)
     uplan = spark._jvm.PythonSQLUtils.explainString(
         unk._jdf.queryExecution(), "formatted"
     )
-    assert "Join" not in uplan
+    assert "MapInPandas" in uplan and "doc_map" not in uplan
 
 
 def test_estimate_skips_probe_and_runs_intersection_once(spark, indexed,
