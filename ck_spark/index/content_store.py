@@ -64,15 +64,26 @@ CODEC = "zlib1"  # zlib level 1 blocks: ~3-4x on code, cheap to inflate
 # + Arrow framing overhead measured 4x the scan's bytes
 # (BENCH/SCALE_DEMO r4), which forced mid-size candidate fetches onto
 # the scan-equal doc_map semi-join tier. Packing amortizes that
-# overhead ~64x and lets zlib exploit cross-doc redundancy, so the
+# overhead and lets zlib exploit cross-doc redundancy, so the
 # point-read tier wins on small-doc corpora too (Zoekt packs shards the
 # same way). Docs >= _PACK_MAX_BYTES still get a block of their own —
 # fetching one big doc never inflates its neighbors. Format-1 stores
 # (blk_off null in the pointer parquet) read through the same path with
 # blk_off=0 and block == doc.
+#
+# Block sizing: candidates of a selective query are HASH-SCATTERED, so a
+# k-candidate fetch touches ~min(k, n_blocks) distinct blocks — block
+# bytes are the IO unit, and oversized blocks make a scattered fetch
+# read the whole corpus at zlib's (worse-than-columnar-zstd) ratio.
+# 8 KB raw per block is the measured knee where per-read overhead
+# (seek + inflate setup + Arrow framing) amortizes while a mid-size
+# candidate set still skips most blocks: at ~700 B/doc that is ~12
+# docs/block, so a 4% candidate fraction hits ~39% of blocks instead of
+# the ~93% that 64 KB blocks gave (witnessed in
+# scripts/smalldoc_blob_witness.py).
 FORMAT = 2
-_PACK_MAX_DOCS = 64
-_PACK_MAX_BYTES = 64 << 10
+_PACK_MAX_DOCS = 32
+_PACK_MAX_BYTES = 8 << 10
 
 # pointer rows, seg last (partition column); explicit schema keeps an
 # empty store a valid empty DataFrame instead of inference failure

@@ -361,6 +361,15 @@ BLOB_MIN_DOC_BYTES = 4096
 # docs); past ~1/3 the sequential scan wins back.
 BLOB_SCAN_FRACTION = 0.30
 
+# packed (format-2) SMALL-doc stores: candidates are hash-scattered, so a
+# c-candidate fetch hits ~min(c, n_blocks) blocks and block bytes are the
+# IO unit. Measured crossover (scripts/smalldoc_blob_witness.py, ~700 B
+# docs, 8 KB blocks): the blob tier reads LESS than the scan below ~2.5%
+# candidate fraction (1.8x less at 0.8%, 9.6x at ~0) and more above it —
+# past the crossover the doc_map semi-join (scan-equal IO, candidate-only
+# regex CPU) is the better distributed tier, exactly as pre-packing.
+PACKED_BLOB_FRACTION = 0.025
+
 # the semi-join tier must BROADCAST the candidate ids: letting the join
 # shuffle doc_map moves every content byte through shuffle write+read —
 # measured 3x the corpus bytes (BENCH/SCALE_DEMO.md). 5M ids ≈ 40 MB
@@ -1178,11 +1187,11 @@ class TrigramIndex:
         store = self.content_store
         if store is None:
             return TRIAGE_SCAN_FRACTION
-        if store.packed or store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
-            # packed (format-2) stores amortize per-doc fetch overhead
-            # across ~64-doc blocks, so the blob tier wins even on
-            # small-doc corpora
+        if store.avg_raw_len >= BLOB_MIN_DOC_BYTES:
             return BLOB_SCAN_FRACTION
+        # packed small-doc stores: the blob tier extends the LOW-fraction
+        # regime (see PACKED_BLOB_FRACTION) but the union-level knee is
+        # still the semi-join tier's 15%
         return STORE_SCAN_FRACTION
 
     def estimate_candidates(self, grams) -> int | None:
@@ -1448,7 +1457,8 @@ def _grep_indexed_impl(
         # has no binary docs (total rows == indexed non-binary n_docs).
         dm = idx.doc_map_df
         scoped = _fetch_candidates(dm, cands, store=idx.content_store,
-                                   est=est_union)
+                                   est=est_union,
+                                   n_docs=int(idx.meta.get("n_docs") or 0))
         if _may_have_binary_docs(idx.meta):
             scoped = scoped.unionByName(
                 dm.where(F.col("is_binary")).select("repo", "path", "content")
@@ -1490,7 +1500,8 @@ def _may_have_binary_docs(meta: dict) -> bool:
 
 
 def _fetch_candidates(dm: DataFrame, cands: DataFrame,
-                      store=None, est: int | None = None) -> DataFrame:
+                      store=None, est: int | None = None,
+                      n_docs: int | None = None) -> DataFrame:
     """Content rows for the candidate (seg, doc_id) set.
 
     Binary (NUL-flagged) docs are excluded from EVERY tier: a doc
@@ -1525,8 +1536,12 @@ def _fetch_candidates(dm: DataFrame, cands: DataFrame,
         if len(rows) > CANDIDATE_COLLECT_MAX:
             rows = None  # est unknown and the probe overflowed
     if rows is None:
+        packed_small_ok = (
+            store is not None and store.packed and est is not None
+            and n_docs and est <= PACKED_BLOB_FRACTION * n_docs
+        )
         if store is not None and (
-            store.packed or store.avg_raw_len >= BLOB_MIN_DOC_BYTES
+            packed_small_ok or store.avg_raw_len >= BLOB_MIN_DOC_BYTES
         ):
             # blob tier: join the (narrow, ~80-byte-row) pointer table
             # with the candidate set — AQE broadcasts whichever side is

@@ -114,7 +114,11 @@ def main() -> int:
     grep(disk, "zzwarmupzz", topk=1).collect()
 
     rows_out = []
-    for pat in [r"parse_buffer", r"def parse_\w+", r"return cache"]:
+    # patterns chosen to SPAN candidate fractions: rare literals (the
+    # selective-grep case the tier exists for) through broad ones
+    # (where the 15% triage knee rightly hands off to the scan)
+    for pat in [r"quixotic", r"zephyrblade_\w+", r"parse_buffer",
+                r"def parse_\w+", r"return cache"]:
         n_cand = tri.candidates(tri_mod.trigram_dnf(pat.lower())).count()
         scan_mb, blob_mb, scan_w, blob_w = [], [], [], []
         scan_rows = blob_rows = 0

@@ -416,26 +416,41 @@ def test_grep_indexed_overflow_blob_tier_small_docs(spark, indexed,
     dnf = trigram_dnf("parse_buffer")
     cands = tri.candidates(dnf)
     est = sum(tri.estimate_candidates(cl) for cl in dnf)
-    fetched = tri_mod._fetch_candidates(tri.doc_map_df, cands,
-                                        store=tri.content_store, est=est)
+    # (a) candidate fraction BELOW the packed crossover -> blob tier:
+    # pointer-table join + MapInPandas block reads; the doc_map (and its
+    # content column) must not appear in the plan. n_docs is passed large
+    # so the real est lands under PACKED_BLOB_FRACTION.
+    fetched = tri_mod._fetch_candidates(
+        tri.doc_map_df, cands, store=tri.content_store, est=est,
+        n_docs=int(est / tri_mod.PACKED_BLOB_FRACTION) + 1,
+    )
     plan = spark._jvm.PythonSQLUtils.explainString(
         fetched._jdf.queryExecution(), "formatted"
     )
-    # blob tier: pointer-table join + MapInPandas block reads; the
-    # doc_map (and its content column) must not appear in the plan
     assert "MapInPandas" in plan
     assert "content_store" in plan.replace("\\", "/")
     assert "doc_map" not in plan
     assert fetched.count() == cands.count()
-    # the pointer join is safe WITHOUT a provable candidate bound too
-    # (only tiny pointer rows shuffle, never content) — est=None keeps
-    # the same tier instead of degrading to a full scan
+    # (b) fraction ABOVE the crossover -> doc_map semi-join (scan-equal
+    # sequential IO, candidate-only regex downstream): candidates must
+    # BROADCAST — a shuffled join would move content bytes
+    semi = tri_mod._fetch_candidates(
+        tri.doc_map_df, cands, store=tri.content_store, est=est,
+        n_docs=int(est / tri_mod.PACKED_BLOB_FRACTION) - 1,
+    )
+    splan = spark._jvm.PythonSQLUtils.explainString(
+        semi._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in splan and "doc_map" in splan
+    assert "content_store" not in splan.replace("\\", "/")
+    # (c) without a provable bound the tier degrades to the plain scan —
+    # content must never move through a shuffle
     unk = tri_mod._fetch_candidates(tri.doc_map_df, cands,
                                     store=tri.content_store, est=None)
     uplan = spark._jvm.PythonSQLUtils.explainString(
         unk._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in uplan and "doc_map" not in uplan
+    assert "Join" not in uplan
 
 
 def test_estimate_skips_probe_and_runs_intersection_once(spark, indexed,
