@@ -298,12 +298,14 @@ def main() -> None:
         "stays distributed. Big-doc stores (mean raw doc bytes >= "
         "BLOB_MIN_DOC_BYTES) join the content-free pointer table with the "
         "candidate frame and inflate ranged blob reads in MapInPandas — "
-        "bytes ∝ candidates. Small-doc corpora take a doc_map semi-join "
-        "instead: content IO equals the sequential columnar scan's, but "
-        "the regex verify runs over candidates only (blob point reads "
-        "would pay more in per-doc framing than the content itself — "
-        "measured, BENCH/SCALE_DEMO.md). Captured with the cap forced to "
-        "0 and the gate at both extremes; triage's union-level "
+        "bytes ∝ candidates; packed (format-2) small-doc stores take the "
+        "same plan when the candidate bound sits under "
+        "PACKED_BLOB_FRACTION of the corpus (blocks are the IO unit — "
+        "measured crossover ~2.5%, BENCH/SCALE_DEMO.md round 5). Past "
+        "the crossover, small-doc corpora take a doc_map semi-join: "
+        "content IO equals the sequential columnar scan's, but the regex "
+        "verify runs over candidates only. Captured with the cap forced "
+        "to 0 and the gate at both extremes; triage's union-level "
         "STORE_SCAN_FRACTION knee (15%) hands anything larger to the "
         "plain scan.",
         "\n".join(olines[:18]),
