@@ -20,6 +20,16 @@ and tested.
 Scale design: payloads never pass through Python row-at-a-time — Arrow
 moves each partition's binaries as buffers; heavy decode parallelism is
 controlled by repartition(n) before mapInPandas.
+
+Throughput honesty (100 TB audit): the pure-Python/numpy decoders run
+at ~MB/s per core — fine for metadata probes (demux-only, no pixel
+work) and SAMPLED decode, but a FULL-corpus image/audio decode at
+100 TB would be bottlenecked here. The fix is operational, not
+architectural: every decoder is called through one seam (the per-kind
+dispatch inside extract_features / sample_frames / resize_images), so
+a deployment with codec libraries swaps in libjpeg-turbo / soundfile /
+PyAV at that one call site and keeps the identical Spark plan, schema,
+and tests.
 """
 
 from __future__ import annotations
