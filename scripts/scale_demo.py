@@ -757,9 +757,13 @@ fixed per-JOB cost is what search_many amortizes across a query batch.
         "ALTERNATED so bursts hit both sides alike, and the read-byte "
         "columns are deterministic across runs.\n"
     )
-    md += "\nCommand: `python scripts/scale_demo.py` (SCALE_DEMO_DOCS / SCALE_DEMO_CORES env).
-
-Round-5 hand-measured supplements (packed small-doc blob-tier rchar witness, r5 run table): `BENCH/SCALE_DEMO_R5.md` — kept OUTSIDE this generated file so reruns cannot clobber them.\n"
+    md += (
+        "\nCommand: `python scripts/scale_demo.py` "
+        "(SCALE_DEMO_DOCS / SCALE_DEMO_CORES env).\n"
+        "\nRound-5 hand-measured supplements (packed small-doc blob-tier "
+        "rchar witness, r5 run table): `BENCH/SCALE_DEMO_R5.md` — kept "
+        "OUTSIDE this generated file so reruns cannot clobber them.\n"
+    )
     with open(os.path.join(repo, "BENCH", "SCALE_DEMO.md"), "w") as f:
         f.write(md)
     shutil.rmtree(root, ignore_errors=True)
