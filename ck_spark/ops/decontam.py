@@ -35,15 +35,24 @@ def shingle_ngrams(
     dedupes per (doc, shingle) — note that costs a shuffle; callers that
     follow with a filtering join should pass distinct=False and dedupe
     the (much smaller) post-join set instead."""
+    from ck_spark.tokenizer import let_col
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: x != F.lit(""),
     )
-    cnt = F.size(toks)
-    # sequence(1, 0) would generate a DESCENDING range — guard short docs
-    idxs = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
-        F.array().cast("array<int>"))
-    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    # let-bind the token array (tokenizer.let_col): slice(toks, i, n)
+    # inside the transform lambda would otherwise re-tokenize the doc per
+    # shingle — O(tokens^2) per row in interpreted higher-order eval
+    def build(t):
+        cnt = F.size(t)
+        # sequence(1, 0) would generate a DESCENDING range — guard short docs
+        idxs = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+            F.array().cast("array<int>"))
+        return F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    sh = let_col(toks, build)
     out = (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")

@@ -62,15 +62,20 @@ def repetition_stats(
     )
 
     # ---- 2-gram family
-    toks = _tokens(text_col)
-    cnt = F.size(toks)
-    idxs = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
-        F.array().cast("array<int>"))
+    # let-bind the token array (tokenizer.let_col): slice(toks, i, 2)
+    # inside the transform lambda would otherwise re-tokenize the doc per
+    # gram — O(tokens^2) per row in interpreted higher-order eval
+    from ck_spark.tokenizer import let_col
+
+    def build_grams(t):
+        cnt = F.size(t)
+        idxs = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+            F.array().cast("array<int>"))
+        return F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+
     grams = base.select(
         F.col(id_col),
-        F.explode(F.transform(
-            idxs, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-        ).alias("gram"),
+        F.explode(let_col(_tokens(text_col), build_grams)).alias("gram"),
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     gram_chars = (F.length("gram") - 1) * F.col("cnt")  # chars w/o the join space

@@ -52,7 +52,11 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     composite quality score in [0, 1]."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
-    toks = sql_tokens_col(t)
+    # a materialized token-array column: each signal below reads the
+    # attribute instead of re-running split+filter (CollapseProject keeps
+    # the producing Project because the alias is non-cheap and multiply
+    # referenced)
+    toks = F.col("_toks")
     n_tok = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).cast("double")
@@ -73,7 +77,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 4))
         + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), stop_ratio * 2))
     )
-    return df.select(
+    return df.withColumn("_toks", sql_tokens_col(t)).select(
         F.col(id_col),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
