@@ -149,7 +149,8 @@ def seg_expr(n_segments: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int")
 
 
-def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFrame:
+def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int,
+                      range_width: int = 0) -> DataFrame:
     """The single tokenize pass. Positions are produced ARROW-NATIVELY
     via mapInArrow (tokenizer.positions_map_arrow): pandas_udf map
     returns pay a per-row Python ``convert_map`` in the serializer that
@@ -157,7 +158,19 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
     numpy-built MapArray buffers straight through. Binary docs are
     excluded from the index: null maps (no posting storage), doc_len 0
     (matches corpus_stats' ~is_binary filter). tf and doc_len are
-    derived JVM-side (tf == number of positions by construction)."""
+    derived JVM-side (tf == number of positions by construction).
+
+    range_width > 0 range-partitions by (seg, doc_id) BEFORE the
+    mapInArrow: the exchange then happens below the opaque Python node,
+    so (a) the range sampling pass prunes to the cheap key columns
+    instead of re-running the tokenizer, and (b) the caller's
+    partitionBy('seg') write needs NO further exchange — tokenize, sort
+    and write fuse into one full-width stage. With width = n_segments
+    the old post-tokenize repartition left (cores - n_segments) cores
+    idle through the sort+zstd-compress write (measured 8 writer tasks
+    on 32 cores at sf1.0); contiguous (seg, doc_id) ranges keep each
+    seg's files disjoint in doc_id, so row-group min/max pruning for
+    point fetches is as sharp as the one-file-per-seg layout."""
     from pyspark.sql.types import (
         ArrayType, IntegerType, MapType, StringType, StructField, StructType,
     )
@@ -170,6 +183,8 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int) -> DataFram
         .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         .withColumn("content_sha256", F.sha2("content", 256))
     )
+    if range_width > 0:
+        base = base.repartitionByRange(range_width, "seg", "doc_id")
     out_type = StructType(
         base.schema.fields
         + [StructField("posm", MapType(StringType(), ArrayType(IntegerType())))]
@@ -273,16 +288,29 @@ class _scan_splits:
 
 
 def _summarize_and_write_stats(
-    spark: SparkSession, paths: IndexPaths
-) -> tuple[int, int, str, int, float, int]:
+    spark: SparkSession, paths: IndexPaths, build_groups: int = 0
+) -> tuple[int, int, str, int, float, int] | tuple:
     """ONE doc_map scan for both the identity summary (row count,
     collision check, corpus fingerprint) and the BM25 corpus stats
     (n_docs/avgdl/total_tokens over non-binary docs); the 1-row
     corpus_stats table is then written driver-side. Collapsing the two
     aggregation jobs matters for scaling efficiency: fixed per-job
     dispatch is the part of the build that does NOT shrink with more
-    executors. Returns (n, nd, snapshot, n_docs, avgdl)."""
+    executors. Returns (n, nd, snapshot, n_docs, avgdl, total_tokens).
+
+    build_groups > 0 appends a 7th element: per-group non-binary token
+    sums (group g = segs with seg % build_groups == g). group_tokens[g]
+    > 0 is the exact non-emptiness witness for group g's exploded pairs
+    frame (a doc yields posm rows iff doc_len > 0), which lets the
+    postings encoder skip its isEmpty probe job — and unlike the old
+    `row count > 0` shortcut it is correct for all-binary / zero-token
+    corpora, whose pairs frame is empty despite n > 0."""
     nb = ~F.col("is_binary")
+    group_aggs = [
+        F.sum(F.when(nb & (F.col("seg") % build_groups == g),
+                     F.col("doc_len"))).alias(f"gt{g}")
+        for g in range(build_groups)
+    ]
     row = (
         spark.read.parquet(paths.doc_map)
         .agg(
@@ -292,6 +320,7 @@ def _summarize_and_write_stats(
             F.count(F.when(nb, 1)).alias("n_docs"),
             F.avg(F.when(nb, F.col("doc_len"))).alias("avgdl"),
             F.sum(F.when(nb, F.col("doc_len"))).alias("total_tokens"),
+            *group_aggs,
         )
         .collect()[0]
     )
@@ -309,9 +338,12 @@ def _summarize_and_write_stats(
         F.lit(int(row["total_tokens"] or 0)).cast("long").alias("total_tokens"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
-    return (int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}",
-            int(row["n_docs"]), float(row["avgdl"] or 0.0),
-            int(row["total_tokens"] or 0))
+    out = (int(row["n"]), int(row["nd"]), f"n{row['n']}-h{row['h']}",
+           int(row["n_docs"]), float(row["avgdl"] or 0.0),
+           int(row["total_tokens"] or 0))
+    if build_groups > 0:
+        return out + ([int(row[f"gt{g}"] or 0) for g in range(build_groups)],)
+    return out
 
 
 def _pairs_df(docs: DataFrame, term_buckets: int) -> DataFrame:
@@ -505,6 +537,14 @@ def _encode_and_write_postings(
 
 
 def _write_term_stats(spark: SparkSession, paths: IndexPaths) -> int:
+    if not os.path.isdir(paths.postings):
+        # every group was empty (all-binary / zero-token corpus): no
+        # postings dir was ever created — the term dictionary is empty,
+        # write it as such instead of failing the read
+        empty = spark.createDataFrame(
+            [], "bucket int, term string, df long, n_segments long")
+        empty.coalesce(1).write.mode("overwrite").parquet(paths.term_stats)
+        return 0
     post = spark.read.parquet(paths.postings)
     ts = post.groupBy("bucket", "term").agg(
         F.sum("n_docs").alias("df"), F.count("*").alias("n_segments")
@@ -663,7 +703,14 @@ def build_index(
     t0 = time.time()
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, snapshot_id))
     if fresh_doc_map:
-        docs = _with_doc_columns(corpus, mode, n_segments)
+        # full write width: when n_segments < cores the old
+        # repartition(n_segments, "seg") serialized the sort+compress+
+        # write tail on n_segments tasks; range partitioning by
+        # (seg, doc_id) BELOW the tokenizer (see _with_doc_columns)
+        # keeps every core busy end-to-end while output files stay
+        # bounded (~width files, disjoint doc_id ranges within a seg)
+        width = max(n_segments, spark.sparkContext.defaultParallelism)
+        docs = _with_doc_columns(corpus, mode, n_segments, range_width=width)
         # per_core=2: the tokenize scan's tasks are uniform, so two even
         # waves pack perfectly while per-task Python-UDF setup (~0.4 s)
         # stays amortized; the pairs scan below keeps 3/core (its tasks
@@ -672,9 +719,6 @@ def build_index(
                           per_core=2):
             (
                 docs.select(*doc_map_cols(store_content))
-                # bound output files: ~1 writer task per segment dir
-                # instead of (input tasks × segments) small files
-                .repartition(n_segments, "seg")
                 # doc_id-sorted rows per file: parquet row-group/page
                 # min-max stats make candidate fetches (literal doc_id
                 # IN (...) after trigram intersection) skip row groups
@@ -684,8 +728,8 @@ def build_index(
                 .partitionBy("seg")
                 .parquet(paths.doc_map)
             )
-    n, nd, snapshot, n_docs_nb, avgdl, total_tokens = \
-        _summarize_and_write_stats(spark, paths)
+    n, nd, snapshot, n_docs_nb, avgdl, total_tokens, group_tokens = \
+        _summarize_and_write_stats(spark, paths, build_groups=build_groups)
     if n != nd:
         raise RuntimeError(
             f"doc_id collision: {n} rows but {nd} distinct ids — "
@@ -738,16 +782,26 @@ def build_index(
         if resume and man.is_complete("postings", g, snapshot):
             continue
         t0 = time.time()
+        if group_tokens[g] == 0:
+            # the summary's per-group token sum is the exact witness that
+            # this group's pairs frame is empty (all its docs binary or
+            # zero-token) — skip the encode, no probe job needed
+            man.complete(
+                "postings", g, snapshot, 0, 0,
+                int((time.time() - t0) * 1000),
+                lineage=f"doc_map[segs={segs}]->postings(empty)",
+            )
+            continue
         docs_g = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(segs))
         pairs = _pairs_df(docs_g, term_buckets)
         with _scan_splits(spark, doc_map_bytes * len(segs) // n_segments):
             nrows, nterms = _encode_and_write_postings(
                 spark, pairs, paths.postings, avgdl, k1, b, block_size,
                 n_groups=len(segs) * term_buckets,
-                # one group holding EVERY segment + n>0 rows proves the
-                # pairs frame is non-empty; multi-group builds keep the
-                # probe (a group's segments can all be empty)
-                check_empty=not (len(groups) == 1 and n > 0),
+                # group_tokens[g] > 0 proves the pairs frame is non-empty
+                # (a doc yields posm rows iff doc_len > 0) — the encoder
+                # can skip its isEmpty probe job outright
+                check_empty=False,
             )
         man.complete(
             "postings", g, snapshot, nrows, nterms,
@@ -1242,28 +1296,29 @@ def _update_delta(
     # per-term doc counts from the stored tfm maps (never a re-tokenize)
     dead_rows = live_g.join(F.broadcast(dead_ids), "doc_id", "left_semi")
     nb = ~F.col("is_binary")
-    obs_dead = Observation()
-    (
-        dead_rows.observe(
-            obs_dead,
-            F.count(F.lit(1)).alias("n_dead"),
-            F.count(F.when(nb, 1)).alias("dead_nb"),
-            F.sum(F.when(nb, F.col("doc_len"))).alias("dead_dl"),
-            F.bit_xor(
-                F.xxhash64("repo", "path", "commit", "content_sha256")
-            ).alias("dead_xor"),
+
+    def _run_tombstones() -> dict:
+        obs_dead = Observation()
+        (
+            dead_rows.observe(
+                obs_dead,
+                F.count(F.lit(1)).alias("n_dead"),
+                F.count(F.when(nb, 1)).alias("dead_nb"),
+                F.sum(F.when(nb, F.col("doc_len"))).alias("dead_dl"),
+                F.bit_xor(
+                    F.xxhash64("repo", "path", "commit", "content_sha256")
+                ).alias("dead_xor"),
+            )
+            .select(
+                F.col("gen").cast("int").alias("gen"),
+                F.col("seg").cast("int").alias("seg"),
+                "doc_id",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(lsm.tombstones_dir(out_dir, gen))
         )
-        .select(
-            F.col("gen").cast("int").alias("gen"),
-            F.col("seg").cast("int").alias("seg"),
-            "doc_id",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(lsm.tombstones_dir(out_dir, gen))
-    )
-    dead_stats = obs_dead.get
-    _mark("tombstones")
+        return dict(obs_dead.get)
     # term-stats correction needs each dead NONBINARY doc's distinct term
     # set. map_keys(tfm) from doc_map point-scatters into the tfm column:
     # hash-spread ids touch every row group, so a 1% update reads ~the
@@ -1310,7 +1365,14 @@ def _update_delta(
         .drop("doc_id")
     )
     gen_dm_dir = lsm.delta_doc_map_dir(out_dir, gen)
-    if n_fresh > 0:
+
+    def _run_fresh_doc_map() -> dict:
+        if n_fresh == 0:
+            # the generation dir must still exist: live_doc_map reads the
+            # delta parent with an explicit schema, which tolerates empty
+            # dirs but not missing ones
+            os.makedirs(gen_dm_dir, exist_ok=True)
+            return {"n_new": 0, "new_nb": 0, "new_dl": 0, "new_xor": 0}
         docs_new = _with_doc_columns(fresh_corpus, mode, n_segments)
         obs_new = Observation()
         (
@@ -1330,26 +1392,34 @@ def _update_delta(
             .partitionBy("seg")
             .parquet(gen_dm_dir)
         )
-        new_stats = dict(obs_new.get)
+        ns = dict(obs_new.get)
         # within-batch collision check (countDistinct is not allowed inside
         # observed metrics) — one narrow doc_id-only scan of the small delta
         ndist = (
             spark.read.parquet(gen_dm_dir)
             .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
         )
-        if int(new_stats["n_new"]) != int(ndist):
+        if int(ns["n_new"]) != int(ndist):
             shutil.rmtree(gen_dm_dir, ignore_errors=True)
             raise RuntimeError(
                 "doc_id collision inside the update batch — rehash with a salt"
             )
-    else:
-        new_stats = {"n_new": 0, "new_nb": 0, "new_dl": 0, "new_xor": 0}
-        # the generation dir must still exist: live_doc_map reads the
-        # delta parent with an explicit schema, which tolerates empty
-        # dirs but not missing ones
-        os.makedirs(gen_dm_dir, exist_ok=True)
+        return ns
 
-    _mark("fresh_doc_map")
+    # tombstone write and fresh tokenize+write are independent small jobs
+    # on a fixed-dispatch-heavy chain: run them concurrently (guide §2.6 —
+    # the scheduler back-fills one job's stragglers with the other's
+    # tasks; each observes only its own write job). Neither touches
+    # session conf or markers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_dead = _pool.submit(_run_tombstones)
+        _f_new = _pool.submit(_run_fresh_doc_map)
+        dead_stats = _f_dead.result()
+        new_stats = _f_new.result()
+
+    _mark("tombstones_and_fresh_doc_map")
 
     # ---- exact arithmetic stats (see module docstring of index/lsm.py)
     n_docs_nb = int(meta["n_docs"]) - int(dead_stats["dead_nb"] or 0) + int(
@@ -1376,25 +1446,41 @@ def _update_delta(
     # ---- new generation's postings, encoded under the NEW avgdl (the
     # per-row avgdl_enc + WAND bound scaling keep older generations sound)
     gen_post_dir = lsm.delta_postings_dir(out_dir, gen)
-    if n_fresh > 0:
-        docs_delta = spark.read.parquet(gen_dm_dir)
-        pairs = _pairs_df(docs_delta, term_buckets)
-        # delta-sized width: ~64 docs' pairs per task keeps tasks busy
-        # without scheduling the full seg×bucket geometry for a small
-        # generation; bounded above by the geometry rule (memory: one
-        # group's rows per task) for corpus-scale deltas
-        _encode_and_write_postings(
-            spark, pairs, gen_post_dir, avgdl,
-            float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
-            n_groups=min(max(len(affected), 1) * term_buckets,
-                         max(16, n_fresh // 64 + 1)),
-            bucket_dirs=lsm.delta_bucket_dirs(out_dir, meta),
-        )
-    os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
-    _mark("postings_encode")
+    docs_delta = spark.read.parquet(gen_dm_dir) if n_fresh > 0 else None
+
+    def _run_postings() -> None:
+        if n_fresh > 0:
+            pairs = _pairs_df(docs_delta, term_buckets)
+            # delta-sized width: ~64 docs' pairs per task keeps tasks busy
+            # without scheduling the full seg×bucket geometry for a small
+            # generation; bounded above by the geometry rule (memory: one
+            # group's rows per task) for corpus-scale deltas
+            _encode_and_write_postings(
+                spark, pairs, gen_post_dir, avgdl,
+                float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
+                n_groups=min(max(len(affected), 1) * term_buckets,
+                             max(16, n_fresh // 64 + 1)),
+                bucket_dirs=lsm.delta_bucket_dirs(out_dir, meta),
+            )
+        os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
 
     # ---- term dictionary: exact arithmetic merge, written whole (the
-    # dict is tiny next to the corpus), committed via the meta pointer
+    # dict is tiny next to the corpus), committed via the meta pointer.
+    # The merge is a UNION + one hash aggregation, not a chain of
+    # full-outer sort-merge joins: old df rows, fresh +1-per-doc rows and
+    # dead -1-per-doc rows all contribute a signed count per term, and
+    # bucket is re-derived (it is pmod(xxhash64(term)) by construction
+    # everywhere, so recomputing equals coalescing the stored column).
+    old_ts = spark.read.parquet(lsm.term_stats_path(out_dir, meta))
+    contrib = old_ts.select(
+        "term", F.col("df").cast("long").alias("d"),
+        F.col("n_segments").cast("long").alias("ns"),
+    ).unionByName(
+        dead_terms.select(
+            "term", (-F.col("ddf")).cast("long").alias("d"),
+            F.lit(None).cast("long").alias("ns"),
+        )
+    )
     if n_fresh > 0:
         new_terms = (
             docs_delta.where(nb)
@@ -1402,37 +1488,32 @@ def _update_delta(
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("ndf"))
         )
-        tdelta = new_terms.join(dead_terms, "term", "full_outer").select(
-            "term",
-            (F.coalesce("ndf", F.lit(0)) - F.coalesce("ddf", F.lit(0)))
-            .alias("delta"),
+        contrib = contrib.unionByName(
+            new_terms.select(
+                "term", F.col("ndf").cast("long").alias("d"),
+                F.lit(None).cast("long").alias("ns"),
+            )
         )
-    else:
-        tdelta = dead_terms.select(
-            "term", (-F.col("ddf")).alias("delta")
-        )
-    old_ts = spark.read.parquet(lsm.term_stats_path(out_dir, meta))
     merged_ts = (
-        old_ts.join(tdelta, "term", "full_outer")
+        contrib.groupBy("term")
+        .agg(F.sum("d").alias("df"), F.max("ns").alias("ns"))
         .select(
-            F.coalesce(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
-            ).alias("bucket"),
+            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+            .alias("bucket"),
             "term",
-            (F.coalesce("df", F.lit(0)) + F.coalesce("delta", F.lit(0)))
-            .cast("long").alias("df"),
-            F.coalesce("n_segments", F.lit(1)).alias("n_segments"),
+            F.col("df").cast("long").alias("df"),
+            F.coalesce("ns", F.lit(1)).cast("long").alias("n_segments"),
         )
         .where(F.col("df") > 0)
     )
-    obs_ts = Observation()
     ts_dir = lsm.term_stats_gen_dir(out_dir, gen)
-    merged_ts.observe(obs_ts, F.count(F.lit(1)).alias("rows")).write.mode(
-        "overwrite"
-    ).parquet(ts_dir)
-    n_terms = int(obs_ts.get["rows"])
-    _mark("term_stats_merge")
+
+    def _run_term_stats() -> int:
+        obs_ts = Observation()
+        merged_ts.observe(obs_ts, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(ts_dir)
+        return int(obs_ts.get["rows"])
 
     # ---- derived-store delta hooks (each with its own crash fallback)
     from ck_spark.query.trigram import (
@@ -1443,27 +1524,28 @@ def _update_delta(
     tri_refresh = os.path.exists(_tri_dir) and store_content
     if os.path.exists(_tri_dir) and not store_content:
         shutil.rmtree(_tri_dir, ignore_errors=True)
-    if tri_refresh and n_fresh > 0:
-        # grams for only the fresh docs; extra entries for dead versions
-        # are dropped by the live-view fetch/verify (over-approximation
-        # soundness — trigram.py module docstring). A crash mid-append
-        # leaves the completion marker absent => full-scan fallback.
-        refresh_trigram_append(
-            spark, out_dir,
-            docs_delta.where(nb).select(
-                "doc_id", F.col("seg").cast("int").alias("seg"), "content"
-            ) if store_content else
-            corpus.withColumn("doc_id", doc_id_expr())
-            .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
-            .withColumn("seg", seg_expr(n_segments))
-            .select("doc_id", "seg", "content"),
-            n_fresh=stats["added"] + stats["modified"],
-            allow_compact=False,
-        )
-    # removal-only updates (n_fresh == 0) need NO trigram mutation: the
-    # index is an over-approximation and dead docs drop out of the live
-    # doc_map that the candidate fetch joins — the marker stays valid
-    _mark("trigram_refresh")
+
+    def _run_trigram() -> None:
+        if tri_refresh and n_fresh > 0:
+            # grams for only the fresh docs; extra entries for dead versions
+            # are dropped by the live-view fetch/verify (over-approximation
+            # soundness — trigram.py module docstring). A crash mid-append
+            # leaves the completion marker absent => full-scan fallback.
+            refresh_trigram_append(
+                spark, out_dir,
+                docs_delta.where(nb).select(
+                    "doc_id", F.col("seg").cast("int").alias("seg"), "content"
+                ) if store_content else
+                corpus.withColumn("doc_id", doc_id_expr())
+                .join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+                .withColumn("seg", seg_expr(n_segments))
+                .select("doc_id", "seg", "content"),
+                n_fresh=stats["added"] + stats["modified"],
+                allow_compact=False,
+            )
+        # removal-only updates (n_fresh == 0) need NO trigram mutation: the
+        # index is an over-approximation and dead docs drop out of the live
+        # doc_map that the candidate fetch joins — the marker stays valid
 
     from ck_spark.index.content_store import (
         COMPACT, build_content_store, commit_content_store_delta,
@@ -1483,12 +1565,30 @@ def _update_delta(
             .withColumn("seg", seg_expr(n_segments))
             .withColumn("is_binary", F.contains("content", F.lit("\x00")))
         )
-    cs_stage = stage_content_store_delta(
-        spark, out_dir, affected, fresh_light,
-        dead_ids.unionByName(fresh_ids).distinct(),
-        stats["added"] + stats["modified"],
-    )
-    _mark("content_store_stage")
+
+    def _run_cs_stage():
+        return stage_content_store_delta(
+            spark, out_dir, affected, fresh_light,
+            dead_ids.unionByName(fresh_ids).distinct(),
+            stats["added"] + stats["modified"],
+        )
+
+    # the four post-diff producers — postings encode, term-dict merge,
+    # trigram append, content-store staging — write disjoint directories,
+    # mutate only their own marker files, and never touch session conf:
+    # run them concurrently so the chain pays ~max() of their walls
+    # instead of the sum (guide §2.6; each is a small dispatch-heavy job
+    # at delta scale, and at corpus scale the scheduler back-fills tails).
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _f_post = _pool.submit(_run_postings)
+        _f_ts = _pool.submit(_run_term_stats)
+        _f_tri = _pool.submit(_run_trigram)
+        _f_cs = _pool.submit(_run_cs_stage)
+        _f_post.result()
+        n_terms = _f_ts.result()
+        _f_tri.result()
+        cs_stage = _f_cs.result()
+    _mark("postings_terms_trigram_cs")
     if cs_stage is not None:
         # bracket the pointer-table commit: it lands AFTER the meta commit
         # below, so a crash between the two would otherwise leave the new

@@ -579,9 +579,24 @@ class ContentStore:
         ids = sorted({int(i) for i in doc_ids})
         if len(ids) > self.LOCAL_FETCH_MAX:
             return None
+        # explicit schema, mirroring _PTR_TABLE_SCHEMA exactly as _ptr_df
+        # does: pyarrow dataset discovery infers from ONE fragment, so on
+        # a pre-format-2 store that later received a packed delta append
+        # it could land on an old file without blk_off and silently hand
+        # every packed doc its whole multi-doc block as content
+        import pyarrow as pa
+
+        ptr_schema = pa.schema([
+            ("doc_id", pa.int64()), ("repo", pa.string()),
+            ("path", pa.string()), ("lang", pa.string()),
+            ("file", pa.string()), ("off", pa.int64()),
+            ("clen", pa.int64()), ("blk_off", pa.int64()),
+            ("raw_len", pa.int64()), ("is_binary", pa.bool_()),
+            ("seg", pa.int32()),
+        ])
         dset = pads.dataset(
             os.path.join(_store_dir(self.root), PTR_SUBDIR),
-            format="parquet", partitioning="hive",
+            format="parquet", partitioning="hive", schema=ptr_schema,
         )
         flt = (
             pads.field("seg").isin([int(s) for s in set(segs)])
@@ -589,12 +604,9 @@ class ContentStore:
         )
         if exclude_binary:
             flt = flt & ~pads.field("is_binary")
+        has_blk = True
         want = ["doc_id", "repo", "path", "lang", "file", "off", "clen",
-                "raw_len"]
-        names = set(dset.schema.names)
-        has_blk = "blk_off" in names
-        if has_blk:
-            want.append("blk_off")
+                "raw_len", "blk_off"]
         tbl = dset.to_table(columns=want, filter=flt)
         pdf = tbl.to_pandas().reset_index(drop=True)
         boffs = pdf["blk_off"].fillna(0).astype("int64") if has_blk             else pd.Series(np.zeros(len(pdf), dtype=np.int64))

@@ -149,30 +149,35 @@ def _assigned_df(
 ) -> DataFrame:
     """(vec_id, embedding, nrm, centroid_id) for a batch, assigned against
     a FROZEN centroid matrix (ships in the Arrow-UDF closure; one numpy
-    matmul per batch)."""
+    matmul per batch). nrm rides the SAME batch: the former separate
+    JVM higher-order aggregate was evaluated interpreted per element;
+    here it is one vectorized pass — computed as an explicit per-column
+    left fold (acc += x_j^2 in column order), which is bit-identical to
+    Spark's sequential F.aggregate fold (numpy's own sum() is pairwise
+    and would round differently, breaking the stored-nrm oracle parity)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     cent_f = cent.astype(np.float64)
 
-    @pandas_udf("int")
-    def _assign(batch):
+    @pandas_udf("struct<centroid_id: int, nrm: double>")
+    def _assign(batch: pd.Series) -> pd.DataFrame:
         M = np.array([np.asarray(v, dtype=np.float64) for v in batch])
         if M.size == 0:
-            return pd.Series([], dtype="int32")
+            return pd.DataFrame({"centroid_id": pd.Series([], dtype="int32"),
+                                 "nrm": pd.Series([], dtype="float64")})
         lab = np.argmax(_unit_rows(M) @ cent_f.T, axis=1)
-        return pd.Series(lab.astype(np.int32))
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for j in range(M.shape[1]):          # exact left fold per row
+            acc += M[:, j] * M[:, j]
+        return pd.DataFrame({"centroid_id": lab.astype(np.int32),
+                             "nrm": np.sqrt(acc)})
 
+    a = _assign(F.col(emb_col))
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("embedding"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col(emb_col), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("nrm"),
-        _assign(F.col(emb_col)).alias("centroid_id"),
+        a["nrm"].alias("nrm"),
+        a["centroid_id"].alias("centroid_id"),
     )
 
 

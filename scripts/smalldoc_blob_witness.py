@@ -1,7 +1,8 @@
 """Small-doc blob-tier IO witness (round 5 — VERDICT r4 ask #7).
 
-The format-2 content store packs up to 64 small docs per compressed
-block, so the point-read blob tier should now beat the sequential scan
+The format-2 content store packs up to _PACK_MAX_DOCS (32) small docs
+per compressed block, so the point-read blob tier should now beat the
+sequential scan
 on ~small-doc corpora where the per-doc framing overhead previously
 measured 4x the scan's bytes (BENCH/SCALE_DEMO r4, which routed these
 corpora to a scan-equal doc_map semi-join instead). This script
