@@ -65,6 +65,7 @@ from ck_spark.constants import (
     DEFAULT_TERM_BUCKETS,
 )
 from ck_spark.index.manifest import Manifest
+from ck_spark.partitioning import exact_repartition
 
 # v3: merged doc_map+tfm layout; v4: <40-byte token filter; v5: positions
 # (posm in doc_map, pos_blocks in postings — phrase queries resolve
@@ -160,17 +161,19 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int,
     (matches corpus_stats' ~is_binary filter). tf and doc_len are
     derived JVM-side (tf == number of positions by construction).
 
-    range_width > 0 range-partitions by (seg, doc_id) BEFORE the
+    range_width > 0 partitions by (seg, doc_id-range) BEFORE the
     mapInArrow: the exchange then happens below the opaque Python node,
-    so (a) the range sampling pass prunes to the cheap key columns
-    instead of re-running the tokenizer, and (b) the caller's
-    partitionBy('seg') write needs NO further exchange — tokenize, sort
-    and write fuse into one full-width stage. With width = n_segments
-    the old post-tokenize repartition left (cores - n_segments) cores
-    idle through the sort+zstd-compress write (measured 8 writer tasks
-    on 32 cores at sf1.0); contiguous (seg, doc_id) ranges keep each
-    seg's files disjoint in doc_id, so row-group min/max pruning for
-    point fetches is as sharp as the one-file-per-seg layout."""
+    and the caller's partitionBy('seg') write needs NO further exchange
+    — tokenize, sort and write fuse into one full-width stage. With
+    width = n_segments the old post-tokenize repartition left
+    (cores - n_segments) cores idle through the sort+zstd-compress
+    write (measured 8 writer tasks on 32 cores at sf1.0). Placement is
+    EXACT (ck_spark.partitioning — no range-sampling job, no hash
+    balls-in-bins): p = seg * fps + top-bits(doc_id), fps a power of
+    two, so each seg splits into fps files with DISJOINT doc_id ranges
+    — row-group min/max pruning for point fetches stays as sharp as the
+    one-file-per-seg layout, and hash-uniform doc ids make the split
+    even."""
     from pyspark.sql.types import (
         ArrayType, IntegerType, MapType, StringType, StructField, StructType,
     )
@@ -184,7 +187,17 @@ def _with_doc_columns(corpus: DataFrame, mode: str, n_segments: int,
         .withColumn("content_sha256", F.sha2("content", 256))
     )
     if range_width > 0:
-        base = base.repartitionByRange(range_width, "seg", "doc_id")
+        from ck_spark.partitioning import exact_repartition
+
+        fps = 1  # files per seg: smallest power of two reaching the width
+        while n_segments * fps < range_width:
+            fps *= 2
+        # doc ids are uniform in [0, 2^62): the top log2(fps) bits index
+        # a doc_id-disjoint range within the seg
+        p_expr = (F.col("seg").cast("int") * F.lit(fps)
+                  + F.shiftright(F.col("doc_id"), 62 - fps.bit_length() + 1)
+                  .cast("int"))
+        base = exact_repartition(base, n_segments * fps, p_expr)
     out_type = StructType(
         base.schema.fields
         + [StructField("posm", MapType(StringType(), ArrayType(IntegerType())))]
@@ -452,11 +465,49 @@ def _make_bucket_encoder(avgdl: float, k1: float, b: float, block: int):
     return encode_bucket
 
 
+def _make_partition_encoder(avgdl: float, k1: float, b: float, block: int):
+    """mapInArrow wrapper over _make_bucket_encoder for EXACT-placed
+    partitions: with one (seg, bucket) group per partition (the full
+    build) the whole partition encodes in one call; a partition carrying
+    several groups (the width-capped LSM delta path) is split by a numpy
+    sort over the two small key columns. Memory stays bounded by one
+    partition's rows — identical to the former applyInArrow bound, since
+    placement puts exactly the old group set in each partition."""
+    encode_bucket = _make_bucket_encoder(avgdl, k1, b, block)
+
+    def encode_partition(batches):
+        import pyarrow as pa
+
+        tbls = list(batches)
+        if not tbls:
+            return
+        tbl = pa.Table.from_batches(tbls)
+        if tbl.num_rows == 0:
+            return
+        segs = tbl.column("seg").to_numpy()
+        buckets = tbl.column("bucket").to_numpy()
+        key = (segs.astype(np.int64) << 32) | buckets.astype(np.int64)
+        if key.size and (key == key[0]).all():
+            yield from encode_bucket(tbl).to_batches()
+            return
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(sk)) + 1, [sk.size]])
+        otbl = tbl.take(pa.array(order))
+        for i in range(bounds.size - 1):
+            sub = otbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            yield from encode_bucket(sub.combine_chunks()).to_batches()
+
+    return encode_partition
+
+
 def _encode_and_write_postings(
     spark: SparkSession, pairs: DataFrame, out_dir: str,
     avgdl: float, k1: float, b: float, block_size: int,
     n_groups: int = 0, bucket_dirs: bool = True,
-    check_empty: bool = True,
+    check_empty: bool = True, seg_list: list[int] | None = None,
+    term_buckets: int = 0,
 ) -> tuple[int, int]:
     """Shuffle by (term, seg), block-encode, write seg=/bucket= partitions
     with dynamic partition overwrite. Returns (rows, ~terms).
@@ -477,35 +528,58 @@ def _encode_and_write_postings(
         # (plan + one-partition job) on the build's critical path.
         return 0, 0
     enc_schema = POSTINGS_SCHEMA + ", seg int, bucket int"
-    # ONE exchange, grouped by (seg, bucket): the shuffle carries compact
-    # flat UnsafeRows (sort-based, spillable — never a JVM object graph of
-    # nested per-term lists, which OOMed once segments carried ~tens of
-    # thousands of docs), and applyInPandas materializes ONE group at a
-    # time per task, so executor memory is bounded by a single bucket
-    # regardless of corpus size. The explicit repartition on the exact
-    # grouping keys is load-bearing: Catalyst reuses it for the groupBy
-    # (no second exchange) and AQE never coalesces an explicit
-    # repartition — byte-based coalescing would serialize this CPU-bound
-    # stage at small inputs.
+    # ONE exchange, one (seg, bucket) group per partition: the shuffle
+    # carries compact flat UnsafeRows and the Arrow encoder materializes
+    # ONE partition at a time per task, so executor memory is bounded by
+    # a single bucket's rows regardless of corpus size (a width fixed by
+    # core count alone exhausted execution memory at 480k docs × 16
+    # partitions — observed UNABLE_TO_ACQUIRE).
     #
-    # Width scales with the GEOMETRY (caller passes n_groups = #segs in
-    # this pass × term_buckets): ~one (seg, bucket) group per partition
-    # keeps the pre-apply sort to one bucket's worth of rows per task —
-    # a width fixed by core count alone made the sort exhaust execution
-    # memory at 480k docs × 16 partitions (observed UNABLE_TO_ACQUIRE).
-    # A caller that KNOWS the input is small (the LSM delta path) passes a
-    # sub-core n_groups, which then CAPS the width — scheduling 2×cores
-    # Arrow tasks for a 100-doc generation costs more than the encode.
-    par_floor = max(spark.sparkContext.defaultParallelism * 2, 16)
-    enc_width = max(16, n_groups) if 0 < n_groups < par_floor \
-        else max(par_floor, n_groups)
-    enc = (
-        pairs.repartition(enc_width, "seg", "bucket")
-        .groupBy("seg", "bucket")
-        .applyInArrow(
-            _make_bucket_encoder(float(avgdl), k1, b, block_size), enc_schema
+    # Placement is EXACT (ck_spark.partitioning): group index
+    # seg_pos * term_buckets + bucket, taken modulo the target width.
+    # The former repartition(width, seg, bucket) + groupBy + applyInArrow
+    # hashed ~n_groups keys into ~n_groups partitions — balls-in-bins
+    # leaves ~1/e of the encode slots empty and stacks 2-3 groups on
+    # others, making the stage wall 2-3 group-times instead of one; it
+    # also paid a JVM-side sort of every flat row to form the groups
+    # (the numpy kernel re-sorts anyway). mapInArrow over exact-placed
+    # partitions removes both. The explicit width survives AQE (never
+    # coalesced), so small inputs keep their parallelism.
+    #
+    # Width scales with the GEOMETRY (#segs in this pass × term_buckets);
+    # the LSM delta path passes a smaller n_groups cap — scheduling
+    # 2×cores Arrow tasks for a 100-doc generation costs more than the
+    # encode — and capped partitions then carry several (small) groups,
+    # which the partition encoder splits in numpy.
+    if seg_list is not None and term_buckets > 0:
+        total_groups = len(seg_list) * term_buckets
+        enc_width = max(1, min(n_groups, total_groups)
+                        if n_groups > 0 else total_groups)
+        seg_arr = F.array(*[F.lit(int(s)) for s in sorted(seg_list)])
+        gidx = (
+            (F.array_position(seg_arr, F.col("seg").cast("int")) - 1)
+            .cast("int") * F.lit(term_buckets) + F.col("bucket")
         )
-    )
+        enc = exact_repartition(
+            pairs, enc_width, F.pmod(gidx, F.lit(enc_width))
+        ).mapInArrow(
+            _make_partition_encoder(float(avgdl), k1, b, block_size),
+            enc_schema,
+        )
+    else:
+        # fallback for callers without the segment list: the pre-exact
+        # hash-grouped path
+        par_floor = max(spark.sparkContext.defaultParallelism * 2, 16)
+        enc_width = max(16, n_groups) if 0 < n_groups < par_floor \
+            else max(par_floor, n_groups)
+        enc = (
+            pairs.repartition(enc_width, "seg", "bucket")
+            .groupBy("seg", "bucket")
+            .applyInArrow(
+                _make_bucket_encoder(float(avgdl), k1, b, block_size),
+                enc_schema,
+            )
+        )
     obs = Observation()
     observed = enc.observe(
         obs,
@@ -513,21 +587,41 @@ def _encode_and_write_postings(
         F.approx_count_distinct("term").alias("terms"),
     )
     if bucket_dirs:
+        # EXACTLY 1 writer task per (seg, bucket) dir when the seg list
+        # is known (hash placement collides ~n_groups keys into the
+        # default shuffle width); encoded rows are compact so this extra
+        # exchange is tiny relative to the encode UDF stage
+        if seg_list is not None and term_buckets > 0:
+            seg_arr_w = F.array(*[F.lit(int(s)) for s in sorted(seg_list)])
+            gidx_w = (
+                (F.array_position(seg_arr_w, F.col("seg").cast("int")) - 1)
+                .cast("int") * F.lit(term_buckets) + F.col("bucket")
+            )
+            writer_in = exact_repartition(
+                observed, len(seg_list) * term_buckets, gidx_w)
+        else:
+            writer_in = observed.repartition("seg", "bucket")
         (
-            # ~1 writer task per (seg, bucket) dir; encoded rows are
-            # compact so this extra exchange is tiny relative to the
-            # encode UDF stage
-            observed.repartition("seg", "bucket")
+            writer_in
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("seg", "bucket")
             .parquet(out_dir)
         )
     else:
+        # delta layout: one dir per seg; (bucket, term)-sorted rows
+        # give row-group skipping for the query's bucket/term filters
+        if seg_list is not None:
+            seg_arr_w = F.array(*[F.lit(int(s)) for s in sorted(seg_list)])
+            writer_in = exact_repartition(
+                observed, max(len(seg_list), 1),
+                (F.array_position(seg_arr_w, F.col("seg").cast("int")) - 1)
+                .cast("int"),
+            )
+        else:
+            writer_in = observed.repartition("seg")
         (
-            # delta layout: one dir per seg; (bucket, term)-sorted rows
-            # give row-group skipping for the query's bucket/term filters
-            observed.repartition("seg")
+            writer_in
             .sortWithinPartitions("seg", "bucket", "term")
             .write.mode("overwrite")
             .partitionBy("seg")
@@ -570,6 +664,7 @@ def _reencode_segments(
         spark, pairs_aff, paths.postings, avgdl,
         float(meta["k1"]), float(meta["b"]), int(meta["block_size"]),
         n_groups=len(segs) * int(meta["term_buckets"]),
+        seg_list=list(segs), term_buckets=int(meta["term_buckets"]),
     )
 
 
@@ -802,6 +897,7 @@ def build_index(
                 # (a doc yields posm rows iff doc_len > 0) — the encoder
                 # can skip its isEmpty probe job outright
                 check_empty=False,
+                seg_list=list(segs), term_buckets=term_buckets,
             )
         man.complete(
             "postings", g, snapshot, nrows, nterms,
@@ -1386,7 +1482,16 @@ def _update_delta(
                     F.xxhash64("repo", "path", "commit", "content_sha256")
                 ).alias("new_xor"),
             )
-            .repartition(min(n_segments, max(len(affected), 1)), "seg")
+            # exact one-partition-per-affected-seg placement (a plain
+            # hash repartition on seg collides segs balls-in-bins style:
+            # some writer tasks idle, others carry 2-3 segs)
+            .transform(lambda d: exact_repartition(
+                d, max(len(affected), 1),
+                F.array_position(
+                    F.array(*[F.lit(int(s)) for s in sorted(affected)]),
+                    F.col("seg").cast("int"),
+                ).cast("int") - 1,
+            ))
             .sortWithinPartitions("seg", "doc_id")
             .write.mode("overwrite")
             .partitionBy("seg")
@@ -1461,6 +1566,7 @@ def _update_delta(
                 n_groups=min(max(len(affected), 1) * term_buckets,
                              max(16, n_fresh // 64 + 1)),
                 bucket_dirs=lsm.delta_bucket_dirs(out_dir, meta),
+                seg_list=list(affected), term_buckets=term_buckets,
             )
         os.makedirs(gen_post_dir, exist_ok=True)  # all-binary/empty/removal-only
 

@@ -624,17 +624,25 @@ def _partial_posting_rows(docs: DataFrame, term_buckets: int) -> DataFrame:
                     # by construction (LSM delta shape), so chunking
                     # changes layout, never candidate sets.
                     if npairs >= _PAIRS_CHUNK:
-                        yield _encode_pairs_chunk(
+                        out = _encode_pairs_chunk(
                             code_parts, didx_parts, id_arrs, seg_arrs,
                             term_buckets,
                         )
+                        # a pair-less chunk (every doc < 3 bytes) must
+                        # not be yielded: its empty ids_blocks column is
+                        # float64-typed and Arrow cannot convert that to
+                        # list<binary>
+                        if len(out):
+                            yield out
                         code_parts, didx_parts = [], []
                         npairs = 0
         flush()
         if code_parts:
-            yield _encode_pairs_chunk(
+            out = _encode_pairs_chunk(
                 code_parts, didx_parts, id_arrs, seg_arrs, term_buckets
             )
+            if len(out):
+                yield out
 
     return (
         docs.where(~F.contains("content", F.lit("\x00")))
@@ -685,18 +693,25 @@ def _encode_and_write_grams(
         # spread (k=width) rather than failing — still bounded
         n_segments = 1
     k = max(1, -(-width // max(int(n_segments), 1)))
-    # RANGE partition on (seg, salt), not hash: with only segs*k distinct
-    # keys, hash placement is balls-in-bins — measured at 480k/16 segs it
-    # left 6 of 16 tasks EMPTY and gave one task 3 segs (a 3x straggler
-    # that flattened 2-vs-8-core scaling). Range boundaries split the
-    # keys evenly by sampled row weight, keep each seg contiguous (so
-    # partials per (seg, gram) stay bounded by the salt count), and the
-    # extra sampling pass reads only the two key columns. Four salts per
-    # seg give the range partitioner slack to balance around boundary
-    # rounding. Output layout depends on partitioning; candidate SETS do
-    # not (partials union at read).
-    salt = F.pmod(F.col("doc_id"), F.lit(4 * k))
-    docs = docs.repartitionByRange(width, F.col("seg"), salt)
+    # EXACT partition placement on p = seg*k + (doc_id mod 4k)//4
+    # (ck_spark.partitioning): with only segs*k distinct keys, plain hash
+    # placement is balls-in-bins — measured at 480k/16 segs it left 6 of
+    # 16 tasks EMPTY and gave one task 3 segs (a 3x straggler that
+    # flattened 2-vs-8-core scaling) — and the repartitionByRange that
+    # previously fixed the balance paid a separate sampling pass over the
+    # input per build (~0.5-1 s at sf1.0, a whole extra corpus-chain
+    # scan). The probe-table repartition keeps each seg contiguous in
+    # [seg*k, (seg+1)*k) (so partials per (seg, gram) stay bounded by k,
+    # the property the range layout had) with deterministic, perfectly
+    # even placement (hash-uniform doc ids) and NO sampling job. Output
+    # layout depends on partitioning; candidate SETS do not (partials
+    # union at read).
+    from ck_spark.partitioning import exact_repartition
+
+    p_expr = (F.col("seg").cast("int") * F.lit(int(k))
+              + (F.pmod(F.col("doc_id"), F.lit(4 * k)) / F.lit(4))
+              .cast("int"))
+    docs = exact_repartition(docs, int(n_segments) * k, p_expr)
     obs = Observation()
     enc_df = (
         _partial_posting_rows(docs, term_buckets)
