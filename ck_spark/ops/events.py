@@ -29,6 +29,18 @@ def sessionize(
     boundaries and decimal-exact value sums (hash-comparable with the
     SQL oracle's gaps-and-islands formulation)."""
     w = F.session_window(F.col(ts_col), gap)
+    if not events.isStreaming:
+        # a narrow input (one parquet row group = one scan task at test
+        # scale) would run the PARTIAL session aggregation single-task —
+        # measured ~1 s serialized over 1M events. When the input is
+        # narrower than half the cluster, pre-shuffle by the session key
+        # (the same clustering the aggregation needs, so no extra
+        # exchange is added — the partial pass just runs full-width). A
+        # corpus-scale input arrives wider than the cluster and keeps
+        # the map-side partial aggregation untouched.
+        par = events.sparkSession.sparkContext.defaultParallelism
+        if events.rdd.getNumPartitions() < max(2, par // 2):
+            events = events.repartition(par, F.col(user_col))
     return (
         events.groupBy(F.col(user_col), w.alias("w"))
         .agg(

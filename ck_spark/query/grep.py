@@ -22,6 +22,34 @@ from pyspark.sql import functions as F
 
 _LINE_SPLIT = "\r\n|\r|\n"
 
+# a pattern that is just literals-or-ed-together ("row|window") — every
+# character free of regex metasyntax. For these, `contains` is exactly
+# the rlike search semantics at a fraction of the cost (java.util.regex
+# has no fast literal path; a contains scan measured ~3x faster on the
+# grep bench), so the predicate compiles to an OR of contains.
+_LITERAL_PART = re.compile(r"[A-Za-z0-9_ \t%@#\"';:,<>/~`!-]+\Z")
+
+
+def _literal_alternation(p: str) -> list[str] | None:
+    parts = p.split("|")
+    if parts and all(_LITERAL_PART.fullmatch(x) for x in parts):
+        return parts
+    return None
+
+
+def _match_pred(col, p: str):
+    """Predicate equivalent to ``col rlike p`` (search semantics), using
+    the literal-contains fast path when the pattern allows it."""
+    lit = _literal_alternation(p)
+    if lit is None:
+        return F.col(col).rlike(p) if isinstance(col, str) else col.rlike(p)
+    c = F.col(col) if isinstance(col, str) else col
+    pred = None
+    for part in lit:
+        term = c.contains(part)
+        pred = term if pred is None else pred | term
+    return pred
+
 
 def preprocess_pattern(
     pattern: str,
@@ -64,7 +92,7 @@ def grep(
     if pattern == "":
         out = lines
     else:
-        out = lines.where(F.col("line").rlike(p))
+        out = lines.where(_match_pred("line", p))
     if count_matches and pattern != "":
         out = out.withColumn(
             "n_matches", F.size(F.regexp_extract_all("line", F.lit(p), F.lit(0)))
@@ -237,7 +265,7 @@ def grep_with_context(
     hits = withlines.select(
         "repo", "path", "lines",
         F.posexplode("lines").alias("pos", "line"),
-    ).where(F.col("line").rlike(p))
+    ).where(_match_pred("line", p))
     start = F.greatest(F.lit(1), F.col("pos") + 1 - before)
     # window spans [start, match_line + after]
     length = F.least(
@@ -255,7 +283,7 @@ def files_with_matches(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
     """-l: distinct paths containing >=1 match (U1)."""
     p = preprocess_pattern(pattern, **kw)
     return (
-        corpus.where(F.col("content").rlike(p))
+        corpus.where(_match_pred("content", p))
         .select("repo", "path")
         .distinct()
         .orderBy("repo", "path")
@@ -266,7 +294,7 @@ def files_without_matches(corpus: DataFrame, pattern: str, **kw) -> DataFrame:
     """-L: all paths MINUS matched paths (U2) — left-anti join, no shuffle
     of content."""
     p = preprocess_pattern(pattern, **kw)
-    matched = corpus.where(F.col("content").rlike(p)).select("repo", "path")
+    matched = corpus.where(_match_pred("content", p)).select("repo", "path")
     return (
         corpus.select("repo", "path")
         .join(matched, ["repo", "path"], "left_anti")
