@@ -871,39 +871,63 @@ def build_index(
         for g in range(min(build_groups, n_segments))
     ]
     doc_map_bytes = _dir_bytes(paths.doc_map)
+    pending: list[tuple[int, list[int]]] = []
     for g, segs in enumerate(groups):
         if not segs:
             continue
         if resume and man.is_complete("postings", g, snapshot):
             continue
-        t0 = time.time()
         if group_tokens[g] == 0:
             # the summary's per-group token sum is the exact witness that
             # this group's pairs frame is empty (all its docs binary or
             # zero-token) — skip the encode, no probe job needed
             man.complete(
-                "postings", g, snapshot, 0, 0,
-                int((time.time() - t0) * 1000),
+                "postings", g, snapshot, 0, 0, 0,
                 lineage=f"doc_map[segs={segs}]->postings(empty)",
             )
             continue
+        pending.append((g, segs))
+
+    def _encode_group(g: int, segs: list[int]) -> None:
+        t0 = time.time()
         docs_g = spark.read.parquet(paths.doc_map).where(F.col("seg").isin(segs))
         pairs = _pairs_df(docs_g, term_buckets)
-        with _scan_splits(spark, doc_map_bytes * len(segs) // n_segments):
-            nrows, nterms = _encode_and_write_postings(
-                spark, pairs, paths.postings, avgdl, k1, b, block_size,
-                n_groups=len(segs) * term_buckets,
-                # group_tokens[g] > 0 proves the pairs frame is non-empty
-                # (a doc yields posm rows iff doc_len > 0) — the encoder
-                # can skip its isEmpty probe job outright
-                check_empty=False,
-                seg_list=list(segs), term_buckets=term_buckets,
-            )
+        nrows, nterms = _encode_and_write_postings(
+            spark, pairs, paths.postings, avgdl, k1, b, block_size,
+            n_groups=len(segs) * term_buckets,
+            # group_tokens[g] > 0 proves the pairs frame is non-empty
+            # (a doc yields posm rows iff doc_len > 0) — the encoder
+            # can skip its isEmpty probe job outright
+            check_empty=False,
+            seg_list=list(segs), term_buckets=term_buckets,
+        )
         man.complete(
             "postings", g, snapshot, nrows, nterms,
             int((time.time() - t0) * 1000),
             lineage=f"doc_map[segs={segs}]->postings",
         )
+
+    if pending:
+        # the groups are independent resumable units writing DISJOINT
+        # seg= partitions; a dynamic-partition-overwrite write stages
+        # under a per-job .spark-staging-<uuid> dir, so concurrent group
+        # jobs never share commit state. Run them concurrently (guide
+        # §2.6): each group's pairs-scan and writer tails leave most
+        # cores idle, and the other group's encode tasks back-fill them.
+        # The scan-split sizing is session-global conf — set once around
+        # the pool (same value for every group) instead of per group.
+        with _scan_splits(spark, doc_map_bytes * len(pending[0][1])
+                          // n_segments):
+            if len(pending) == 1:
+                _encode_group(*pending[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(pending)) as pool:
+                    futs = [pool.submit(_encode_group, g, segs)
+                            for g, segs in pending]
+                    for f in futs:
+                        f.result()
 
     # ---- stage: term_stats --------------------------------------------------
     t0 = time.time()

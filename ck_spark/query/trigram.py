@@ -682,7 +682,11 @@ def _encode_and_write_grams(
     write — no extra count job)."""
     from pyspark.sql import Observation
 
-    width = max(spark.sparkContext.defaultParallelism * 2, 16)
+    # one wave of python tasks: exact placement (below) splits rows
+    # evenly, so the 2x-parallelism over-decomposition that hedged
+    # against range-boundary imbalance only doubled the fixed per-task
+    # Arrow/python overhead (~0.3-0.4 s x an extra wave at 32 cores)
+    width = max(spark.sparkContext.defaultParallelism, 16)
     if n_docs_hint is not None and n_docs_hint > 0:
         # a small LSM delta append doesn't need (and shouldn't pay for)
         # the full build width — ~64 docs per task, and fewer tasks also
