@@ -798,27 +798,42 @@ def build_index(
     t0 = time.time()
     fresh_doc_map = not (resume and man.is_complete("doc_map", 0, snapshot_id))
     if fresh_doc_map:
-        # full write width: when n_segments < cores the old
-        # repartition(n_segments, "seg") serialized the sort+compress+
-        # write tail on n_segments tasks; range partitioning by
-        # (seg, doc_id) BELOW the tokenizer (see _with_doc_columns)
-        # keeps every core busy end-to-end while output files stay
-        # bounded (~width files, disjoint doc_id ranges within a seg)
+        in_bytes = _local_input_bytes(corpus.inputFiles())
+        # write shape is input-size-adaptive:
+        # - FUSED full width (exchange BELOW the tokenize mapInArrow, see
+        #   _with_doc_columns): when each segment carries enough bytes
+        #   that the old n_segments-task sort+zstd write tail left most
+        #   cores idle (measured 2.1 s of a 6 s build at sf1.0 / 32
+        #   cores). Unknown input size (object stores) also takes this
+        #   path — corpus-scale inputs are the case it exists for.
+        # - NARROW (exchange above the tokenize, exactly one partition
+        #   per seg): small corpora, where the fused path's extra files
+        #   (width per seg instead of 1) cost downstream scans more than
+        #   the write tail ever cost — measured +0.56 s on the content
+        #   store build at sf0.1 against a write tail worth ~0.1 s.
         width = max(n_segments, spark.sparkContext.defaultParallelism)
-        docs = _with_doc_columns(corpus, mode, n_segments, range_width=width)
+        # threshold on COMPRESSED input bytes per segment (~400 KB zstd
+        # ≈ 2.5 MB raw text): below it the old write tail costs ~0.1 s
+        # and the narrow shape wins; above it the tail serializes real
+        # compression work and the fused shape wins (sf1.0 sits at
+        # ~0.73 MB/seg — fused; sf0.1 at ~0.07 MB/seg — narrow)
+        fused = in_bytes <= 0 or in_bytes // max(n_segments, 1) >= (400 << 10)
+        docs = _with_doc_columns(corpus, mode, n_segments,
+                                 range_width=width if fused else 0)
+        dm = docs.select(*doc_map_cols(store_content))
+        if not fused:
+            dm = exact_repartition(dm, n_segments, F.col("seg"))
         # per_core=2: the tokenize scan's tasks are uniform, so two even
         # waves pack perfectly while per-task Python-UDF setup (~0.4 s)
         # stays amortized; the pairs scan below keeps 3/core (its tasks
         # are cheaper and benefit from finer packing — measured).
-        with _scan_splits(spark, _local_input_bytes(corpus.inputFiles()),
-                          per_core=2):
+        with _scan_splits(spark, in_bytes, per_core=2):
             (
-                docs.select(*doc_map_cols(store_content))
                 # doc_id-sorted rows per file: parquet row-group/page
                 # min-max stats make candidate fetches (literal doc_id
                 # IN (...) after trigram intersection) skip row groups
                 # instead of scanning
-                .sortWithinPartitions("seg", "doc_id")
+                dm.sortWithinPartitions("seg", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("seg")
                 .parquet(paths.doc_map)
