@@ -69,8 +69,20 @@ def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id",
     num_hashes: int = MINHASH_H, bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """Band the signature (rows_per_band = H/bands), bucket-join: pairs
-    sharing >= 1 band key, with the count of shared bands."""
+    """Band the signature (rows_per_band = H/bands), bucket the ids per
+    band key, emit the within-bucket pairs: pairs sharing >= 1 band key,
+    with the count of shared bands.
+
+    Bucketed PAIR GENERATION, not a self-join: the former
+    melted-join-melted formulation computed the whole signature pipeline
+    TWICE (one side becomes the broadcast/build relation, so exchange
+    reuse never applies — verified in the captured plan) and paid the
+    join machinery on top. Collecting each (band, key) bucket's sorted
+    id list and expanding ordered pairs with array expressions keeps ONE
+    signature evaluation and one exchange. Per-bucket cost is quadratic
+    in bucket size in BOTH formulations (that is LSH's contract — a hot
+    bucket means near-identical docs); memory is bounded by the largest
+    bucket's id list (ids only, not rows)."""
     rows = num_hashes // bands
     band_keys = F.array(*[
         F.struct(
@@ -82,12 +94,25 @@ def lsh_candidate_pairs(
     melted = sig.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = melted.alias("a")
-    b = melted.alias("b")
+    buckets = (
+        melted.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    # ordered pairs (id_a < id_b) from the sorted bucket list: for the
+    # element at 0-based position i, pair it with every later element
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     return (
-        a.join(b, ["band", "key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
 
