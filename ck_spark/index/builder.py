@@ -1536,19 +1536,7 @@ def _update_delta(
             .partitionBy("seg")
             .parquet(gen_dm_dir)
         )
-        ns = dict(obs_new.get)
-        # within-batch collision check (countDistinct is not allowed inside
-        # observed metrics) — one narrow doc_id-only scan of the small delta
-        ndist = (
-            spark.read.parquet(gen_dm_dir)
-            .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
-        )
-        if int(ns["n_new"]) != int(ndist):
-            shutil.rmtree(gen_dm_dir, ignore_errors=True)
-            raise RuntimeError(
-                "doc_id collision inside the update batch — rehash with a salt"
-            )
-        return ns
+        return dict(obs_new.get)
 
     # tombstone write and fresh tokenize+write are independent small jobs
     # on a fixed-dispatch-heavy chain: run them concurrently (guide §2.6 —
@@ -1718,22 +1706,61 @@ def _update_delta(
             stats["added"] + stats["modified"],
         )
 
-    # the four post-diff producers — postings encode, term-dict merge,
-    # trigram append, content-store staging — write disjoint directories,
-    # mutate only their own marker files, and never touch session conf:
-    # run them concurrently so the chain pays ~max() of their walls
-    # instead of the sum (guide §2.6; each is a small dispatch-heavy job
-    # at delta scale, and at corpus scale the scheduler back-fills tails).
-    with ThreadPoolExecutor(max_workers=4) as _pool:
+    def _run_collision_check() -> int:
+        # within-batch collision check (countDistinct is not allowed
+        # inside observed metrics) — one narrow doc_id-only scan of the
+        # small generation, rides the concurrent phase; its verdict is
+        # consumed BEFORE the meta commit below
+        if n_fresh == 0:
+            return 0
+        return int(
+            spark.read.parquet(gen_dm_dir)
+            .agg(F.countDistinct("doc_id")).collect()[0][0] or 0
+        )
+
+    def _run_corpus_stats() -> None:
+        # corpus_stats side table (no query-path readers; informational
+        # for external tooling) — 1-row literal write; written before the
+        # meta commit, which is harmless for an informational table (a
+        # crash leaves it one generation ahead of the meta; any rerun
+        # overwrites it)
+        spark.range(1).select(
+            F.lit(n_docs_nb).cast("long").alias("n_docs"),
+            (F.lit(float(avgdl)) if n_docs_nb > 0
+             else F.lit(None).cast("double")).alias("avgdl"),
+            F.lit(total_tokens).cast("long").alias("total_tokens"),
+        ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+
+    # the post-diff producers — postings encode, term-dict merge,
+    # trigram append, content-store staging, the collision-check scan and
+    # the 1-row corpus_stats write — write disjoint directories, mutate
+    # only their own marker files, and never touch session conf: run
+    # them concurrently so the chain pays ~max() of their walls instead
+    # of the sum (guide §2.6; each is a small dispatch-heavy job at
+    # delta scale, and at corpus scale the scheduler back-fills tails).
+    with ThreadPoolExecutor(max_workers=6) as _pool:
         _f_post = _pool.submit(_run_postings)
         _f_ts = _pool.submit(_run_term_stats)
         _f_tri = _pool.submit(_run_trigram)
         _f_cs = _pool.submit(_run_cs_stage)
+        _f_nd = _pool.submit(_run_collision_check)
+        _f_cstat = _pool.submit(_run_corpus_stats)
         _f_post.result()
         n_terms = _f_ts.result()
         _f_tri.result()
         cs_stage = _f_cs.result()
+        ndist = _f_nd.result()
+        _f_cstat.result()
     _mark("postings_terms_trigram_cs")
+    if n_fresh > 0 and int(new_stats["n_new"]) != int(ndist):
+        # nothing is committed yet (the meta write below is the single
+        # commit point); drop the staged generation dirs — any remainder
+        # is orphan-GC'd by the next update
+        shutil.rmtree(gen_dm_dir, ignore_errors=True)
+        shutil.rmtree(gen_post_dir, ignore_errors=True)
+        raise RuntimeError(
+            "doc_id collision inside the update batch — rehash with a salt"
+        )
     if cs_stage is not None:
         # bracket the pointer-table commit: it lands AFTER the meta commit
         # below, so a crash between the two would otherwise leave the new
@@ -1756,15 +1783,6 @@ def _update_delta(
         + int(dead_stats["n_dead"] or 0),
     })
     man.save_meta(meta)
-
-    # corpus_stats side table (no query-path readers; kept consistent for
-    # external tooling) — cheap 1-row literal write
-    spark.range(1).select(
-        F.lit(n_docs_nb).cast("long").alias("n_docs"),
-        (F.lit(float(avgdl)) if n_docs_nb > 0 else F.lit(None).cast("double")
-         ).alias("avgdl"),
-        F.lit(total_tokens).cast("long").alias("total_tokens"),
-    ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
 
     if tri_refresh:
         maybe_compact_trigram(spark, out_dir)
